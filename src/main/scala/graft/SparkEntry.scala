@@ -12,7 +12,13 @@ object SparkEntry {
 
   private def specs: Seq[Spec] =
     Scans.specs ++
-      Aggregates.specs
+      FilterProject.specs ++
+      Joins.specs ++
+      Aggregates.specs ++
+      SetOps.specs ++
+      Windows.specs ++
+      SortLimit.specs ++
+      Functions.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

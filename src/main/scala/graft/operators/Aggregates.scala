@@ -13,7 +13,9 @@ import graft.sources.Tables
   * goes through [[Det]] decimal accumulation.
   */
 object Aggregates {
-  def specs: Seq[Spec] = Seq(aggHashGroup)
+  def specs: Seq[Spec] = Seq(aggHashGroup, aggGlobal, aggDistinct,
+    aggApproxDistinct, aggRollup, aggCube, aggGroupingSets, aggCollect,
+    aggCustomTyped)
 
   /** TPC-H Q1 shape: the engine's flagship batch aggregate. */
   private val aggHashGroup = Spec(
@@ -41,5 +43,149 @@ object Aggregates {
         Det.davg(col("l_extendedprice")).as("avg_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Grand totals, no grouping keys. */
+  private val aggGlobal = Spec(
+    "agg_global",
+    s"""SELECT COUNT(*) AS n_lines,
+       |  ${Sql.dsum("l_quantity", "total_qty")},
+       |  ${Sql.dsum("l_extendedprice", "total_price")},
+       |  ${Sql.davg("l_discount", "avg_discount")},
+       |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+       |FROM lineitem""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).agg(
+      count(lit(1)).as("n_lines"),
+      Det.dsum(col("l_quantity")).as("total_qty"),
+      Det.dsum(col("l_extendedprice")).as("total_price"),
+      Det.davg(col("l_discount")).as("avg_discount"),
+      min(col("l_shipdate")).as("min_ship"),
+      max(col("l_shipdate")).as("max_ship"))
+  }
+
+  /** Exact distinct count per group (Catalyst expands to two-phase
+    * aggregate automatically — scales as a shuffle on (status, custkey)). */
+  private val aggDistinct = Spec(
+    "agg_distinct",
+    """SELECT o_orderstatus,
+      |  COUNT(DISTINCT o_custkey) AS n_customers,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** HLL++ distinct users per event type — an ESTIMATE by design (O(1)
+    * memory instead of a per-group distinct-set shuffle; the trade that
+    * matters at 100 TB). No DuckDB oracle: its HLL differs from Spark's;
+    * AggregatesSpec asserts the ±1% rsd bound against the exact count. */
+  private val aggApproxDistinct = Spec.noOracle(
+    "agg_approx_distinct") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .orderBy(col("event_type"))
+  }
+
+  /** ROLLUP over (nation, orderstatus) revenue. */
+  private val aggRollup = Spec(
+    "agg_rollup",
+    s"""SELECT n_name, o_orderstatus,
+       |  ${Sql.dsum("o_totalprice", "revenue")}, COUNT(*) AS n_orders
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |GROUP BY ROLLUP (n_name, o_orderstatus)
+       |ORDER BY n_name NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin) {
+    (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"), col("o_orderstatus"))
+        .agg(Det.dsum(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("n_name").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first)
+  }
+
+  /** CUBE over (returnflag, linestatus). */
+  private val aggCube = Spec(
+    "agg_cube",
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${Sql.dsum("l_quantity", "sum_qty")}, COUNT(*) AS n_lines
+       |FROM lineitem
+       |GROUP BY CUBE (l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) {
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(Det.dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+  }
+
+  /** Explicit GROUPING SETS via the SQL surface. */
+  private val aggGroupingSets = Spec(
+    "agg_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) {
+    (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_gs_lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+          |FROM graft_gs_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** collect_list/collect_set with deterministic (sorted) representation. */
+  private val aggCollect = Spec(
+    "agg_collect",
+    """SELECT o_custkey,
+      |  list_sort(list(o_orderpriority)) AS priorities,
+      |  list_sort(list(DISTINCT o_orderstatus)) AS statuses
+      |FROM orders GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(col("o_orderpriority"))).as("priorities"),
+        sort_array(collect_set(col("o_orderstatus"))).as("statuses"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Custom typed Aggregator (exact scaled-integer moments — see
+    * [[graft.functions.MoneyStats]]); oracle recomputes the identical
+    * integer moments in SQL. */
+  private val aggCustomTyped = Spec(
+    "agg_custom_typed",
+    """SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0 AS mean_price,
+      |  (CAST(SUM(cents * cents) AS DOUBLE) / COUNT(*)
+      |   - (CAST(SUM(cents) AS DOUBLE) / COUNT(*)) * (CAST(SUM(cents) AS DOUBLE) / COUNT(*))
+      |  ) / 10000.0 AS var_price
+      |FROM (SELECT o_orderstatus,
+      |             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      |      FROM orders)
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    val stats = udaf(new graft.functions.MoneyStats)
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(stats(col("o_totalprice")).as("st"))
+      .select(col("o_orderstatus"),
+        col("st._1").as("n_orders"),
+        col("st._2").as("mean_price"),
+        col("st._3").as("var_price"))
+      .orderBy(col("o_orderstatus"))
   }
 }

@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Spec
+import graft.sources.Tables
+
+/** SURVEY.md §2.8 — scalar function families. One query per family, each
+  * exercising several functions with results that hash-match DuckDB.
+  *
+  * Cross-engine determinism rules applied here:
+  *  - String/date/integer functions are exact — used freely.
+  *  - Transcendental libm functions (ln/exp/pow) are NOT guaranteed
+  *    bit-identical between the JVM and DuckDB's C++ — avoided in oracle
+  *    queries; `sqrt` IS IEEE-754 correctly-rounded everywhere and is safe.
+  *  - `round` on raw doubles differs at representation edges — rounding is
+  *    always done on a decimal-cast value (exact, same HALF_UP rule both
+  *    engines).
+  * All functions below are Catalyst built-ins (whole-stage-codegen'd) except
+  * the one deliberate UDF in `fn_udf_scalar`, quarantined to its own query
+  * (a UDF is an opaque box to the optimizer: no pushdown through it, no
+  * codegen — the 100 TB rule is "built-ins everywhere they exist").
+  */
+object Functions {
+  def specs: Seq[Spec] = Seq(fnString, fnDate, fnMath, fnArray, fnMap,
+    fnJson, fnUdfScalar, fnUdtfExplode)
+
+  private val fnString = Spec(
+    "fn_string",
+    """SELECT p_partkey,
+      |  upper(p_name)                              AS up,
+      |  lower(p_brand)                             AS lo,
+      |  substring(p_type, 1, 3)                    AS ty3,
+      |  length(p_name)                             AS nlen,
+      |  concat(p_brand, ':', p_type)               AS tag,
+      |  replace(p_name, ' ', '_')                  AS snake,
+      |  trim(concat('  ', p_name, '  '))           AS trimmed,
+      |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS pad,
+      |  split_part(p_name, ' ', 1)                 AS word1,
+      |  regexp_extract(p_name, '([a-z]+)$', 1)     AS lastword
+      |FROM part
+      |WHERE p_name LIKE '%a%'
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .filter(col("p_name").like("%a%"))
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        lower(col("p_brand")).as("lo"),
+        substring(col("p_type"), 1, 3).as("ty3"),
+        length(col("p_name")).as("nlen"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("tag"),
+        regexp_replace(col("p_name"), " ", "_").as("snake"),
+        trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("pad"),
+        split(col("p_name"), " ").getItem(0).as("word1"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("lastword"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private val fnDate = Spec(
+    "fn_date",
+    """SELECT o_orderkey,
+      |  year(o_orderdate)                                   AS y,
+      |  month(o_orderdate)                                  AS m,
+      |  dayofmonth(o_orderdate)                             AS dom,
+      |  date_trunc('month', o_orderdate)                    AS month_start,
+      |  datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since,
+      |  o_orderdate + INTERVAL 30 DAY                       AS due,
+      |  CAST(last_day(o_orderdate) AS TIMESTAMP)            AS month_end,
+      |  CAST(epoch(o_orderdate) AS BIGINT)                  AS epoch_s
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .as("days_since"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("due"),
+        last_day(col("o_orderdate")).cast("timestamp").as("month_end"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Exact-only math (see header): sqrt is correctly-rounded, squares are
+    * plain double multiply, round happens on a decimal cast. */
+  private val fnMath = Spec(
+    "fn_math",
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(floor(l_quantity) AS BIGINT)    AS fl,
+      |  CAST(ceil(l_quantity) AS BIGINT)     AS ce,
+      |  abs(l_discount - 0.05)               AS ab,
+      |  sqrt(l_quantity)                     AS sq,
+      |  l_quantity * l_quantity              AS sq2,
+      |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg,
+      |  greatest(l_quantity, l_discount*100) AS gr,
+      |  least(l_tax, l_discount)             AS le,
+      |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS rnd,
+      |  CASE WHEN l_quantity < 10 THEN 'low'
+      |       WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS bucket
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_quantity")).as("fl"),
+        ceil(col("l_quantity")).as("ce"),
+        abs(col("l_discount") - 0.05).as("ab"),
+        sqrt(col("l_quantity")).as("sq"),
+        (col("l_quantity") * col("l_quantity")).as("sq2"),
+        signum(col("l_discount") - 0.05).as("sg"),
+        greatest(col("l_quantity"), col("l_discount") * 100).as("gr"),
+        least(col("l_tax"), col("l_discount")).as("le"),
+        round(col("l_extendedprice").cast("decimal(18,2)"), 1).cast("double")
+          .as("rnd"),
+        when(col("l_quantity") < 10, "low")
+          .when(col("l_quantity") < 30, "mid")
+          .otherwise("high").as("bucket"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Array ops over tokenized document text (strings are exact across
+    * engines; float-array math lives in llm_cosine_topk with its epsilon
+    * convention). DuckDB's list_distinct does not preserve order — both
+    * sides sort after distinct. */
+  private val fnArray = Spec(
+    "fn_array",
+    """SELECT doc_id,
+      |  len(words)                                   AS n_words,
+      |  words[1]                                     AS first_word,
+      |  list_slice(words, 1, 4)                      AS head4,
+      |  list_sort(list_distinct(words))              AS vocab,
+      |  list_contains(words, 'key')                  AS has_key,
+      |  list_transform(list_slice(words, 1, 4), x -> upper(x)) AS head4_up
+      |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"),
+        size(col("words")).as("n_words"),
+        col("words").getItem(0).as("first_word"),
+        slice(col("words"), 1, 4).as("head4"),
+        sort_array(array_distinct(col("words"))).as("vocab"),
+        array_contains(col("words"), "key").as("has_key"),
+        transform(slice(col("words"), 1, 4), x => upper(x)).as("head4_up"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Map built from the props JSON (single-key objects per FIXTURES.md);
+    * emitted as scalar extractions + key list so representations compare. */
+  private val fnMap = Spec(
+    "fn_map",
+    """SELECT event_id,
+      |  json_keys(props)                       AS ks,
+      |  CAST(props->>'k' AS BIGINT)            AS k_val,
+      |  len(json_keys(props))                  AS n_keys
+      |FROM events
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val m = from_json(col("props"),
+      org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>"))
+    Tables.events(s, d)
+      .select(col("event_id"),
+        map_keys(m).as("ks"),
+        element_at(m, "k").as("k_val"),
+        size(map_keys(m)).as("n_keys"))
+      .orderBy(col("event_id"))
+  }
+
+  /** JSON extract / parse / re-serialize round-trip. */
+  private val fnJson = Spec(
+    "fn_json",
+    """SELECT event_id,
+      |  props->>'k'                                         AS k_str,
+      |  CAST(props->>'k' AS BIGINT)                         AS k_int,
+      |  CAST(to_json(struct_pack(k := CAST(props->>'k' AS BIGINT))) AS VARCHAR)
+      |    AS rt
+      |FROM events
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val kInt = from_json(col("props"),
+      org.apache.spark.sql.types.DataType.fromDDL("struct<k:bigint>"))
+      .getField("k")
+    Tables.events(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        kInt.as("k_int"),
+        to_json(struct(kInt.as("k"))).as("rt"))
+      .orderBy(col("event_id"))
+  }
+
+  /** The one deliberate scalar UDF (Knuth multiplicative hash, 32-bit), with
+    * the identical arithmetic cross-checked as a built-in expression column
+    * — demonstrating both the UDF surface and why built-ins are preferred
+    * (the UDF column blocks codegen/pushdown; the expr column doesn't). */
+  private val fnUdfScalar = Spec(
+    "fn_udf_scalar",
+    """SELECT o_orderkey,
+      |  (o_orderkey * 2654435761) % 4294967296 AS h_udf,
+      |  (o_orderkey * 2654435761) % 4294967296 AS h_expr
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val knuth = udf((k: Long) => (k * 2654435761L) & 0xffffffffL)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        knuth(col("o_orderkey")).as("h_udf"),
+        pmod(col("o_orderkey") * lit(2654435761L), lit(4294967296L))
+          .as("h_expr"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Row-generator surface: posexplode of tokenized text (Spark's built-in
+    * Generator — the UDTF shape without a custom UDTF). 0-based pos is
+    * emitted 1-based to match SQL ordinality. */
+  private val fnUdtfExplode = Spec(
+    "fn_udtf_explode",
+    """SELECT doc_id,
+      |  generate_subscripts(string_split(text, ' '), 1) AS pos,
+      |  unnest(string_split(text, ' '))                 AS word
+      |FROM documents
+      |WHERE doc_id < 100
+      |ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos0", "word")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("word"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+}

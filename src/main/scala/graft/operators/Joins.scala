@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Spec
+import graft.functions.{Det, Sql}
+import graft.sources.Tables
+
+/** SURVEY.md §2.3 — batch joins (the reference's core capability re-expressed
+  * relationally; the streaming variants live in graft.streaming).
+  *
+  * Scale posture: every equi-join here shuffles on its key (or broadcasts a
+  * dim); the two non-equi shapes (theta-range, as-of) are deliberately
+  * anchored on an equi key (`user_id`) so they plan as hash joins with a
+  * residual band condition instead of O(n²) nested loops — this is THE
+  * difference between "works on 60k rows" and "works on 100 TB".
+  */
+object Joins {
+  def specs: Seq[Spec] = Seq(
+    innerHash, leftOuter, rightOuter, fullOuter, leftSemi, leftAnti,
+    broadcastJoin, multiway, thetaRange, asOf)
+
+  private val innerHash = Spec(
+    "join_inner_hash",
+    """SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("c_custkey"),
+        col("c_name"), col("c_mktsegment"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Customers with no matching high-value order keep a NULL right side. */
+  private val leftOuter = Spec(
+    "join_left_outer",
+    """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+      |FROM customer LEFT JOIN orders
+      |  ON c_custkey = o_custkey AND o_totalprice > 400000
+      |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d),
+        col("c_custkey") === col("o_custkey") && col("o_totalprice") > 400000,
+        "left")
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+  }
+
+  private val rightOuter = Spec(
+    "join_right_outer",
+    """SELECT o_orderkey, o_orderstatus, c_custkey, c_name
+      |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+      |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"),
+        "right")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("c_custkey"),
+        col("c_name"))
+      .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+  }
+
+  /** Full outer on a deliberately partial condition so both sides produce
+    * unmatched rows (customers without purchases / events without a
+    * BUILDING-segment owner). events.user_id ⊆ c_custkey (FIXTURES.md) but
+    * only custkey < |events users| ever appears. */
+  private val fullOuter = Spec(
+    "join_full_outer",
+    """SELECT c.c_custkey, c.c_name, e.event_id, e.event_type
+      |FROM (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+      |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') e
+      |  ON c.c_custkey = e.user_id
+      |ORDER BY c_custkey NULLS FIRST, event_id NULLS FIRST""".stripMargin) {
+    (s, d) =>
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val e = Tables.events(s, d).filter(col("event_type") === "purchase")
+      c.join(e, col("c_custkey") === col("user_id"), "full")
+        .select(col("c_custkey"), col("c_name"), col("event_id"),
+          col("event_type"))
+        .orderBy(col("c_custkey").asc_nulls_first,
+          col("event_id").asc_nulls_first)
+  }
+
+  private val leftSemi = Spec(
+    "join_left_semi",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val leftAnti = Spec(
+    "join_left_anti",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.events(s, d), col("c_custkey") === col("user_id"),
+        "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Explicit broadcast of the 25-row nation dim against lineitem⋈supplier:
+    * at 100 TB this is the difference between one shuffle of the fact table
+    * and none — dims ship to every executor instead. */
+  private val broadcastJoin = Spec(
+    "join_broadcast",
+    s"""SELECT n_name, ${Sql.dsum("l_extendedprice", "volume")},
+       |       COUNT(*) AS n_lines
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation   ON s_nationkey = n_nationkey
+       |GROUP BY n_name
+       |ORDER BY n_name""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(Det.dsum(col("l_extendedprice")).as("volume"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("n_name"))
+  }
+
+  /** TPC-H Q5-ish 5-way star join: fact table last so Catalyst/AQE
+    * broadcast the dim chain and the only shuffle is the final aggregate. */
+  private val multiway = Spec(
+    "join_multiway",
+    s"""SELECT n_name, CAST(SUM(${Sql.revenue}) AS DOUBLE) AS revenue,
+       |       COUNT(*) AS n_lines
+       |FROM region
+       |JOIN nation   ON n_regionkey = r_regionkey
+       |JOIN customer ON c_nationkey = n_nationkey
+       |JOIN orders   ON o_custkey = c_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+       |GROUP BY n_name
+       |ORDER BY n_name""".stripMargin) { (s, d) =>
+    Tables.region(s, d).filter(col("r_name") === "ASIA")
+      .join(Tables.nation(s, d), col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.customer(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(Det.revenue).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Non-equi band join: for each purchase, count the same user's clicks in
+    * the preceding 10 minutes. Anchored on the user_id equi key so Spark
+    * plans a hash join with the band as residual — a pure theta join would
+    * be a cartesian BNLJ and die at scale. (At 100 TB one would additionally
+    * bucket both sides by coarse time window to bound the per-key fan-in.) */
+  private val thetaRange = Spec(
+    "join_theta_range",
+    """SELECT p.event_id, p.user_id, COUNT(c.event_id) AS clicks_before
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND c.ts >  p.ts - INTERVAL 10 MINUTE
+      | AND c.ts <= p.ts
+      |GROUP BY p.event_id, p.user_id
+      |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id").as("p_user_id"),
+        col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_event_id"), col("user_id").as("c_user_id"),
+        col("ts").as("c_ts"))
+    p.join(c,
+        col("p_user_id") === col("c_user_id")
+          && col("c_ts") > col("p_ts") - expr("INTERVAL 10 MINUTE")
+          && col("c_ts") <= col("p_ts"),
+        "left")
+      .groupBy(col("p_event_id").as("event_id"),
+        col("p_user_id").as("user_id"))
+      .agg(count(col("c_event_id")).as("clicks_before"))
+      .orderBy(col("event_id"))
+  }
+
+  /** As-of join via the struct-max idiom (Spark 4.1 has no native as-of):
+    * each purchase event is matched to the user's latest order placed
+    * at-or-before the event. Equi key + max aggregation ⇒ two shuffles,
+    * no sort-merge-interval machinery needed; ties on o_orderdate collapse
+    * because only the date is emitted. */
+  private val asOf = Spec(
+    "join_asof",
+    """SELECT e.event_id, e.user_id, MAX(o.o_orderdate) AS last_order_date,
+      |       COUNT(o.o_orderkey) AS n_prior_orders
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+      |LEFT JOIN orders o
+      |  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      |GROUP BY e.event_id, e.user_id
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    e.join(o,
+        col("o_custkey") === col("user_id") && col("o_orderdate") <= col("ts"),
+        "left")
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(max(col("o_orderdate")).as("last_order_date"),
+        count(col("o_orderkey")).as("n_prior_orders"))
+      .orderBy(col("event_id"))
+  }
+}

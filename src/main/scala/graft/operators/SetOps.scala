@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Spec
+import graft.sources.Tables
+
+/** SURVEY.md §2.7 — set operations. All four plan as shuffles on the full
+  * row (distinct forms) or plain concatenation (union all) — no surprises
+  * at scale. */
+object SetOps {
+  def specs: Seq[Spec] = Seq(unionAll, unionDistinct, intersect, exceptOp)
+
+  private def urgent(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"))
+  private def high(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.orders(s, d).filter(col("o_orderpriority") === "2-HIGH")
+      .select(col("o_orderkey"), col("o_custkey"))
+
+  private val unionAll = Spec(
+    "set_union_all",
+    """SELECT o_orderkey, o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    urgent(s, d).union(high(s, d)).orderBy(col("o_orderkey"))
+  }
+
+  private val unionDistinct = Spec(
+    "set_union_distinct",
+    """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |UNION
+      |SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    urgent(s, d).select(col("o_custkey"))
+      .union(high(s, d).select(col("o_custkey")))
+      .distinct()
+      .orderBy(col("o_custkey"))
+  }
+
+  private val intersect = Spec(
+    "set_intersect",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .intersect(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
+  private val exceptOp = Spec(
+    "set_except",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .except(o.filter(col("o_orderstatus") === "P").select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+}

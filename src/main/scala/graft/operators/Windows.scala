@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Spec
+import graft.functions.Det
+import graft.sources.Tables
+
+/** SURVEY.md §2.5 — window functions.
+  *
+  * Every window here partitions by a key (customer / user), so at scale the
+  * plan is one shuffle on the partition key followed by an in-partition
+  * sort — no global sort, no driver collection. Rank/row_number always carry
+  * a total-order tiebreak (§7.4.5); running sums accumulate in decimal so
+  * the result is partitioning-independent.
+  *
+  * events.ts hazard (FIXTURES.md §hazards): Spark sees µs, DuckDB ns — all
+  * event-time windows order by epoch micros computed on each engine's own
+  * value (truncation agrees) with event_id as tiebreak.
+  */
+object Windows {
+  def specs: Seq[Spec] = Seq(winRank, topkPerGroup, lagLead, runningFrame,
+    rangeFrame)
+
+  private val winRank = Spec(
+    "win_rank",
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  ROW_NUMBER() OVER w AS rn,
+      |  RANK()       OVER w AS rk,
+      |  DENSE_RANK() OVER w AS drk
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rk"),
+        dense_rank().over(w).as("drk"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Top-3 orders per customer — the scalable top-k idiom (rank inside the
+    * key partition + filter; never a global sort of the fact table). */
+  private val topkPerGroup = Spec(
+    "win_topk_per_group",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Per-user inter-event gap in microseconds (epoch-µs arithmetic keeps
+    * both engines in exact integer space despite the ns/µs split). */
+  private val lagLead = Spec(
+    "win_lag_lead",
+    """SELECT event_id, user_id, eus,
+      |  eus - LAG(eus)  OVER w AS gap_us,
+      |  LEAD(eus) OVER w - eus AS next_us
+      |FROM (SELECT event_id, user_id, epoch_us(ts) AS eus FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY eus, event_id)
+      |ORDER BY user_id, eus, event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("eus"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("eus"))
+      .select(col("event_id"), col("user_id"), col("eus"),
+        (col("eus") - lag(col("eus"), 1).over(w)).as("gap_us"),
+        (lead(col("eus"), 1).over(w) - col("eus")).as("next_us"))
+      .orderBy(col("user_id"), col("eus"), col("event_id"))
+  }
+
+  /** Running revenue per customer (explicit ROWS frame); decimal
+    * accumulation so every prefix sum is exact and order-stable. */
+  private val runningFrame = Spec(
+    "win_running_frame",
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS running_rev
+      |FROM orders
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(Det.dec2(col("o_totalprice"))).over(w).cast("double")
+          .as("running_rev"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  /** 10-minute trailing event count+sum per user — RANGE frame over epoch
+    * seconds (the time-series "trailing window" shape; at scale this is the
+    * batch twin of the streaming sliding window). */
+  private val rangeFrame = Spec(
+    "win_range_frame",
+    """SELECT event_id, user_id, es,
+      |  COUNT(*) OVER w AS n_trailing,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sum_trailing
+      |FROM (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS es, value
+      |      FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY es
+      |             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, es, event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("es"))
+      .rangeBetween(-600, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        (unix_micros(col("ts")) / lit(1000000L)).cast("long").as("es"),
+        col("value"))
+      .select(col("event_id"), col("user_id"), col("es"),
+        count(lit(1)).over(w).as("n_trailing"),
+        sum(Det.dec6(col("value"))).over(w).cast("double").as("sum_trailing"))
+      .orderBy(col("user_id"), col("es"), col("event_id"))
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.MoneyStats
+import graft.sources.Tables
+
+class AggregatesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("agg_approx_distinct is within HLL rsd bound of exact") {
+    val approx = SparkEntry.queries("agg_approx_distinct")(spark, SF01)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, SF01)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / n <= 0.05,
+        s"$k: approx $a vs exact $n exceeds 5%")
+    }
+  }
+
+  test("MoneyStats computes exact count/mean/population variance") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0))
+      .toDF("k", "v")
+    val stats = udaf(new MoneyStats)
+    val rows = df.groupBy($"k").agg(stats($"v").as("st"))
+      .select($"k", $"st._1", $"st._2", $"st._3")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(rows(0)._2 == 3L)
+    assert(math.abs(rows(0)._3 - 2.0) < 1e-12)        // mean of 1,2,3
+    assert(math.abs(rows(0)._4 - 2.0 / 3) < 1e-9)     // pop var of 1,2,3
+    assert(rows(1) == (("b", 1L, 10.0, 0.0)))
+  }
+
+  test("MoneyStats merge is partition-order independent") {
+    import spark.implicits._
+    val vals = (1 to 1000).map(i => ("k", i * 0.37))
+    val stats = udaf(new MoneyStats)
+    def run(parts: Int) =
+      vals.toDF("k", "v").repartition(parts).groupBy($"k")
+        .agg(stats($"v").as("st")).select($"st._2", $"st._3")
+        .collect().map(r => (r.getDouble(0), r.getDouble(1))).head
+    assert(run(1) == run(7), "different partitionings must agree exactly")
+  }
+
+  test("rollup row count = detail + per-nation subtotal + grand total") {
+    val df = SparkEntry.queries("agg_rollup")(spark, SF001)
+    val rows = df.collect()
+    val detail = rows.count(r => !r.isNullAt(0) && !r.isNullAt(1))
+    val nation = rows.count(r => !r.isNullAt(0) && r.isNullAt(1))
+    val grand = rows.count(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand == 1)
+    assert(rows.length == detail + nation + grand)
+  }
+}

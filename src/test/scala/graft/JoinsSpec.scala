@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Tables
+
+class JoinsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("semi + anti partition the left table") {
+    val c = Tables.customer(spark, SF001)
+    val e = Tables.events(spark, SF001)
+    val semi = c.join(e, col("c_custkey") === col("user_id"), "left_semi")
+    val anti = c.join(e, col("c_custkey") === col("user_id"), "left_anti")
+    assert(semi.count() + anti.count() == c.count())
+    assert(semi.intersect(anti).count() == 0)
+  }
+
+  test("left outer keeps every left row at least once") {
+    val df = SparkEntry.queries("join_left_outer")(spark, SF001)
+    val customers = Tables.customer(spark, SF001).count()
+    assert(df.select(col("c_custkey")).distinct().count() == customers)
+  }
+
+  test("inner join row count equals orders (FK integrity)") {
+    val df = SparkEntry.queries("join_inner_hash")(spark, SF001)
+    assert(df.count() == Tables.orders(spark, SF001).count())
+  }
+
+  test("as-of join matches hand-computed latest order on a tiny frame") {
+    import spark.implicits._
+    val e = Seq((1L, 10L, "2024-01-10 00:00:00"),
+      (2L, 10L, "2024-01-01 00:00:00"))
+      .toDF("event_id", "user_id", "ts")
+      .withColumn("ts", $"ts".cast("timestamp"))
+    val o = Seq((100L, 10L, "2024-01-05 00:00:00"),
+      (101L, 10L, "2024-01-08 00:00:00"),
+      (102L, 10L, "2024-02-01 00:00:00"))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .withColumn("o_orderdate", $"o_orderdate".cast("timestamp"))
+    val got = e.join(o,
+        $"o_custkey" === $"user_id" && $"o_orderdate" <= $"ts", "left")
+      .groupBy($"event_id")
+      .agg(max($"o_orderdate").as("last_order_date"),
+        count($"o_orderkey").as("n_prior_orders"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getTimestamp(1)).map(_.toString), r.getLong(2)))).toMap
+    assert(got(1L) == ((Some("2024-01-08 00:00:00.0"), 2L)))
+    assert(got(2L) == ((None, 0L))) // no order at-or-before → left semantics
+  }
+
+  test("theta-range band only counts clicks within the window") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 7L, "purchase", "2024-01-01 10:00:00"),
+      (2L, 7L, "click", "2024-01-01 09:55:00"),  // inside 10-min band
+      (3L, 7L, "click", "2024-01-01 09:45:00"),  // outside
+      (4L, 8L, "click", "2024-01-01 09:59:00"))  // other user
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .withColumn("ts", $"ts".cast("timestamp"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_event_id"), $"user_id".as("p_user_id"),
+        $"ts".as("p_ts"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user_id"), $"ts".as("c_ts"),
+        $"event_id".as("c_event_id"))
+    val got = p.join(c,
+        $"p_user_id" === $"c_user_id"
+          && $"c_ts" > $"p_ts" - expr("INTERVAL 10 MINUTE")
+          && $"c_ts" <= $"p_ts", "left")
+      .groupBy($"p_event_id").agg(count($"c_event_id").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L))
+  }
+}
