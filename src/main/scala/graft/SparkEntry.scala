@@ -18,7 +18,8 @@ object SparkEntry {
       SetOps.specs ++
       Windows.specs ++
       SortLimit.specs ++
-      Functions.specs
+      Functions.specs ++
+      graft.streaming.StreamingOps.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

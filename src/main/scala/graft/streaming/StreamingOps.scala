@@ -1,0 +1,264 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.Spec
+import graft.functions.Det
+import graft.sources.Tables
+
+/** SURVEY.md §2.9 + §2.3 streaming joins — the reference's core capability
+  * (stream-stream / stream-static joins, windowed aggregation, watermarks),
+  * re-expressed on Structured Streaming's unbounded-table model.
+  *
+  * Design: every operator is ONE logical transform (a `DataFrame =>
+  * DataFrame` here) applied identically to a batch DataFrame (what
+  * `SparkEntry.queries` returns — DuckDB-checkable) and to a streaming
+  * DataFrame (driven in StreamingSpec over MemoryStream, asserting
+  * stream == batch output). That batch/stream parity is exactly the
+  * guarantee Structured Streaming's incrementalization contract makes, so
+  * the batch twin IS the specification of the streaming result.
+  *
+  * Scale: windowed aggregations shuffle on (window, key) with map-side
+  * partial aggregation; stream-stream joins are state-store-backed
+  * symmetric hash joins whose state is bounded by the watermark + interval
+  * condition — both shapes run unchanged on a 1000-executor cluster.
+  *
+  * Event time: all arithmetic is epoch-µs integers (ns-precision parquet
+  * vs Spark-µs hazard — FIXTURES.md §hazards).
+  */
+object StreamingOps {
+  def specs: Seq[Spec] = Seq(tumbling, sliding, session, watermarkLate,
+    dedup, statefulCustom, streamStream, streamStatic)
+
+  private val usPerHour = 3600L * 1000000L
+  private val usPer15m = 900L * 1000000L
+  private val usPer10m = 600L * 1000000L
+  private val usPer30m = 1800L * 1000000L
+
+  /** Shared transforms (batch twin == streaming form). */
+
+  def tumblingAgg(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Det.dsum6(col("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("ws_us"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  def slidingAgg(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Det.dsum6(col("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("ws_us"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  def sessionAgg(ev: DataFrame): DataFrame =
+    ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        Det.dsum6(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"), col("sum_value"))
+
+  def tenMinuteAgg(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        Det.dsum6(col("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("ws_us"),
+        col("n_events"), col("sum_value"))
+
+  def dedupByEventId(ev: DataFrame): DataFrame =
+    ev.dropDuplicates("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("es"))
+
+  /** Stream-stream interval join: (click, view) pairs for the same user
+    * with the view in the 10 minutes up to the click. The interval bound is
+    * what lets the state store evict — without it stream-stream join state
+    * grows forever. */
+  def clickViewPairs(clicks: DataFrame, views: DataFrame,
+      bandMinutes: Int = 10): DataFrame =
+    clicks.alias("c").join(views.alias("v"),
+        col("c.user_id") === col("v.user_id")
+          && col("v.ts") > col("c.ts") - expr(s"INTERVAL $bandMinutes MINUTE")
+          && col("v.ts") <= col("c.ts"))
+      .select(col("c.event_id").as("click_id"), col("v.event_id").as("view_id"),
+        col("c.user_id").as("user_id"),
+        unix_micros(col("c.ts")).as("click_us"),
+        unix_micros(col("v.ts")).as("view_us"))
+
+  def enrichWithCustomer(ev: DataFrame, customer: DataFrame): DataFrame =
+    ev.join(broadcast(customer), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_name"), col("c_mktsegment"), col("value"))
+
+  /** Specs (batch twins over the events fixture). */
+
+  private val tumbling = Spec(
+    "stream_tumbling",
+    """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws_us, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2
+      |ORDER BY ws_us, event_type""".stripMargin) { (s, d) =>
+    tumblingAgg(Tables.events(s, d)).orderBy(col("ws_us"), col("event_type"))
+  }
+
+  private val sliding = Spec(
+    "stream_sliding",
+    """SELECT ((epoch_us(ts) // 900000000) - j) * 900000000 AS ws_us,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      |FROM events CROSS JOIN generate_series(0, 3) AS g(j)
+      |GROUP BY 1, 2
+      |ORDER BY ws_us, event_type""".stripMargin) { (s, d) =>
+    slidingAgg(Tables.events(s, d)).orderBy(col("ws_us"), col("event_type"))
+  }
+
+  private val session = Spec(
+    "stream_session",
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS es, value FROM events),
+      |x AS (
+      |  SELECT *, CASE WHEN lag(es) OVER w IS NULL
+      |                   OR es - lag(es) OVER w >= 1800000000
+      |            THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+      |y AS (
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY es, event_id
+      |                             ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM x)
+      |SELECT user_id, MIN(es) AS session_start_us,
+      |  MAX(es) + 1800000000 AS session_end_us,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      |FROM y GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_us""".stripMargin) { (s, d) =>
+    sessionAgg(Tables.events(s, d))
+      .orderBy(col("user_id"), col("session_start_us"))
+  }
+
+  /** Batch twin of the watermarked tumbling aggregate; late-data semantics
+    * (rows behind the watermark dropped) are asserted in StreamingSpec —
+    * on a complete batch the watermark never fires, so batch == streaming
+    * over fully-delivered data. */
+  private val watermarkLate = Spec(
+    "stream_watermark_late",
+    """SELECT (epoch_us(ts) // 600000000) * 600000000 AS ws_us,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1
+      |ORDER BY ws_us""".stripMargin) { (s, d) =>
+    tenMinuteAgg(Tables.events(s, d)).orderBy(col("ws_us"))
+  }
+
+  /** Exactly-once-style dedup on event_id; the fixture is dup-free so the
+    * batch twin is an identity projection — StreamingSpec injects synthetic
+    * dups via MemoryStream and asserts dropDuplicatesWithinWatermark
+    * removes them. */
+  private val dedup = Spec(
+    "stream_dedup",
+    """SELECT event_id, user_id, event_type, epoch_us(ts) AS es
+      |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    dedupByEventId(Tables.events(s, d)).orderBy(col("event_id"))
+  }
+
+  /** Custom per-key state machine (purchase funnel): for each user, scan
+    * events in time order and track clicks seen before the first purchase.
+    * Batch form uses the typed Dataset API (groupByKey + mapGroups); the
+    * streaming form in StreamingSpec runs the same [[Funnel.update]] logic
+    * under flatMapGroupsWithState. Scale note: mapGroups shuffles once on
+    * user_id and needs one user's events in memory — bounded here (≤ a few
+    * hundred events/user); for unbounded keys use the streaming form whose
+    * state is O(1) per user. */
+  private val statefulCustom = Spec(
+    "stream_stateful_custom",
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS es FROM events),
+      |fp AS (
+      |  SELECT user_id, MIN(es) FILTER (WHERE event_type = 'purchase') AS first_p
+      |  FROM e GROUP BY user_id)
+      |SELECT e.user_id,
+      |  COUNT(*) AS n_events,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS n_clicks,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS n_purchases,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'click' AND es < first_p THEN 1 END), 0) AS BIGINT)
+      |    AS clicks_before_first_purchase,
+      |  MIN(es) AS first_es, MAX(es) AS last_es
+      |FROM e JOIN fp ON e.user_id = fp.user_id
+      |GROUP BY e.user_id
+      |ORDER BY e.user_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("es"))
+      .as[(Long, String, Long)]
+    ev.groupByKey(_._1)
+      .mapGroups((uid, it) => Funnel.finish(uid,
+        it.foldLeft(Funnel.empty)((st, e) => Funnel.update(st, e._2, e._3))))
+      .toDF("user_id", "n_events", "n_clicks", "n_purchases",
+        "clicks_before_first_purchase", "first_es", "last_es")
+      .orderBy(col("user_id"))
+  }
+
+  private val streamStream = Spec(
+    "join_stream_stream",
+    """SELECT c.event_id AS click_id, v.event_id AS view_id,
+      |  c.user_id AS user_id,
+      |  epoch_us(c.ts) AS click_us, epoch_us(v.ts) AS view_us
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON c.user_id = v.user_id
+      | AND epoch_us(v.ts) >  epoch_us(c.ts) - 600000000
+      | AND epoch_us(v.ts) <= epoch_us(c.ts)
+      |ORDER BY click_id, view_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    clickViewPairs(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "view"))
+      .orderBy(col("click_id"), col("view_id"))
+  }
+
+  private val streamStatic = Spec(
+    "join_stream_static",
+    """SELECT event_id, user_id, event_type, c_name, c_mktsegment, value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    enrichWithCustomer(Tables.events(s, d), Tables.customer(s, d))
+      .orderBy(col("event_id"))
+  }
+}
+
+/** The funnel state machine shared by the batch (mapGroups) and streaming
+  * (flatMapGroupsWithState) forms of `stream_stateful_custom`. Pure and
+  * order-insensitive where SQL is (clicks strictly before the first
+  * purchase in event time). */
+object Funnel {
+  final case class State(nEvents: Long, nClicks: Long, nPurchases: Long,
+      clickTimes: List[Long], firstPurchase: Option[Long],
+      firstEs: Option[Long], lastEs: Option[Long])
+
+  val empty: State = State(0, 0, 0, Nil, None, None, None)
+
+  def update(st: State, eventType: String, es: Long): State = {
+    val clicks = if (eventType == "click") st.clickTimes :+ es else st.clickTimes
+    val firstP = eventType match {
+      case "purchase" => Some(st.firstPurchase.fold(es)(math.min(_, es)))
+      case _ => st.firstPurchase
+    }
+    State(st.nEvents + 1,
+      st.nClicks + (if (eventType == "click") 1 else 0),
+      st.nPurchases + (if (eventType == "purchase") 1 else 0),
+      clicks, firstP,
+      Some(st.firstEs.fold(es)(math.min(_, es))),
+      Some(st.lastEs.fold(es)(math.max(_, es))))
+  }
+
+  def finish(uid: Long, st: State)
+      : (Long, Long, Long, Long, Long, Long, Long) = {
+    val before = st.firstPurchase
+      .map(fp => st.clickTimes.count(_ < fp).toLong).getOrElse(0L)
+    (uid, st.nEvents, st.nClicks, st.nPurchases, before,
+      st.firstEs.getOrElse(0L), st.lastEs.getOrElse(0L))
+  }
+}

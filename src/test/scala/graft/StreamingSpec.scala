@@ -1,0 +1,203 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{Funnel, StreamingOps}
+
+/** SURVEY.md §5.3 — stream/batch parity and watermark semantics.
+  *
+  * Each test runs a StreamingOps transform (a) over a MemoryStream replay
+  * of fixture events and (b) over the same rows as a batch DataFrame, and
+  * asserts identical output — the incrementalization guarantee the batch
+  * twins in SparkEntry.queries rely on. Late-data tests then check the one
+  * place streaming legitimately diverges: rows behind the watermark.
+  */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def fixtureEvents(n: Int): Seq[Ev] = {
+    import graft.sources.Tables
+    Tables.events(spark, SF001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .limit(n).collect()
+      .map(r => Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4))).toSeq
+  }
+
+  /** Run a streaming transform over a one-batch MemoryStream replay and
+    * collect the complete/append result. */
+  private def runStream(rows: Seq[Ev], mode: OutputMode)(
+      f: DataFrame => DataFrame): Array[org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(rows)
+    val name = s"graft_stream_${System.nanoTime()}"
+    val q = f(mem.toDF()).writeStream.format("memory")
+      .queryName(name).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).collect()
+  }
+
+  private def sortedRows(rows: Array[org.apache.spark.sql.Row]) =
+    rows.map(_.toString).sorted.toSeq
+
+  test("tumbling window agg: stream == batch") {
+    import spark.implicits._
+    val evs = fixtureEvents(400)
+    val streamed = runStream(evs, OutputMode.Complete())(df =>
+      StreamingOps.tumblingAgg(df))
+    val batch = StreamingOps.tumblingAgg(evs.toDF()).collect()
+    assert(sortedRows(streamed) == sortedRows(batch))
+  }
+
+  test("session window agg: stream == batch") {
+    import spark.implicits._
+    val evs = fixtureEvents(400)
+    val streamed = runStream(evs, OutputMode.Complete())(df =>
+      StreamingOps.sessionAgg(df))
+    val batch = StreamingOps.sessionAgg(evs.toDF()).collect()
+    assert(sortedRows(streamed) == sortedRows(batch))
+  }
+
+  test("stream-static join: stream == batch") {
+    import spark.implicits._
+    val evs = fixtureEvents(300)
+    val cust = graft.sources.Tables.customer(spark, SF001)
+    val streamed = runStream(evs, OutputMode.Append())(df =>
+      StreamingOps.enrichWithCustomer(df, cust))
+    val batch = StreamingOps.enrichWithCustomer(evs.toDF(), cust).collect()
+    assert(streamed.nonEmpty)
+    assert(sortedRows(streamed) == sortedRows(batch))
+  }
+
+  test("stream-stream interval join: stream == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // fixture events are sparse (~1 pair within 10 min at sf0.001), so the
+    // parity check runs with a 1-day band — same operator, denser output
+    val evs = fixtureEvents(600)
+    val clicksB = evs.filter(_.event_type == "click")
+    val viewsB = evs.filter(_.event_type == "view")
+    val band = 24 * 60
+
+    val memC = MemoryStream[Ev]; memC.addData(clicksB)
+    val memV = MemoryStream[Ev]; memV.addData(viewsB)
+    val joined = StreamingOps.clickViewPairs(
+      memC.toDF().withWatermark("ts", "30 minutes"),
+      memV.toDF().withWatermark("ts", "30 minutes"), band)
+    val name = s"graft_ssj_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(name).collect()
+
+    val batch = StreamingOps.clickViewPairs(clicksB.toDF(), viewsB.toDF(),
+      band).collect()
+    assert(batch.nonEmpty)
+    assert(sortedRows(streamed) == sortedRows(batch))
+  }
+
+  test("watermark drops late rows past the boundary") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, minute: Int): Ev =
+      Ev(id, Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), 1L,
+        "click", 1.0)
+    val mem = MemoryStream[Ev]
+    val agg = (df: DataFrame) => df.withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("ws_us"), col("n"))
+    val name = s"graft_wm_${System.nanoTime()}"
+    val q = agg(mem.toDF()).writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(ev(1, 1), ev(2, 5)) // window [10:00,10:10)
+      q.processAllAvailable()
+      mem.addData(ev(3, 30)) // advances watermark to 10:25, closes the window
+      q.processAllAvailable()
+      mem.addData(ev(4, 2)) // LATE: behind watermark — must be dropped
+      q.processAllAvailable()
+      mem.addData(ev(5, 59)) // advance watermark past the 10:30 window too
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val w1000 = Timestamp.valueOf("2024-01-01 10:00:00").getTime * 1000L
+    assert(out(w1000) == 2L, "late row must not be counted")
+  }
+
+  test("dropDuplicatesWithinWatermark removes injected dups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = fixtureEvents(100)
+    val withDups = evs ++ evs.take(30) // re-deliver 30 events
+    val mem = MemoryStream[Ev]
+    mem.addData(withDups)
+    val name = s"graft_dd_${System.nanoTime()}"
+    val q = mem.toDF().withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(name).collect()
+    assert(streamed.length == evs.length)
+    assert(streamed.map(_.getAs[Long]("event_id")).distinct.length ==
+      evs.length)
+  }
+
+  test("stateful funnel: flatMapGroupsWithState == batch mapGroups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = fixtureEvents(500)
+
+    val mem = MemoryStream[Ev]
+    mem.addData(evs)
+    val typed = mem.toDS()
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("es"))
+      .as[(Long, String, Long)]
+    val streamed = typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Funnel.State,
+          (Long, Long, Long, Long, Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state: GroupState[Funnel.State]) =>
+          val st = it.foldLeft(state.getOption.getOrElse(Funnel.empty))(
+            (acc, e) => Funnel.update(acc, e._2, e._3))
+          state.update(st)
+          Iterator.single(Funnel.finish(uid, st))
+      }
+    val name = s"graft_fn_${System.nanoTime()}"
+    val q = streamed.toDF("user_id", "n_events", "n_clicks", "n_purchases",
+        "clicks_before_first_purchase", "first_es", "last_es")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update()).start()
+    try q.processAllAvailable() finally q.stop()
+    // Update mode re-emits per batch; keep the last emission per user.
+    val streamedFinal = spark.table(name).collect()
+      .groupBy(_.getAs[Long]("user_id")).map(_._2.last).toSeq
+
+    val batch = evs.toDS()
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("es"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroups((uid, it) => Funnel.finish(uid,
+        it.foldLeft(Funnel.empty)((st, e) => Funnel.update(st, e._2, e._3))))
+      .toDF("user_id", "n_events", "n_clicks", "n_purchases",
+        "clicks_before_first_purchase", "first_es", "last_es")
+      .collect()
+    assert(sortedRows(streamedFinal.toArray) == sortedRows(batch))
+  }
+}
