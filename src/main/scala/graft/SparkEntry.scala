@@ -19,7 +19,9 @@ object SparkEntry {
       Windows.specs ++
       SortLimit.specs ++
       Functions.specs ++
-      graft.streaming.StreamingOps.specs
+      graft.streaming.StreamingOps.specs ++
+      LlmText.specs ++
+      LlmVector.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,316 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Spec
+import graft.sources.Tables
+
+/** SURVEY.md §2.10 — text side of the LLM-data-pipeline mandate:
+  * exact + n-gram dedup, text stats, language ID, quality scoring, token
+  * counting, fingerprinting, tf-idf.
+  *
+  * Everything here is shuffle-shaped for 100 TB: dedup is a groupBy on the
+  * normalized text (at real scale: on xxhash64 of it, same plan shape);
+  * n-gram similarity is an exploded equi-join on the shingle (inverted
+  * index), never a crossJoin; stats/tf-idf are two-phase hash aggregates.
+  * All arithmetic in oracle-checked outputs is integer or
+  * identical-op-order double (no libm transcendentals except where
+  * explicitly verified).
+  */
+object LlmText {
+  def specs: Seq[Spec] = Seq(dedupExact, dedupNgram, textStats, langId,
+    quality, tokenCount, fingerprint, tfidf)
+
+  private def docsWords(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"),
+        split(col("text"), " ").as("words"))
+
+  /** Exact dedup by normalized text, keeping the smallest doc_id as the
+    * canonical representative. The fixture has duplicates only at sf0.1
+    * (FIXTURES.md) — at sf0.01 this must be (and is) an identity-cardinality
+    * pass, which is itself a correctness property. */
+  private val dedupExact = Spec(
+    "llm_dedup_exact",
+    """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies,
+      |  MIN(n_chars) AS n_chars
+      |FROM documents GROUP BY lower(trim(text))
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(lower(trim(col("text"))).as("norm"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"),
+        min(col("n_chars")).as("n_chars"))
+      .select(col("doc_id"), col("n_copies"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Near-dup candidates by 3-word-shingle Jaccard ≥ 0.5, computed via an
+    * inverted shingle index (explode + equi-join + count), the
+    * set-similarity-join shape that scales: work is proportional to
+    * co-occurring shingles, not to |docs|². */
+  private val dedupNgram = Spec(
+    "llm_dedup_ngram",
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(string_split(text,' ')) - 2),
+      |    i -> concat_ws(' ', string_split(text,' ')[i],
+      |                   string_split(text,' ')[i+1],
+      |                   string_split(text,' ')[i+2])))) AS shingle
+      |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+      |  CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val sh = docsWords(s, d)
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          """transform(sequence(0, size(words) - 3),
+            |  i -> concat_ws(' ', words[i], words[i+1], words[i+2]))"""
+            .stripMargin))).as("shingle"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.alias("a")
+      .join(sh.alias("b"),
+        col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val jac = (col("n_inter").cast("double")
+      / (col("n_a") + col("n_b") - col("n_inter")))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+        "doc_b")
+      .withColumn("jaccard", jac)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"),
+        col("n_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Corpus stats + top-5 terms per language (tf ranking with full integer
+    * tiebreak). */
+  private val textStats = Spec(
+    "llm_text_stats",
+    """WITH w AS (
+      |  SELECT lang, doc_id, unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |langstats AS (
+      |  SELECT lang, COUNT(DISTINCT doc_id) AS n_docs,
+      |         COUNT(*) AS total_words
+      |  FROM w GROUP BY lang),
+      |tf AS (SELECT lang, word, COUNT(*) AS cnt FROM w GROUP BY lang, word),
+      |ranked AS (
+      |  SELECT lang, word, cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, word) AS rk
+      |  FROM tf)
+      |SELECT r.lang, r.word, r.cnt, r.rk, ls.n_docs, ls.total_words
+      |FROM ranked r JOIN langstats ls ON r.lang = ls.lang
+      |WHERE r.rk <= 5
+      |ORDER BY r.lang, r.rk""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = docsWords(s, d)
+      .select(col("lang"), col("doc_id"), explode(col("words")).as("word"))
+    val langStats = w.groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("total_words"))
+    val tf = w.groupBy(col("lang"), col("word")).agg(count(lit(1)).as("cnt"))
+    val win = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("word"))
+    tf.withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= 5)
+      .join(langStats, "lang")
+      .select(col("lang"), col("word"), col("cnt"), col("rk"),
+        col("n_docs"), col("total_words"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  /** Stopword-lexicon language ID (n-gram-style heuristic). The fixture
+    * vocabulary is language-independent DB jargon, so hit counts are
+    * usually 0 and the prediction falls back deterministically — the
+    * operator's value is the (portable, exactly-checkable) scoring
+    * machinery, not fixture accuracy. */
+  private val langId = {
+    val lex = Seq(
+      "en" -> Seq("the", "and", "of", "to", "a"),
+      "de" -> Seq("der", "die", "das", "und", "ist"),
+      "es" -> Seq("el", "la", "de", "y", "que"),
+      "fr" -> Seq("le", "la", "et", "les", "des"),
+      "zh" -> Seq("de_zh", "shi_zh", "le_zh"))
+    def duckList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ",", "]")
+    val hitCols = lex.map { case (l, ws) =>
+      s"len(list_filter(${duckList(ws)}, x -> list_contains(string_split(text,' '), x))) AS hits_$l"
+    }.mkString(",\n      |  ")
+    Spec(
+      "llm_lang_id",
+      s"""WITH h AS (
+         |  SELECT doc_id, lang,
+         |  $hitCols
+         |  FROM documents)
+         |SELECT doc_id, lang, hits_en, hits_de, hits_es, hits_fr, hits_zh,
+         |  CASE
+         |    WHEN hits_de > hits_en AND hits_de >= hits_es AND hits_de >= hits_fr AND hits_de >= hits_zh THEN 'de'
+         |    WHEN hits_es > hits_en AND hits_es > hits_de AND hits_es >= hits_fr AND hits_es >= hits_zh THEN 'es'
+         |    WHEN hits_fr > hits_en AND hits_fr > hits_de AND hits_fr > hits_es AND hits_fr >= hits_zh THEN 'fr'
+         |    WHEN hits_zh > hits_en AND hits_zh > hits_de AND hits_zh > hits_es AND hits_zh > hits_fr THEN 'zh'
+         |    ELSE 'en' END AS predicted
+         |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val base = docsWords(s, d)
+      val withHits = lex.foldLeft(base) { case (df, (l, ws)) =>
+        df.withColumn(s"hits_$l",
+          size(filter(array(ws.map(lit): _*),
+            w => array_contains(col("words"), w))))
+      }
+      withHits
+        .withColumn("predicted",
+          when(col("hits_de") > col("hits_en")
+            && col("hits_de") >= col("hits_es")
+            && col("hits_de") >= col("hits_fr")
+            && col("hits_de") >= col("hits_zh"), "de")
+          .when(col("hits_es") > col("hits_en")
+            && col("hits_es") > col("hits_de")
+            && col("hits_es") >= col("hits_fr")
+            && col("hits_es") >= col("hits_zh"), "es")
+          .when(col("hits_fr") > col("hits_en")
+            && col("hits_fr") > col("hits_de")
+            && col("hits_fr") > col("hits_es")
+            && col("hits_fr") >= col("hits_zh"), "fr")
+          .when(col("hits_zh") > col("hits_en")
+            && col("hits_zh") > col("hits_de")
+            && col("hits_zh") > col("hits_es")
+            && col("hits_zh") > col("hits_fr"), "zh")
+          .otherwise("en"))
+        .select(col("doc_id"), col("lang"), col("hits_en"), col("hits_de"),
+          col("hits_es"), col("hits_fr"), col("hits_zh"), col("predicted"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** Heuristic quality score: length, stopword ratio, mean word length —
+    * a fixed-op-order double composite (identical IEEE sequence in both
+    * engines). */
+  private val quality = Spec(
+    "llm_quality_score",
+    """WITH b AS (
+      |  SELECT doc_id, n_chars,
+      |    len(string_split(text, ' ')) AS n_words,
+      |    len(list_filter(string_split(text, ' '),
+      |        x -> list_contains(['key','row','table','value','scan'], x)))
+      |      AS n_stop
+      |  FROM documents)
+      |SELECT doc_id, n_words, n_stop,
+      |  CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words AS avg_word_len,
+      |  CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+      |  0.5 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+      |    + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_words)
+      |    + 0.2 * least((CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words) / 10.0, 1.0)
+      |    AS quality
+      |FROM b ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val stop = array(Seq("key", "row", "table", "value", "scan").map(lit): _*)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).as("n_words"),
+        size(filter(split(col("text"), " "),
+          x => array_contains(stop, x))).as("n_stop"))
+      .select(col("doc_id"), col("n_words"), col("n_stop"),
+        ((col("n_chars") - (col("n_words") - 1)).cast("double")
+          / col("n_words")).as("avg_word_len"),
+        (col("n_stop").cast("double") / col("n_words")).as("stop_ratio"),
+        (lit(0.5) * least(col("n_words").cast("double") / 100.0, lit(1.0))
+          + lit(0.3) * (lit(1.0) - col("n_stop").cast("double") / col("n_words"))
+          + lit(0.2) * least(((col("n_chars") - (col("n_words") - 1))
+              .cast("double") / col("n_words")) / 10.0, lit(1.0)))
+          .as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting: whitespace tokens vs a BPE-ish regex tokenizer
+    * (letter runs / digit runs / single other chars). */
+  private val tokenCount = Spec(
+    "llm_token_count",
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_re_tokens,
+      |  length(text) AS n_chars_check
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .as("n_re_tokens"),
+        length(col("text")).as("n_chars_check"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Order-sensitive document fingerprint: position-weighted sum of a
+    * portable word hash h(w) = (len(w)*31 + first_char)*131 + last_char.
+    * Pure integer arithmetic → identical in any engine; at 100 TB this is
+    * a single projection + per-row fold, no shuffle at all. */
+  private val fingerprint = Spec(
+    "llm_fingerprint",
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_words,
+      |  list_reduce(list_transform(generate_series(1, len(string_split(text, ' '))),
+      |    i -> i * CAST((length(string_split(text, ' ')[i]) * 31
+      |           + ascii(substring(string_split(text, ' ')[i], 1, 1))) * 131
+      |           + ascii(substring(string_split(text, ' ')[i],
+      |                   length(string_split(text, ' ')[i]), 1)) AS BIGINT)),
+      |    (x, y) -> x + y) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    docsWords(s, d)
+      .select(col("doc_id"), posexplode(col("words")).as(Seq("pos0", "w")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+        ((length(col("w")) * 31
+          + ascii(substring(col("w"), 1, 1))) * 131
+          + ascii(substring(col("w"), -1, 1))).cast("long").as("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("pos") * col("h")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** tf-idf: term frequency + document frequency as exact integers; the
+    * ranking (tf desc, df asc, term) is integer-deterministic. The idf
+    * itself (a libm ln) is deliberately NOT emitted — SURVEY.md §5.2's
+    * cross-engine float rule. Top-5 terms per doc, bounded to doc_id<100
+    * so bench output stays small. */
+  private val tfidf = Spec(
+    "llm_tfidf",
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+      |ranked AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |                       ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rk
+      |  FROM tf JOIN df ON tf.term = df.term)
+      |SELECT doc_id, term, tf, df, rk FROM ranked
+      |WHERE rk <= 5 AND doc_id < 100
+      |ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = docsWords(s, d)
+      .select(col("doc_id"), explode(col("words")).as("term"))
+    val tf = w.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = w.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val win = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term"))
+    tf.join(df, "term")
+      .withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= 5 && col("doc_id") < 100)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rk"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+}

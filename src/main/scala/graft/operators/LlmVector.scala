@@ -1,0 +1,340 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Spec
+import graft.sources.Tables
+
+/** SURVEY.md §2.10 — vector-similarity and multimodal side of the LLM
+  * pipeline: brute-force cosine top-k (the correctness baseline), LSH
+  * bucketed ANN (the 100 TB path), embedding near-dup, MinHash+LSH and
+  * SimHash near-dup, and the multimodal binary-column pipeline.
+  *
+  * Cross-engine float rule: cosine is computed as an explicit sequential
+  * left-fold in DOUBLE (cast each float first) — Spark's `aggregate` HOF
+  * and DuckDB's `list_reduce` then execute the identical IEEE op sequence,
+  * so scores are bit-identical and even raw doubles hash-match.
+  */
+object LlmVector {
+  def specs: Seq[Spec] = Seq(cosineTopk, dedupEmbed, annLsh, dedupMinhash,
+    dedupSimhash, multimodalStruct, multimodalDecode)
+
+  /** Sequential-fold cosine between two float-array columns, in double. */
+  def cosineCol(a: String, b: String): Column = {
+    def fold(e: Column) = aggregate(e, lit(0.0), (acc, x) => acc + x)
+    val dot = fold(zip_with(col(a), col(b),
+      (x, y) => x.cast("double") * y.cast("double")))
+    val na = fold(transform(col(a),
+      x => x.cast("double") * x.cast("double")))
+    val nb = fold(transform(col(b),
+      x => x.cast("double") * x.cast("double")))
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** DuckDB mirror of [[cosineCol]] (same fold order ⇒ same bits). */
+  def cosineSql(a: String, b: String): String = {
+    def fold(e: String) = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $e), (x, y) -> x + y)"
+    val dot = fold(s"list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))")
+    val na = fold(s"list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))")
+    val nb = fold(s"list_transform(generate_series(1, len($b)), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))")
+    s"($dot / (sqrt($na) * sqrt($nb)))"
+  }
+
+  /** Brute-force cosine top-5 per probe (probe set = vec_id < 10) — the
+    * exact baseline every ANN variant is measured against. The crossJoin is
+    * probe-bounded (10 × corpus), so at 100 TB it is a broadcast of the
+    * probes over a single corpus scan — linear, not quadratic. */
+  private val cosineTopk = Spec(
+    "llm_cosine_topk",
+    s"""WITH probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+       |  WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT probe_id, vec_id AS neighbor_id,
+       |    ${cosineSql("pe", "embedding")} AS score
+       |  FROM probes CROSS JOIN embeddings
+       |  WHERE vec_id <> probe_id),
+       |ranked AS (
+       |  SELECT probe_id, neighbor_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                       ORDER BY score DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |SELECT probe_id, rk, neighbor_id, score FROM ranked WHERE rk <= 5
+       |ORDER BY probe_id, rk""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val win = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    broadcast(probes).crossJoin(
+        emb.select(col("vec_id").as("neighbor_id"), col("embedding")))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("score", cosineCol("pe", "embedding"))
+      .withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= 5)
+      .select(col("probe_id"), col("rk"), col("neighbor_id"), col("score"))
+      .orderBy(col("probe_id"), col("rk"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (score ≥ 0.99). Brute force is
+    * correct at fixture scale; the ANN/LSH bucketing below is the plan that
+    * replaces the crossJoin at 100 TB. */
+  private val dedupEmbed = Spec(
+    "llm_dedup_embed",
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${cosineSql("a.embedding", "b.embedding")} AS score
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.99
+       |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+    val a = Tables.embeddings(s, d)
+      .select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = Tables.embeddings(s, d)
+      .select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("score", cosineCol("ea", "eb"))
+      .filter(col("score") >= 0.99)
+      .select(col("vec_a"), col("vec_b"), col("score"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Deterministic random-hyperplane signs for LSH: ±1 per (plane, dim). */
+  def hyperplaneSign(plane: Int, dim: Int): Int =
+    if (((plane * 73856093 + dim * 19349663 + 7919) >>> 3) % 2 == 0) 1 else -1
+
+  private val nPlanes = 8
+
+  /** 16-bit-ish random-hyperplane bucket of an embedding (UDF: this op is
+    * declared non-SQL; ScalaTest checks recall vs the brute-force baseline). */
+  private def bucketUdf = udf { (emb: Seq[Float]) =>
+    var sig = 0
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0.0
+      var i = 0
+      while (i < emb.length) { dot += hyperplaneSign(p, i) * emb(i); i += 1 }
+      if (dot > 0) sig |= (1 << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** Multi-probe bucket set: the probe's own bucket plus every bucket at
+    * hamming distance ≤ 2 in sign-bit space (1 + 8 + 28 = 37 of 256) — the
+    * standard trick to recover recall without rescanning the corpus. */
+  private val probeBuckets: Seq[Column => Column] = {
+    val flips = Seq(0) ++
+      (0 until nPlanes).map(j => 1 << j) ++
+      (for (i <- 0 until nPlanes; j <- i + 1 until nPlanes)
+        yield (1 << i) | (1 << j))
+    flips.map(f => (b: Column) => b.bitwiseXOR(lit(f)))
+  }
+
+  /** ANN via random-hyperplane LSH: bucket every vector once (linear scan),
+    * then search probes only in nearby buckets — the shuffle is an
+    * equi-join on the bucket id instead of a crossJoin, and candidate count
+    * per probe is corpus_size × 37/256 in expectation. Recall < 1 by
+    * construction; LlmSpec measures it against llm_cosine_topk. */
+  private val annLsh = Spec.noOracle("llm_ann_lsh") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+      .withColumn("bucket", bucketUdf(col("embedding")))
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        explode(array(probeBuckets.map(f => f(col("bucket"))): _*))
+          .as("bucket"))
+    val win = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    probes.join(
+        emb.select(col("vec_id").as("neighbor_id"), col("embedding"),
+          col("bucket")),
+        Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("score", cosineCol("pe", "embedding"))
+      .withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= 5)
+      .select(col("probe_id"), col("rk"), col("neighbor_id"), col("score"))
+      .orderBy(col("probe_id"), col("rk"))
+  }
+
+  /** MinHash signature params: k hash functions h_i(x) = (a_i·x + b_i) mod P
+    * over xxhash64'd shingles. */
+  private val P = 2038074743L
+  private val K = 32
+  private val bands = 8 // × 4 rows/band
+
+  /** MinHash + LSH banding near-dup detection over 3-word shingles:
+    * signatures via k permutation-hash mins (one groupBy), candidates via
+    * band-bucket equi-join (the LSH trick: only docs sharing a band hash
+    * ever meet), then exact shingle-set Jaccard ≥ 0.7 verification.
+    * Non-SQL (xxhash64-based); LlmSpec covers signature/banding properties
+    * and end-to-end detection of injected near-dups. */
+  private val dedupMinhash = Spec.noOracle("llm_dedup_near") { (s, d) =>
+    minhashPairs(
+      Tables.documents(s, d).select(col("doc_id"), col("text")), 0.7)
+  }
+
+  /** Reusable MinHash pipeline so tests can run it on synthetic corpora. */
+  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          """transform(sequence(0, size(words) - 3),
+            |  i -> concat_ws(' ', words[i], words[i+1], words[i+2]))"""
+            .stripMargin))).as("shingle"))
+      .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(P)).as("x"))
+    val sigCols = (0 until K).map { i =>
+      val a = 2L * i + 1
+      val b = (i.toLong * 12582917L + 104729L) % P
+      min(pmod(col("x") * a + b, lit(P))).as(s"s$i")
+    }
+    val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bandHashes = (0 until bands).map { bi =>
+      xxhash64((bi * 4 until (bi + 1) * 4).map(i => col(s"s$i")): _*)
+    }
+    val banded = sig.select(col("doc_id"),
+        posexplode(array(bandHashes: _*)).as(Seq("band_idx", "band_hash")))
+    val cands = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band_idx") === col("b.band_idx")
+          && col("a.band_hash") === col("b.band_hash")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("x")).as("set"))
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("set").as("set_a")),
+        "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("set").as("set_b")),
+        "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("double")
+          / size(array_union(col("set_a"), col("set_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 64-bit SimHash of a document (tf-weighted word-hash bit votes). */
+  def simhash64(words: Seq[String]): Long = {
+    val votes = new Array[Int](64)
+    words.foreach { w =>
+      // xxhash-free portable mix (FNV-1a over chars, then avalanche)
+      var h = 0xcbf29ce484222325L
+      w.foreach { c => h ^= c.toLong; h *= 0x100000001b3L }
+      h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+    }
+    (0 until 64).foldLeft(0L)((acc, j) =>
+      if (votes(j) > 0) acc | (1L << j) else acc)
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** SimHash near-dup: one 64-bit signature per doc, candidates via
+    * 16-bit-chunk LSH (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), then
+    * hamming ≤ 3 verification. Non-SQL; LlmSpec covers properties. */
+  private val dedupSimhash = Spec.noOracle("llm_dedup_simhash") { (s, d) =>
+    simhashPairs(Tables.documents(s, d).select(col("doc_id"), col("text")), 3)
+  }
+
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sh = udf((t: String) => simhash64(t.split(" ").toSeq))
+    val ham = udf((a: Long, b: Long) => hamming64(a, b))
+    val sigs = docs.select(col("doc_id"), sh(col("text")).as("sig"))
+    val chunked = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("sig"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("chunk_idx", "chunk")))
+    chunked.alias("a")
+      .join(chunked.alias("b"),
+        col("a.chunk_idx") === col("b.chunk_idx")
+          && col("a.chunk") === col("b.chunk")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", ham(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Multimodal record assembly: documents ⟕ embeddings into one struct
+    * column, then filter/project THROUGH the nested fields (the schema
+    * shape a mixed text+vector+binary corpus table has; ArrayType survives
+    * the shuffle). Left join: at sf0.1 only 2 000 of 5 000 docs have
+    * vectors (FIXTURES.md). */
+  private val multimodalStruct = Spec(
+    "llm_multimodal_struct",
+    """SELECT doc_id, lang, label, has_vec, dim, n_chars
+      |FROM (
+      |  SELECT d.doc_id, d.lang, e.label,
+      |    e.vec_id IS NOT NULL AS has_vec,
+      |    COALESCE(len(e.embedding), 0) AS dim,
+      |    d.n_chars
+      |  FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id)
+      |WHERE lang IN ('en', 'de') OR has_vec
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val joined = Tables.documents(s, d)
+      .join(Tables.embeddings(s, d),
+        col("doc_id") === col("vec_id"), "left")
+      .select(col("doc_id"),
+        struct(col("text"), col("lang"), col("n_chars"), col("embedding"),
+          col("label"), col("vec_id")).as("m"))
+    joined
+      .select(col("doc_id"),
+        col("m.lang").as("lang"), col("m.label").as("label"),
+        col("m.vec_id").isNotNull.as("has_vec"),
+        coalesce(size(col("m.embedding")), lit(0)).as("dim"),
+        col("m.n_chars").as("n_chars"))
+      .filter(col("lang").isin("en", "de") || col("has_vec"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Multimodal binary pipeline: text → binary payload column → typed
+    * mapPartitions "decode" producing features. The decode itself is a
+    * DETERMINISTIC STUB (no image/audio codecs in this environment); the
+    * Spark-side plumbing — binary column through the plan, per-partition
+    * batch iteration, typed output schema — is real and is what carries
+    * over to a true decoder at 100 TB. Oracle mirrors the stub arithmetic
+    * over the UTF-8 bytes (position-weighted byte sum). */
+  private val multimodalDecode = Spec(
+    "llm_multimodal_decode",
+    """SELECT doc_id,
+      |  length(text) AS n_bytes,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(generate_series(1, length(text)),
+      |      i -> CAST(i AS BIGINT) * ascii(text[i]))),
+      |    (x, y) -> x + y) AS checksum,
+      |  (list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(generate_series(1, length(text)),
+      |      i -> CAST(i AS BIGINT) * ascii(text[i]))),
+      |    (x, y) -> x + y) % 640) + 1 AS width,
+      |  (length(text) % 480) + 1 AS height
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val payloads = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    payloads.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        var checksum = 0L
+        var i = 0
+        while (i < bytes.length) {
+          checksum += (i + 1).toLong * (bytes(i) & 0xff)
+          i += 1
+        }
+        (id, bytes.length.toLong, checksum,
+          (checksum % 640) + 1, (bytes.length % 480 + 1).toLong)
+      }
+    }.toDF("doc_id", "n_bytes", "checksum", "width", "height")
+      .orderBy(col("doc_id"))
+  }
+}

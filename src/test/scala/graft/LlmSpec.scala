@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.LlmVector
+
+/** SURVEY.md §5.3 — properties for the non-SQL-checkable LLM ops (MinHash,
+  * SimHash, ANN-LSH) plus sanity on the checkable ones. */
+class LlmSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val baseText =
+    "scan the table then hash the key and probe the row value fast " +
+      "merge the part with agg then sort the slow value again now"
+
+  test("minhash detects injected near-duplicates and skips distinct docs") {
+    val nearDup = baseText.replace("slow", "quick") // 1-word edit
+    val distinct =
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val df = docsDf(Seq(1L -> baseText, 2L -> nearDup, 3L -> distinct,
+      4L -> baseText)) // 4 = exact dup of 1
+    val pairs = LlmVector.minhashPairs(df, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 4L)), "exact dup must be found")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)),
+      "near dup should be found at jaccard>=0.5")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "distinct doc must not pair")
+  }
+
+  test("minhash is deterministic across runs") {
+    val df = docsDf(Seq(1L -> baseText, 2L -> baseText.replace("key", "lock")))
+    val a = LlmVector.minhashPairs(df, 0.3).collect().map(_.toString).toSeq
+    val b = LlmVector.minhashPairs(df, 0.3).collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
+  test("simhash: identical docs have hamming 0; near-dups small; far docs large") {
+    val w1 = baseText.split(" ").toSeq
+    assert(LlmVector.simhash64(w1) == LlmVector.simhash64(w1))
+    val near = baseText.replace("slow", "quick").split(" ").toSeq
+    val far = "alpha beta gamma delta epsilon zeta".split(" ").toSeq
+    val hNear = LlmVector.hamming64(
+      LlmVector.simhash64(w1), LlmVector.simhash64(near))
+    val hFar = LlmVector.hamming64(
+      LlmVector.simhash64(w1), LlmVector.simhash64(far))
+    assert(hNear < hFar, s"near=$hNear should be < far=$hFar")
+    val pairs = LlmVector.simhashPairs(
+      docsDf(Seq(1L -> baseText, 2L -> baseText, 3L -> "alpha beta gamma")),
+      0).collect()
+    assert(pairs.length == 1 && pairs.head.getInt(2) == 0)
+  }
+
+  test("cosine self-similarity is exactly 1 on normalized comparison") {
+    val emb = graft.sources.Tables.embeddings(spark, SF001).limit(20)
+    val self = emb.select(col("vec_id"),
+        LlmVector.cosineCol("embedding", "embedding").as("c"))
+      .collect()
+    self.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-12))
+  }
+
+  test("ann-lsh results are a subset ranking with recall vs brute force") {
+    val brute = SparkEntry.queries("llm_cosine_topk")(spark, SF001)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = SparkEntry.queries("llm_ann_lsh")(spark, SF001)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    assert(recall >= 0.2, s"LSH recall collapsed: $recall")
+    assert(ann.nonEmpty)
+  }
+
+  test("exact dedup keeps min doc_id per text group") {
+    val df = docsDf(Seq(5L -> "a b c", 2L -> "a b c", 9L -> "x y z"))
+      .withColumn("n_chars", length(col("text")))
+    df.createOrReplaceTempView("graft_dedup_test")
+    val out = df.groupBy(lower(trim(col("text"))))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((2L, 2L), (9L, 1L)))
+  }
+}
