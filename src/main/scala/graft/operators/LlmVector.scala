@@ -20,16 +20,40 @@ object LlmVector {
   def specs: Seq[Spec] = Seq(cosineTopk, dedupEmbed, annLsh, dedupMinhash,
     dedupSimhash, multimodalStruct, multimodalDecode)
 
-  /** Sequential-fold cosine between two float-array columns, in double. */
-  def cosineCol(a: String, b: String): Column = {
-    def fold(e: Column) = aggregate(e, lit(0.0), (acc, x) => acc + x)
-    val dot = fold(zip_with(col(a), col(b),
-      (x, y) => x.cast("double") * y.cast("double")))
-    val na = fold(transform(col(a),
-      x => x.cast("double") * x.cast("double")))
-    val nb = fold(transform(col(b),
-      x => x.cast("double") * x.cast("double")))
-    dot / (sqrt(na) * sqrt(nb))
+  /** Sequential cosine between two float-array columns, in double.
+    *
+    * A tight JVM loop (UDF) rather than the `aggregate`/`zip_with` HOFs:
+    * higher-order lambdas are interpreted per element (no codegen) and made
+    * the all-pairs dedup ~60× slower at sf0.1; a fully unrolled 64-dim
+    * expression tree was worse (codegen size fallback). The loop accumulates
+    * left-to-right in double exactly like a left fold with 0.0 init, so
+    * scores remain bit-identical to the DuckDB `list_reduce` mirror —
+    * JVM doubles are IEEE 754, same as DuckDB's C++. */
+  private val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = a.length
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def cosineCol(a: String, b: String): Column = cosineUdf(col(a), col(b))
+
+  /** Same loop as [[cosineUdf]] over primitive arrays (shared by the
+    * broadcast all-pairs path). */
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** DuckDB mirror of [[cosineCol]] (same fold order ⇒ same bits). */
@@ -87,14 +111,24 @@ object LlmVector {
        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
        |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.99
        |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
-    val a = Tables.embeddings(s, d)
-      .select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = Tables.embeddings(s, d)
-      .select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
-    a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("score", cosineCol("ea", "eb"))
-      .filter(col("score") >= 0.99)
-      .select(col("vec_a"), col("vec_b"), col("score"))
+    import s.implicits._
+    val rows = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    // Broadcast the corpus and stream partitions against it with primitive
+    // arrays — the executed form of a block-nested-loop join without 4M
+    // boxed UDF calls. Valid while one side fits an executor (it does: the
+    // "small side" here is the whole fixture corpus); at 100 TB the
+    // candidate set comes from LSH bucketing (llm_ann_lsh) instead and
+    // this exact loop runs per bucket.
+    val corpus = rows.collect().sortBy(_._1)
+    val bc = s.sparkContext.broadcast(corpus)
+    rows.flatMap { case (ida, ea) =>
+      bc.value.iterator
+        .filter(_._1 > ida)
+        .map { case (idb, eb) => (ida, idb, cosine(ea, eb)) }
+        .filter(_._3 >= 0.99)
+    }.toDF("vec_a", "vec_b", "score")
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
