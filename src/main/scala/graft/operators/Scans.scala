@@ -12,7 +12,8 @@ import graft.sources.Tables
   * partitioned dataset.
   */
 object Scans {
-  def specs: Seq[Spec] = Seq(scanParquet, scanCsv, scanJson)
+  def specs: Seq[Spec] = Seq(scanParquet, scanCsv, scanJson, sinkPartitioned,
+    sourceStreamFile)
 
   /** Full projection of the largest fixture table, deterministic order. */
   private val scanParquet = Spec(
@@ -68,5 +69,68 @@ object Scans {
       StructField("value", DoubleType),
       StructField("ts_us", LongType)))
     s.read.schema(schema).json(tmp).orderBy(col("event_id"))
+  }
+
+  /** Hive-style partitioned parquet sink + partition-pruned read-back:
+    * writes orders partitioned by o_orderstatus, reads back ONE partition.
+    * The pruned scan never touches the other partitions' files — at 100 TB
+    * this (plus date-bucketed paths) is what turns a full-table scan into a
+    * directory listing. Oracle recomputes the same slice from the source
+    * table (o_orderstatus is restored from the partition directory). */
+  private val sinkPartitioned = Spec(
+    "sink_partitioned",
+    """SELECT o_orderkey, o_custkey, o_totalprice, 'P' AS o_orderstatus
+      |FROM orders WHERE o_orderstatus = 'P'
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_part_sink"
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
+    s.read.parquet(tmp)
+      .filter(col("o_orderstatus") === "P") // partition-pruned, not scanned
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Streaming file-source ingestion (the no-Kafka-jar stand-in for the
+    * reference's topic source, SURVEY.md §0/§2.9): replays events.parquet
+    * through `readStream` + a per-type aggregate into a memory sink, then
+    * returns the result as a DataFrame. Batch/stream parity IS the oracle:
+    * the SQL recomputes the same aggregate directly over the parquet. */
+  private val sourceStreamFile = Spec(
+    "source_stream_file",
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // The file source wants a directory; expose the fixture file through a
+    // symlinked temp dir (at scale the source IS a directory of arriving
+    // files, so this is the realistic shape anyway).
+    val srcDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_stream_src_${math.abs(d.hashCode)}")
+    java.nio.file.Files.createDirectories(srcDir)
+    val link = srcDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+    val stream = s.readStream.schema(schema)
+      .parquet(srcDir.toString)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Det.dsum6(col("value")).as("sum_value"))
+    val name = s"graft_src_stream_${math.abs(d.hashCode)}"
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).orderBy(col("event_type"))
   }
 }

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits — the 100 TB mandate made executable. A query that
+  * silently loses predicate pushdown, column pruning, or a broadcast works
+  * fine at sf0.01 and dies at scale; these tests pin the plan shapes.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, SF001)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("filter_date pushes the date range into the parquet scan") {
+    val p = plan("filter_date")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+  }
+
+  test("project prunes the scan to the referenced columns only") {
+    val p = plan("project")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && read.contains("l_extendedprice"),
+      read)
+    assert(!read.contains("l_shipdate") && !read.contains("l_returnflag"),
+      s"scan reads pruned columns: $read")
+  }
+
+  test("join_broadcast plans broadcast hash joins, no shuffle of dims") {
+    val p = plan("join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("join_inner_hash is a hash join, never a cartesian product") {
+    val p = plan("join_inner_hash")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
+  }
+
+  test("agg_hash_group uses two-phase hash aggregation") {
+    val p = plan("agg_hash_group")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial"), s"no map-side partial aggregate: $p")
+  }
+
+  test("limit_topk plans TakeOrderedAndProject (no global sort)") {
+    val p = plan("limit_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("join_theta_range anchors on the equi key (hash join + residual), not BNLJ") {
+    val p = plan("join_theta_range")
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      || p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"pure nested loop for a keyed band join: $p")
+  }
+
+  test("whole-stage codegen covers the flagship aggregate") {
+    // AQE finalizes the physical plan only at execution; run the query,
+    // then check the executed plan for fused codegen stages.
+    val df = SparkEntry.queries("agg_hash_group")(spark, SF001)
+    df.collect() // executes THIS queryExecution so AQE finalizes it
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" node prefixes mark whole-stage-codegen'd stages
+    assert(p.contains("*("), p.take(800))
+  }
+}
