@@ -20,28 +20,14 @@ object LlmVector {
   def specs: Seq[Spec] = Seq(cosineTopk, dedupEmbed, annLsh, dedupMinhash,
     dedupSimhash, multimodalStruct, multimodalDecode)
 
-  /** Sequential cosine between two float-array columns, in double.
-    *
-    * A tight JVM loop (UDF) rather than the `aggregate`/`zip_with` HOFs:
-    * higher-order lambdas are interpreted per element (no codegen) and made
-    * the all-pairs dedup ~60× slower at sf0.1; a fully unrolled 64-dim
-    * expression tree was worse (codegen size fallback). The loop accumulates
-    * left-to-right in double exactly like a left fold with 0.0 init, so
-    * scores remain bit-identical to the DuckDB `list_reduce` mirror —
-    * JVM doubles are IEEE 754, same as DuckDB's C++. */
-  private val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    val n = a.length
-    while (i < n) {
-      val x = a(i).toDouble; val y = b(i).toDouble
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    dot / (math.sqrt(na) * math.sqrt(nb))
-  }
-
-  def cosineCol(a: String, b: String): Column = cosineUdf(col(a), col(b))
+  /** Sequential cosine between two float-array columns, in double, via the
+    * native codegen'd Catalyst expression
+    * [[org.apache.spark.sql.graft.CosineSimilarity]] (see its scaladoc for
+    * why neither HOFs nor a UDF survive at scale). Accumulation is a strict
+    * left fold, bit-identical to the DuckDB `list_reduce` oracle mirror
+    * below. */
+  def cosineCol(a: String, b: String): Column =
+    org.apache.spark.sql.graft.CosineSimilarity(col(a), col(b))
 
   /** Same loop as [[cosineUdf]] over primitive arrays (shared by the
     * broadcast all-pairs path). */
