@@ -37,7 +37,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
-    val n = x.numElements()
+    // min() guard: mismatched lengths truncate instead of reading out of
+    // bounds (fixture vectors are uniformly 64-dim, but the expression is
+    // a public surface)
+    val n = math.min(x.numElements(), y.numElements())
     while (i < n) {
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
@@ -57,7 +60,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-         |int $n = $a.numElements();
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $x = (double) $a.getFloat($i);

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.LlmVector
+import graft.streaming.StreamingOps
+
+/** Degenerate-input behavior: empty inputs, null join keys, single-row
+  * partitions, sub-shingle documents. These are the shapes that appear
+  * constantly in 100 TB partitions (empty file splits, null-heavy columns)
+  * and must degrade to empty/null results, never to exceptions. */
+class EdgeCasesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("aggregation over an empty slice returns zero groups, not a crash") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Double)].toDF("k", "v")
+    val out = empty.groupBy($"k")
+      .agg(sum($"v".cast("decimal(18,2)")).cast("double").as("s"))
+      .collect()
+    assert(out.isEmpty)
+  }
+
+  test("global aggregate over empty input yields one row of nulls/zero") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Double)].toDF("k", "v")
+    val row = empty.agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      .collect().head
+    assert(row.getLong(0) == 0 && row.isNullAt(1))
+  }
+
+  test("null join keys never match (inner and semi)") {
+    import spark.implicits._
+    val l = Seq((Some(1L), "a"), (None, "b")).toDF("k", "lv")
+    val r = Seq((Some(1L), "x"), (None, "y")).toDF("k", "rv")
+    assert(l.join(r, Seq("k")).count() == 1)
+    assert(l.join(r, Seq("k"), "left_semi").count() == 1)
+    // null-keyed left rows survive outer joins with null right side
+    val outer = l.join(r, Seq("k"), "left").collect()
+    assert(outer.length == 2)
+    assert(outer.exists(row => row.getString(1) == "b" && row.isNullAt(2)))
+  }
+
+  test("window functions on single-row partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    val w = Window.partitionBy($"k").orderBy($"v")
+    val out = df.select($"k", row_number().over(w).as("rn"),
+        lag($"v", 1).over(w).as("prev"))
+      .collect()
+    assert(out.forall(_.getInt(1) == 1))
+    assert(out.forall(_.isNullAt(2)))
+  }
+
+  test("minhash skips documents with fewer than 3 words") {
+    import spark.implicits._
+    val df = Seq((1L, "too short"), (2L, "also tiny")).toDF("doc_id", "text")
+    assert(LlmVector.minhashPairs(df, 0.1).count() == 0)
+  }
+
+  test("session window of a single event spans exactly the gap") {
+    import spark.implicits._
+    val one = Seq((java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 5.0))
+      .toDF("ts", "user_id", "value")
+    val out = StreamingOps.sessionAgg(one).collect().head
+    val startUs = out.getLong(1); val endUs = out.getLong(2)
+    assert(endUs - startUs == 30L * 60 * 1000000)
+    assert(out.getLong(3) == 1)
+  }
+
+  test("cosine expression truncates mismatched vector lengths instead of failing") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f)))
+      .toDF("a", "b")
+      .select(org.apache.spark.sql.graft.CosineSimilarity(col("a"), col("b"))
+        .as("c"))
+    val c = df.collect().head.getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12) // truncated to the common prefix
+  }
+
+  test("set ops on disjoint and identical inputs") {
+    import spark.implicits._
+    val a = Seq(1L, 2L).toDF("k")
+    val b = Seq(3L).toDF("k")
+    assert(a.intersect(b).count() == 0)
+    assert(a.except(a).count() == 0)
+    assert(a.union(b).count() == 3)
+  }
+}
