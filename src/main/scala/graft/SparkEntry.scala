@@ -19,6 +19,7 @@ object SparkEntry {
       Windows.specs ++
       SortLimit.specs ++
       Functions.specs ++
+      Analytics.specs ++
       graft.streaming.StreamingOps.specs ++
       LlmText.specs ++
       LlmVector.specs
