@@ -12,8 +12,8 @@ import graft.sources.Tables
   * partitioned dataset.
   */
 object Scans {
-  def specs: Seq[Spec] = Seq(scanParquet, scanCsv, scanJson, sinkPartitioned,
-    sourceStreamFile)
+  def specs: Seq[Spec] = Seq(scanParquet, scanCsv, scanJson, scanOrc,
+    sinkPartitioned, sourceStreamFile)
 
   /** Full projection of the largest fixture table, deterministic order. */
   private val scanParquet = Spec(
@@ -70,6 +70,25 @@ object Scans {
       StructField("ts_us", LongType)))
     s.read.schema(schema).json(tmp).orderBy(col("event_id"))
   }
+
+  /** ORC round-trip (columnar alternative to parquet; vectorized reader,
+    * pushdown and pruning apply the same way). Oracle recomputes the slice
+    * from the parquet source of truth. */
+  private val scanOrc = Spec(
+    "scan_orc",
+    """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+      |FROM supplier ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip"
+    Tables.supplier(s, d).write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("s_acctbal"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  // NOTE: no Avro round-trip — /opt/spark/jars ships the Avro library but
+  // not the spark-avro datasource module, so format("avro") cannot resolve
+  // in this image (verified; zero egress prevents adding it).
 
   /** Hive-style partitioned parquet sink + partition-pruned read-back:
     * writes orders partitioned by o_orderstatus, reads back ONE partition.
