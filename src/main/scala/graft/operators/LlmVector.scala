@@ -29,8 +29,8 @@ object LlmVector {
   def cosineCol(a: String, b: String): Column =
     org.apache.spark.sql.graft.CosineSimilarity(col(a), col(b))
 
-  /** Same loop as [[cosineUdf]] over primitive arrays (shared by the
-    * broadcast all-pairs path). */
+  /** Same loop as the [[cosineCol]] expression over primitive arrays
+    * (shared by the broadcast all-pairs path). */
   def cosine(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0

@@ -30,11 +30,6 @@ object StreamingOps {
   def specs: Seq[Spec] = Seq(tumbling, sliding, session, watermarkLate,
     dedup, statefulCustom, streamStream, streamStatic)
 
-  private val usPerHour = 3600L * 1000000L
-  private val usPer15m = 900L * 1000000L
-  private val usPer10m = 600L * 1000000L
-  private val usPer30m = 1800L * 1000000L
-
   /** Shared transforms (batch twin == streaming form). */
 
   def tumblingAgg(ev: DataFrame): DataFrame =
