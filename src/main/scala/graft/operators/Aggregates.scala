@@ -15,7 +15,26 @@ import graft.sources.Tables
 object Aggregates {
   def specs: Seq[Spec] = Seq(aggHashGroup, aggGlobal, aggDistinct,
     aggApproxDistinct, aggRollup, aggCube, aggGroupingSets, aggCollect,
-    aggCustomTyped)
+    aggCustomTyped, aggStringConcat)
+
+  /** Deterministic string aggregation: sorted collect_list joined with a
+    * separator (DuckDB string_agg with ORDER BY mirrors it exactly). */
+  private val aggStringConcat = Spec(
+    "agg_string_concat",
+    """SELECT o_custkey,
+      |  string_agg(o_orderstatus, ',' ORDER BY o_orderkey) AS statuses
+      |FROM orders GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("o_orderkey"),
+            col("o_orderstatus")))),
+          x => x.getField("o_orderstatus")),
+        ",").as("statuses"))
+      .orderBy(col("o_custkey"))
+  }
 
   /** TPC-H Q1 shape: the engine's flagship batch aggregate. */
   private val aggHashGroup = Spec(

@@ -18,8 +18,8 @@ import graft.sources.Tables
   * explicitly verified).
   */
 object LlmText {
-  def specs: Seq[Spec] = Seq(dedupExact, dedupNgram, textStats, langId,
-    quality, tokenCount, fingerprint, tfidf)
+  def specs: Seq[Spec] = Seq(dedupExact, dedupNgram, dedupCluster, textStats,
+    langId, quality, tokenCount, fingerprint, tfidf)
 
   private def docsWords(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -44,12 +44,10 @@ object LlmText {
       .orderBy(col("doc_id"))
   }
 
-  /** Near-dup candidates by 3-word-shingle Jaccard ≥ 0.5, computed via an
-    * inverted shingle index (explode + equi-join + count), the
-    * set-similarity-join shape that scales: work is proportional to
-    * co-occurring shingles, not to |docs|². */
-  private val dedupNgram = Spec(
-    "llm_dedup_ngram",
+  /** DuckDB CTEs computing the Jaccard ≥ 0.5 shingle pairs (result relation:
+    * `pairs(doc_a, doc_b, n_inter, n_a, n_b, jaccard)`) — shared by the
+    * pair query and the clustering oracle. */
+  private val ngramPairsSqlCte =
     """WITH sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
       |    generate_series(1, len(string_split(text,' ')) - 2),
@@ -61,20 +59,22 @@ object LlmText {
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT doc_a, doc_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
-      |  CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
-      |FROM inter
-      |JOIN sizes sa ON sa.doc_id = doc_a
-      |JOIN sizes sb ON sb.doc_id = doc_b
-      |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
-      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    // Inverted index carries xxhash64(shingle), not the string: the
-    // equi-join shuffles 8-byte keys instead of ~20-char strings (≈2×
-    // less shuffle volume at the same row count). Distinctness is taken on
-    // the string BEFORE hashing, so a (vanishingly unlikely) 64-bit
-    // collision could only overcount one shared shingle, never change set
-    // sizes.
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+      |    CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+      |  FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5)"""
+      .stripMargin
+
+  /** Spark form of the `pairs` relation above. The inverted index carries
+    * xxhash64(shingle), not the string: the equi-join shuffles 8-byte keys
+    * instead of ~20-char strings. Distinctness is taken on the string
+    * BEFORE hashing, so a (vanishingly unlikely) 64-bit collision could
+    * only overcount one shared shingle, never change set sizes. */
+  private def ngramPairs(s: SparkSession, d: String): DataFrame = {
     val sh = docsWords(s, d)
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"),
@@ -101,7 +101,79 @@ object LlmText {
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"),
         col("n_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Near-dup candidates by 3-word-shingle Jaccard ≥ 0.5, computed via an
+    * inverted shingle index (explode + equi-join + count), the
+    * set-similarity-join shape that scales: work is proportional to
+    * co-occurring shingles, not to |docs|². */
+  private val dedupNgram = Spec(
+    "llm_dedup_ngram",
+    s"""$ngramPairsSqlCte
+       |SELECT doc_a, doc_b, n_inter, n_a, n_b, jaccard FROM pairs
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    ngramPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Duplicate-cluster assignment: connected components over the near-dup
+    * pair graph, each doc labeled with the min doc_id of its component
+    * (the canonical representative a training pipeline keeps). Spark side
+    * is Pregel-style min-label propagation — one equi-join + min-aggregate
+    * per round, O(component diameter) rounds, every round a plain shuffle
+    * that scales (GraphX would give the same plan shape). The oracle walks
+    * the same edges with a recursive CTE. Output restricted to docs that
+    * appear in ≥1 pair (singletons are their own cluster trivially). */
+  private val dedupCluster = Spec(
+    "llm_dedup_cluster",
+    s"""$ngramPairsSqlCte,
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS node FROM edges),
+       |reach AS (
+       |  WITH RECURSIVE r(src, dst) AS (
+       |    SELECT a, b FROM edges
+       |    UNION
+       |    SELECT r.src, e.b FROM r JOIN edges e ON r.dst = e.a)
+       |  SELECT * FROM r)
+       |SELECT n.node AS doc_id,
+       |  LEAST(n.node, MIN(reach.dst)) AS cluster_id
+       |FROM nodes n LEFT JOIN reach ON reach.src = n.node
+       |GROUP BY n.node
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val pairs = ngramPairs(s, d).select(col("doc_a"), col("doc_b"))
+    clusterPairs(s, pairs).orderBy(col("doc_id"))
+  }
+
+  /** Min-label propagation to fixpoint over an undirected pair graph.
+    * Exposed for tests. */
+  def clusterPairs(s: SparkSession, pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .cache() // reused every round of the fixpoint loop
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("node", "a"), "a")
+        .groupBy(col("b").as("node")).agg(min(col("label")).as("nbr"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr"), col("label")))
+            .as("label"))
+        .cache()
+      changed = next.alias("n")
+        .join(labels.alias("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
   /** Corpus stats + top-5 terms per language (tf ranking with full integer

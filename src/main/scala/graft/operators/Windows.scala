@@ -20,7 +20,31 @@ import graft.sources.Tables
   */
 object Windows {
   def specs: Seq[Spec] = Seq(winRank, topkPerGroup, lagLead, runningFrame,
-    rangeFrame)
+    rangeFrame, firstLast)
+
+  /** first_value/last_value/nth_value over an explicit full-partition frame
+    * (the default frame stops at CURRENT ROW, which silently breaks
+    * last_value — a classic window-function trap, pinned here). */
+  private val firstLast = Spec(
+    "win_first_last",
+    """SELECT o_custkey, o_orderkey,
+      |  FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+      |  LAST_VALUE(o_orderkey)  OVER w AS last_ok,
+      |  NTH_VALUE(o_orderkey, 2) OVER w AS second_ok
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_ok"),
+        last(col("o_orderkey")).over(w).as("last_ok"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
 
   private val winRank = Spec(
     "win_rank",

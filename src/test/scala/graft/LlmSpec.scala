@@ -77,6 +77,17 @@ class LlmSpec extends AnyFunSuite {
     assert(ann.nonEmpty)
   }
 
+  test("cluster propagation labels a chain graph with its min node") {
+    import spark.implicits._
+    // 1-2, 2-3, 3-4 chain plus isolated pair 10-11: two components
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = graft.operators.LlmText.clusterPairs(spark, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("exact dedup keeps min doc_id per text group") {
     val df = docsDf(Seq(5L -> "a b c", 2L -> "a b c", 9L -> "x y z"))
       .withColumn("n_chars", length(col("text")))
