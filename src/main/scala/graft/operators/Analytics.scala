@@ -20,7 +20,85 @@ import graft.sources.Tables
   */
 object Analytics {
   def specs: Seq[Spec] = Seq(percentiles, pivotStatus, ntileBuckets,
-    crossJoin, conditionals, subqueries)
+    crossJoin, conditionals, subqueries, hashes, bitwise, percentRank,
+    skewSalted)
+
+  /** Cryptographic/checksum hash family (identical definitions across
+    * engines, unlike general-purpose hash functions). */
+  private val hashes = Spec(
+    "fn_hash",
+    """SELECT p_partkey,
+      |  md5(p_name)          AS h_md5,
+      |  sha256(p_name)       AS h_sha256
+      |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        md5(col("p_name")).as("h_md5"),
+        sha2(col("p_name"), 256).as("h_sha256"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Bitwise operator family on integer keys. */
+  private val bitwise = Spec(
+    "fn_bitwise",
+    """SELECT o_orderkey,
+      |  o_orderkey & 255                  AS band,
+      |  o_orderkey | 4096                 AS bor,
+      |  xor(o_orderkey, 21845)            AS bxor,
+      |  o_orderkey << 2                   AS shl,
+      |  o_orderkey >> 3                   AS shr
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("band"),
+        col("o_orderkey").bitwiseOR(lit(4096L)).as("bor"),
+        col("o_orderkey").bitwiseXOR(lit(21845L)).as("bxor"),
+        shiftleft(col("o_orderkey"), 2).as("shl"),
+        shiftright(col("o_orderkey"), 3).as("shr"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** percent_rank / cume_dist — both engines share the (rank−1)/(n−1) and
+    * rank/n definitions, and the division is one IEEE op. */
+  private val percentRank = Spec(
+    "win_percent_rank",
+    """SELECT c_custkey, c_acctbal,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist()    OVER w AS cd
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Two-phase salted aggregation — the skew-mitigation idiom made
+    * checkable: groupBy(key, salt) partial-aggregates hot keys across N
+    * reducers, then a tiny re-aggregate on the key merges the salt splits.
+    * The oracle is the PLAIN group-by — proving salting is semantically
+    * invisible (decimal sums are associative, counts add), which is the
+    * property that lets you bolt it onto any skewed 100 TB aggregation. */
+  private val skewSalted = Spec(
+    "agg_skew_salted",
+    s"""SELECT l_returnflag, COUNT(*) AS n_lines,
+       |  ${Sql.dsum("l_quantity", "sum_qty")}
+       |FROM lineitem GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val salted = Tables.lineitem(s, d)
+      .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(count(lit(1)).as("n_part"),
+        sum(Det.dec2(col("l_quantity"))).as("qty_part"))
+    salted.groupBy(col("l_returnflag"))
+      .agg(sum(col("n_part")).as("n_lines"),
+        sum(col("qty_part")).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
 
   private val percentiles = Spec(
     "agg_percentile",
