@@ -8,6 +8,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // At bench volume (17 MB) task-scheduling overhead dominates: let AQE
+      // coalesce tiny shuffle outputs down to few tasks instead of keeping
+      // one per core. Results are partitioning-independent by construction
+      // (decimal aggregation — see ARCHITECTURE.md §2), so this is purely a
+      // latency knob; on a real 100 TB run parallelismFirst stays default.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: pay one-time session/codegen/parquet-footer costs

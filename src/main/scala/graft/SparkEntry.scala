@@ -32,6 +32,10 @@ object SparkEntry {
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     specs.map(sp => sp.name -> sp.fn).toMap
 
+  /** All declared spec names, pre-Map (tests assert uniqueness — a name
+    * collision would silently drop an operator from `queries`). */
+  def specNames: Seq[String] = specs.map(_.name)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   lazy val oracleSql: Map[String, String] =

@@ -17,6 +17,13 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
   }
 
+  test("spec names are unique (Map would silently drop collisions)") {
+    val names = SparkEntry.specNames
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate spec names: $dups")
+    assert(SparkEntry.queries.size == names.size)
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name executes on sf0.001") {
       val n = fn(spark, SF001).count()
