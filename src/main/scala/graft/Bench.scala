@@ -20,10 +20,19 @@ object Bench {
     // Untimed warmup: pay one-time session/codegen/parquet-footer costs
     // outside the per-query timings.
     SparkEntry.entry(spark).count()
+    // Failures are reported as -1 s (the harness protocol's failure
+    // marker, BASELINE.md), never as a plausible-looking duration.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = try {
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+      }
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -187,22 +187,26 @@ object Functions {
       .orderBy(col("event_id"))
   }
 
-  /** The one deliberate scalar UDF (Knuth multiplicative hash, 32-bit), with
-    * the identical arithmetic cross-checked as a built-in expression column
-    * — demonstrating both the UDF surface and why built-ins are preferred
-    * (the UDF column blocks codegen/pushdown; the expr column doesn't). */
+  /** The one deliberate scalar UDF (Knuth multiplicative hash, 16-bit
+    * constant), with the identical arithmetic cross-checked as a built-in
+    * expression column — demonstrating both the UDF surface and why
+    * built-ins are preferred (the UDF column blocks codegen/pushdown; the
+    * expr column doesn't). The 16-bit constant 40503 keeps k*c below 2^63
+    * for any key < 2.27e14, so the built-in multiply cannot hit an ANSI
+    * ARITHMETIC_OVERFLOW on a realistic keyspace (the 32-bit constant
+    * 2654435761 would overflow signed 64-bit for keys > 3.4e9). */
   private val fnUdfScalar = Spec(
     "fn_udf_scalar",
     """SELECT o_orderkey,
-      |  (o_orderkey * 2654435761) % 4294967296 AS h_udf,
-      |  (o_orderkey * 2654435761) % 4294967296 AS h_expr
+      |  (o_orderkey * 40503) % 4294967296 AS h_udf,
+      |  (o_orderkey * 40503) % 4294967296 AS h_expr
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
-    val knuth = udf((k: Long) => (k * 2654435761L) & 0xffffffffL)
+    val knuth = udf((k: Long) => (k * 40503L) & 0xffffffffL)
     Tables.orders(s, d)
       .select(col("o_orderkey"),
         knuth(col("o_orderkey")).as("h_udf"),
-        pmod(col("o_orderkey") * lit(2654435761L), lit(4294967296L))
+        pmod(col("o_orderkey") * lit(40503L), lit(4294967296L))
           .as("h_expr"))
       .orderBy(col("o_orderkey"))
   }

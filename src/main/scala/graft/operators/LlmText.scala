@@ -146,6 +146,11 @@ object LlmText {
   }
 
   /** Min-label propagation to fixpoint over an undirected pair graph.
+    * Each round does (a) a neighbor-min step and (b) a pointer-jumping
+    * step (label := label of label), so convergence is O(log diameter)
+    * rounds, not O(diameter) — 30 rounds covers any graph smaller than
+    * 2^30 hops. Refusing to return on non-convergence is deliberate:
+    * a silently partial clustering corrupts downstream dedup.
     * Exposed for tests. */
   def clusterPairs(s: SparkSession, pairs: DataFrame): DataFrame = {
     val edges = pairs
@@ -156,23 +161,33 @@ object LlmText {
       .withColumn("label", col("node"))
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    val maxRounds = 30
+    while (changed > 0 && rounds < maxRounds) {
       val nbrMin = edges
         .join(labels.withColumnRenamed("node", "a"), "a")
         .groupBy(col("b").as("node")).agg(min(col("label")).as("nbr"))
-      val next = labels.join(nbrMin, Seq("node"), "left")
+      val stepped = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr"), col("label")))
             .as("label"))
-        .cache()
+      // pointer jumping: adopt the label of your label
+      val next = stepped.alias("s")
+        .join(stepped.select(col("node").as("label"),
+            col("label").as("ll")).alias("t"),
+          Seq("label"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("ll"), col("label")))
+            .as("label"))
+        .localCheckpoint(true) // truncate lineage; frees prior round
       changed = next.alias("n")
         .join(labels.alias("o"), col("n.node") === col("o.node"))
         .filter(col("n.label") =!= col("o.label")).count()
-      labels.unpersist()
       labels = next
       rounds += 1
     }
     edges.unpersist()
+    require(changed == 0,
+      s"cluster propagation did not converge in $maxRounds rounds")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -34,7 +34,8 @@ object LlmVector {
   def cosine(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
-    while (i < a.length) {
+    val n = math.min(a.length, b.length) // same truncation as the expression
+    while (i < n) {
       val x = a(i).toDouble; val y = b(i).toDouble
       dot += x * y; na += x * x; nb += y * y
       i += 1
@@ -203,7 +204,11 @@ object LlmVector {
           """transform(sequence(0, size(words) - 3),
             |  i -> concat_ws(' ', words[i], words[i+1], words[i+2]))"""
             .stripMargin))).as("shingle"))
-      .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(P)).as("x"))
+      // h: full 64-bit shingle hash (verification sets — collisions change
+      // Jaccard only at 2^-64 odds); x = h mod P feeds the permutation
+      // hashes, where a collision merely correlates two signature rows.
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .withColumn("x", pmod(col("h"), lit(P)))
     val sigCols = (0 until K).map { i =>
       val a = 2L * i + 1
       val b = (i.toLong * 12582917L + 104729L) % P
@@ -223,7 +228,7 @@ object LlmVector {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val sets = sh.groupBy(col("doc_id"))
-      .agg(collect_set(col("x")).as("set"))
+      .agg(collect_set(col("h")).as("set"))
     cands
       .join(sets.select(col("doc_id").as("doc_a"), col("set").as("set_a")),
         "doc_a")

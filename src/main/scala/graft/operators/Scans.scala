@@ -15,6 +15,15 @@ object Scans {
   def specs: Seq[Spec] = Seq(scanParquet, scanCsv, scanJson, scanOrc,
     sinkPartitioned, sourceStreamFile)
 
+  /** Scratch dir for a round-trip op, keyed by the op name AND the full
+    * (absolutized) sfDir so runs against different scale factors — or
+    * concurrent Verify/Bench JVMs — never read each other's files. */
+  private def scratch(op: String, sfDir: String): String = {
+    val abs = java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize.toString
+    val key = abs.replaceAll("[^A-Za-z0-9]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_${op}_$key"
+  }
+
   /** Full projection of the largest fixture table, deterministic order. */
   private val scanParquet = Spec(
     "scan_parquet",
@@ -36,7 +45,7 @@ object Scans {
       .filter(col("l_orderkey") % 100 === 0)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_returnflag"))
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+    val tmp = scratch("csv", d)
     slice.write.mode("overwrite").option("header", "true").csv(tmp)
     val schema = StructType(Seq(
       StructField("l_orderkey", LongType),
@@ -60,7 +69,7 @@ object Scans {
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), unix_micros(col("ts")).as("ts_us"))
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_roundtrip"
+    val tmp = scratch("json", d)
     slice.write.mode("overwrite").json(tmp)
     val schema = StructType(Seq(
       StructField("event_id", LongType),
@@ -78,7 +87,7 @@ object Scans {
     "scan_orc",
     """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
       |FROM supplier ORDER BY s_suppkey""".stripMargin) { (s, d) =>
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip"
+    val tmp = scratch("orc", d)
     Tables.supplier(s, d).write.mode("overwrite").orc(tmp)
     s.read.orc(tmp)
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
@@ -101,7 +110,7 @@ object Scans {
     """SELECT o_orderkey, o_custkey, o_totalprice, 'P' AS o_orderstatus
       |FROM orders WHERE o_orderstatus = 'P'
       |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_part_sink"
+    val tmp = scratch("part_sink", d)
     Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         col("o_orderstatus"))
@@ -132,21 +141,27 @@ object Scans {
       StructField("value", DoubleType), StructField("props", StringType)))
     // The file source wants a directory; expose the fixture file through a
     // symlinked temp dir (at scale the source IS a directory of arriving
-    // files, so this is the realistic shape anyway).
-    val srcDir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_stream_src_${math.abs(d.hashCode)}")
-    java.nio.file.Files.createDirectories(srcDir)
+    // files, so this is the realistic shape anyway). The link target is
+    // absolutized (a relative sfDir would otherwise resolve against the
+    // temp dir) and stale/broken links are replaced, not trusted.
+    import java.nio.file.{Files, LinkOption, Paths}
+    val target = Paths.get(d, "events.parquet").toAbsolutePath.normalize
+    val srcDir = Paths.get(scratch("stream_src", d))
+    Files.createDirectories(srcDir)
     val link = srcDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link,
-        java.nio.file.Paths.get(s"$d/events.parquet"))
+    if (Files.exists(link, LinkOption.NOFOLLOW_LINKS)
+        && !(Files.isSymbolicLink(link)
+          && Files.readSymbolicLink(link) == target))
+      Files.delete(link)
+    if (!Files.exists(link, LinkOption.NOFOLLOW_LINKS))
+      Files.createSymbolicLink(link, target)
     val stream = s.readStream.schema(schema)
       .parquet(srcDir.toString)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         graft.functions.Det.dsum6(col("value")).as("sum_value"))
-    val name = s"graft_src_stream_${math.abs(d.hashCode)}"
+    val name = "graft_src_stream_" +
+      target.toString.replaceAll("[^A-Za-z0-9]", "_")
     val q = stream.writeStream.format("memory").queryName(name)
       .outputMode("complete").start()
     try q.processAllAvailable() finally q.stop()

@@ -22,7 +22,12 @@ object Tables {
     * the legacy conf and truncate ns→µs with integer division — exactly the
     * truncation DuckDB applies when it reads the same column as its µs
     * TIMESTAMP, so oracle comparisons line up bit-for-bit.
-    */
+    *
+    * The conf is deliberately left set for the session rather than
+    * restored: it only changes how TIMESTAMP(NANOS) columns parse, the
+    * fixtures' only such column is events.ts (FIXTURES.md), and restoring
+    * it at query-BUILD time would race with Spark's lazy evaluation (the
+    * scan reads the conf at execution). */
   private def eventsRaw(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$d/events.parquet")

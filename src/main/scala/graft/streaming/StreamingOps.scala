@@ -236,10 +236,21 @@ object Funnel {
   val empty: State = State(0, 0, 0, Nil, None, None, None)
 
   def update(st: State, eventType: String, es: Long): State = {
-    val clicks = if (eventType == "click") st.clickTimes :+ es else st.clickTimes
     val firstP = eventType match {
       case "purchase" => Some(st.firstPurchase.fold(es)(math.min(_, es)))
       case _ => st.firstPurchase
+    }
+    // State-size bound: firstPurchase only ever decreases, so a click with
+    // es >= the CURRENT first purchase can never satisfy `es < firstP`
+    // later either — drop it. Retained click times are therefore bounded
+    // by the clicks preceding the earliest purchase seen so far (and the
+    // whole list collapses once any purchase arrives), which is what keeps
+    // per-key streaming state small on long-lived keys.
+    val clicks0 =
+      if (eventType == "click") es :: st.clickTimes else st.clickTimes
+    val clicks = firstP match {
+      case Some(fp) => clicks0.filter(_ < fp)
+      case None => clicks0
     }
     State(st.nEvents + 1,
       st.nClicks + (if (eventType == "click") 1 else 0),
