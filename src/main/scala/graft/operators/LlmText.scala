@@ -228,21 +228,25 @@ object LlmText {
       .orderBy(col("lang"), col("rk"))
   }
 
-  /** Stopword-lexicon language ID (n-gram-style heuristic). The fixture
-    * vocabulary is language-independent DB jargon, so hit counts are
-    * usually 0 and the prediction falls back deterministically — the
-    * operator's value is the (portable, exactly-checkable) scoring
-    * machinery, not fixture accuracy. */
+  /** Language ID by combined n-gram heuristic: per-language character
+    * BIGRAM occurrence counts (the classic n-gram-profile signal, counted
+    * portably as characters removed by `replace`) plus a stopword lexicon
+    * weighted 6×. The fixture vocabulary is language-independent DB
+    * jargon, so scores are driven by incidental bigrams and the prediction
+    * falls back deterministically — the operator's value is the (portable,
+    * exactly-checkable) scoring machinery, not fixture accuracy. */
   private val langId = {
     val lex = Seq(
-      "en" -> Seq("the", "and", "of", "to", "a"),
-      "de" -> Seq("der", "die", "das", "und", "ist"),
-      "es" -> Seq("el", "la", "de", "y", "que"),
-      "fr" -> Seq("le", "la", "et", "les", "des"),
-      "zh" -> Seq("de_zh", "shi_zh", "le_zh"))
+      "en" -> (Seq("the", "and", "of", "to", "a"), Seq("th", "he", "er")),
+      "de" -> (Seq("der", "die", "das", "und", "ist"), Seq("ch", "ei", "en")),
+      "es" -> (Seq("el", "la", "de", "y", "que"), Seq("os", "ue", "ar")),
+      "fr" -> (Seq("le", "la", "et", "les", "des"), Seq("ou", "ai", "re")),
+      "zh" -> (Seq("shi", "le_zh"), Seq("zh", "xi", "qi")))
     def duckList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ",", "]")
-    val hitCols = lex.map { case (l, ws) =>
-      s"len(list_filter(${duckList(ws)}, x -> list_contains(string_split(text,' '), x))) AS hits_$l"
+    val hitCols = lex.map { case (l, (ws, bgs)) =>
+      val bigramTerms = bgs.map(bg =>
+        s"(length(text) - length(replace(text, '$bg', '')))").mkString(" + ")
+      s"6 * len(list_filter(${duckList(ws)}, x -> list_contains(string_split(text,' '), x))) + $bigramTerms AS hits_$l"
     }.mkString(",\n      |  ")
     Spec(
       "llm_lang_id",
@@ -259,10 +263,13 @@ object LlmText {
          |    ELSE 'en' END AS predicted
          |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
       val base = docsWords(s, d)
-      val withHits = lex.foldLeft(base) { case (df, (l, ws)) =>
-        df.withColumn(s"hits_$l",
-          size(filter(array(ws.map(lit): _*),
-            w => array_contains(col("words"), w))))
+      val withHits = lex.foldLeft(base) { case (df, (l, (ws, bgs))) =>
+        val lexHits = size(filter(array(ws.map(lit): _*),
+          w => array_contains(col("words"), w)))
+        val bigramHits = bgs.map(bg =>
+            length(col("text")) - length(expr(s"replace(text, '$bg', '')")))
+          .reduceLeft[Column](_ + _)
+        df.withColumn(s"hits_$l", lit(6) * lexHits + bigramHits)
       }
       withHits
         .withColumn("predicted",
