@@ -21,7 +21,63 @@ import graft.sources.Tables
 object Analytics {
   def specs: Seq[Spec] = Seq(percentiles, pivotStatus, ntileBuckets,
     crossJoin, conditionals, subqueries, hashes, bitwise, percentRank,
-    skewSalted)
+    skewSalted, statsMoments, approxPercentile)
+
+  /** Variance / stddev / covariance / correlation computed FROM exact
+    * decimal moments (sum, sum of squares, co-sum) with a fixed double
+    * derivation — deterministic under any partitioning, unlike the
+    * built-in streaming stddev/corr whose merge order varies run to run.
+    * This is how second-order statistics stay reproducible at 100 TB. */
+  private val statsMoments = Spec(
+    "agg_stats_moments",
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_q,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq_q,
+      |  (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |   - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |     * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |  ) / COUNT(*) AS var_pop_q,
+      |  sqrt((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |   - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |     * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |  ) / COUNT(*)) AS stddev_pop_q,
+      |  (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+      |   - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |     * CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |  ) / COUNT(*) AS covar_pop_qd
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val q = Det.dec2(col("l_quantity"))
+    val disc = Det.dec2(col("l_discount"))
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(q).cast("double").as("s_q"),
+        sum(q * q).cast("double").as("sq_q"),
+        sum(q * disc).cast("double").as("s_qd"),
+        sum(disc).cast("double").as("s_d"))
+      .select(col("l_returnflag"), col("n"), col("s_q"), col("sq_q"),
+        ((col("sq_q") - col("s_q") * col("s_q") / col("n")) / col("n"))
+          .as("var_pop_q"),
+        sqrt((col("sq_q") - col("s_q") * col("s_q") / col("n")) / col("n"))
+          .as("stddev_pop_q"),
+        ((col("s_qd") - col("s_q") * col("s_d") / col("n")) / col("n"))
+          .as("covar_pop_qd"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** approx_percentile (t-digest-style sketch) — the O(1)-memory stand-in
+    * for exact percentiles at whole-table scale; an ESTIMATE by design
+    * (accuracy parameter 10000), no oracle: AnalyticsSpec bounds it
+    * against the exact percentile instead. */
+  private val approxPercentile = Spec.noOracle("agg_approx_percentile") {
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_quantity, 0.5, 10000)").as("ap50"),
+          expr("approx_percentile(l_quantity, 0.9, 10000)").as("ap90"))
+        .orderBy(col("l_returnflag"))
+  }
 
   /** Cryptographic/checksum hash family (identical definitions across
     * engines, unlike general-purpose hash functions). */

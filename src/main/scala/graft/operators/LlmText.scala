@@ -145,14 +145,51 @@ object LlmText {
     clusterPairs(s, pairs).orderBy(col("doc_id"))
   }
 
-  /** Min-label propagation to fixpoint over an undirected pair graph.
-    * Each round does (a) a neighbor-min step and (b) a pointer-jumping
-    * step (label := label of label), so convergence is O(log diameter)
-    * rounds, not O(diameter) — 30 rounds covers any graph smaller than
-    * 2^30 hops. Refusing to return on non-convergence is deliberate:
+  /** Connected components over an undirected pair graph, labels = the
+    * component's min doc_id. Size-adaptive strategy (the same shape as
+    * AQE's broadcast decision): the duplicate-pair edge list is tiny
+    * relative to the corpus (LSH/Jaccard candidates, not all docs), so
+    * below `driverMaxEdges` it is collected and union-found on the driver
+    * in one pass — exact and cheap. Above the threshold it falls back to
+    * distributed min-label propagation with pointer jumping (O(log
+    * diameter) rounds of joins), which scales to edge lists that don't
+    * fit anywhere. Refusing to return on non-convergence is deliberate:
     * a silently partial clustering corrupts downstream dedup.
     * Exposed for tests. */
-  def clusterPairs(s: SparkSession, pairs: DataFrame): DataFrame = {
+  def clusterPairs(s: SparkSession, pairs: DataFrame,
+      driverMaxEdges: Long = 5000000L): DataFrame = {
+    import s.implicits._
+    // persist: the pair list is the OUTPUT of the (expensive) similarity
+    // join — without it the count and the collect/loop below would
+    // recompute that join from scratch
+    val edgeRows = pairs.select(col("doc_a"), col("doc_b")).as[(Long, Long)]
+      .persist()
+    val nEdges = edgeRows.count()
+    try if (nEdges <= driverMaxEdges) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val n = parent.getOrElse(c, c); parent(c) = r; c = n
+        }
+        r
+      }
+      edgeRows.collect().foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb))
+          parent(hi) = lo }
+      }
+      parent.keys.toSeq.map(n => (n, find(n))).sortBy(_._1)
+        .toDF("doc_id", "cluster_id")
+    } else clusterPairsDistributed(s, edgeRows.toDF("doc_a", "doc_b"))
+    finally edgeRows.unpersist()
+  }
+
+  /** The above-threshold path: distributed min-label propagation. */
+  def clusterPairsDistributed(s: SparkSession, pairs: DataFrame): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
@@ -167,22 +204,23 @@ object LlmText {
         .join(labels.withColumnRenamed("node", "a"), "a")
         .groupBy(col("b").as("node")).agg(min(col("label")).as("nbr"))
       val stepped = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr"), col("label")))
             .as("label"))
-      // pointer jumping: adopt the label of your label
+      // pointer jumping: adopt the label of your label. The old label rides
+      // along so convergence is detected in the same frame — no compare
+      // join, and the count() below is the round's single materialization
+      // (localCheckpoint truncates lineage so plans don't grow per round).
       val next = stepped.alias("s")
         .join(stepped.select(col("node").as("label"),
             col("label").as("ll")).alias("t"),
           Seq("label"), "left")
-        .select(col("node"),
+        .select(col("node"), col("old"),
           least(col("label"), coalesce(col("ll"), col("label")))
             .as("label"))
-        .localCheckpoint(true) // truncate lineage; frees prior round
-      changed = next.alias("n")
-        .join(labels.alias("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = next
+        .localCheckpoint(false)
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select(col("node"), col("label"))
       rounds += 1
     }
     edges.unpersist()

@@ -112,15 +112,24 @@ class LlmSpec extends AnyFunSuite {
       s"our recall $ourRecall collapsed vs mllib $mllibRecall")
   }
 
-  test("cluster propagation labels a chain graph with its min node") {
+  test("cluster propagation labels a chain graph with its min node (both strategies)") {
     import spark.implicits._
     // 1-2, 2-3, 3-4 chain plus isolated pair 10-11: two components
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
       .toDF("doc_a", "doc_b")
-    val got = graft.operators.LlmText.clusterPairs(spark, pairs)
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L)
+    val union = graft.operators.LlmText.clusterPairs(spark, pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L))
+    assert(union == expected)
+    val dist = graft.operators.LlmText
+      .clusterPairsDistributed(spark, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == expected)
+    // forcing the distributed path via a zero threshold picks it too
+    val forced = graft.operators.LlmText.clusterPairs(spark, pairs, 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(forced == expected)
   }
 
   test("exact dedup keeps min doc_id per text group") {
