@@ -132,6 +132,18 @@ class LlmSpec extends AnyFunSuite {
     assert(forced == expected)
   }
 
+  test("driver union-find and distributed propagation agree on fixture pairs") {
+    val pairs = SparkEntry.queries("llm_dedup_ngram")(spark, SF001)
+      .select("doc_a", "doc_b")
+    val viaUnionFind = graft.operators.LlmText.clusterPairs(spark, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaPropagation = graft.operators.LlmText
+      .clusterPairsDistributed(spark, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaUnionFind == viaPropagation)
+    assert(viaUnionFind.nonEmpty)
+  }
+
   test("exact dedup keeps min doc_id per text group") {
     val df = docsDf(Seq(5L -> "a b c", 2L -> "a b c", 9L -> "x y z"))
       .withColumn("n_chars", length(col("text")))
