@@ -17,7 +17,46 @@ import graft.sources.Tables
 object Joins {
   def specs: Seq[Spec] = Seq(
     innerHash, leftOuter, rightOuter, fullOuter, leftSemi, leftAnti,
-    broadcastJoin, multiway, thetaRange, asOf)
+    broadcastJoin, multiway, thetaRange, asOf, bucketed)
+
+  /** Bucketed co-located join: both sides pre-bucketed on the join key into
+    * the same bucket count, so the sort-merge join consumes the buckets
+    * directly — NO exchange on either side (PlanSpec asserts it). At
+    * 100 TB this is how a recurring fact⋈fact join amortizes its shuffle:
+    * pay the partitioning once at write time, never again per query. The
+    * merge hint pins SMJ (broadcast would otherwise win at fixture size
+    * and hide the property being demonstrated). */
+  private val bucketed = Spec(
+    "join_bucketed",
+    s"""SELECT o.o_custkey, COUNT(*) AS n_pairs,
+       |  ${Sql.dsum("o_totalprice", "sum_price")}
+       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       |GROUP BY o.o_custkey
+       |ORDER BY o.o_custkey""".stripMargin) { (s, d) =>
+    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_" +
+      java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
+        .replaceAll("[^A-Za-z0-9]", "_")
+    def bucketize(name: String, df: org.apache.spark.sql.DataFrame,
+        key: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      df.write.mode("overwrite")
+        .bucketBy(8, key).sortBy(key)
+        .option("path", s"$loc/$name")
+        .saveAsTable(name)
+    }
+    bucketize("graft_bkt_orders",
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice")), "o_custkey")
+    bucketize("graft_bkt_customer",
+      Tables.customer(s, d).select(col("c_custkey")), "c_custkey")
+    s.table("graft_bkt_orders").hint("merge")
+      .join(s.table("graft_bkt_customer").hint("merge"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_pairs"),
+        Det.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_custkey"))
+  }
 
   private val innerHash = Spec(
     "join_inner_hash",

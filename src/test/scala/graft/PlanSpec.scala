@@ -62,6 +62,15 @@ class PlanSpec extends AnyFunSuite {
       s"pure nested loop for a keyed band join: $p")
   }
 
+  test("join_bucketed runs shuffle-free: no exchange below the join or agg") {
+    val p = plan("join_bucketed")
+    assert(p.contains("Bucketed: true"), p.take(600))
+    assert(p.contains("SortMergeJoin"), p.take(600))
+    // the ONLY exchange allowed is the final ORDER BY's range partitioning
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles: ${p.take(900)}")
+  }
+
   test("sink_partitioned read-back prunes to one partition directory") {
     val p = plan("sink_partitioned")
     val line = p.linesIterator.find(_.contains("PartitionFilters"))
