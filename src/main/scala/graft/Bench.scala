@@ -34,10 +34,31 @@ object Bench {
       }
       name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver captures only the tail of stdout (round 1's 4 KB line was
+    // truncated mid-JSON → "parsed": null). Keep the line well under that
+    // window: 3-decimal seconds, slowest-first per-query map capped by
+    // length, failures (-1) always listed, and print it LAST (after
+    // spark.stop(), whose logs go to stderr) with an explicit flush.
+    def fmt(d: Double): String = f"$d%.3f"
+    val (failed, ok) = results.toSeq.partition(_._2 < 0)
+    val ordered = failed ++ ok.sortBy(-_._2)
+    val entries = ordered.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    // BENCH_r01.json showed the driver keeps exactly the last 2000 chars of
+    // stdout, and sbt's "[success] ..." (~70 chars) trails our line. 1500
+    // chars of query map keeps the whole line ≤ ~1.65 KB: fully inside the
+    // window with margin, while recording ~60 of 87 per-query timings.
+    val budget = 1500
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    entries.foreach { e =>
+      if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+    }
+    val omitted = entries.length - kept.length
+    val qs = kept.mkString("{", ",", "}")
     spark.stop()
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${entries.length},"omitted":$omitted,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

@@ -167,18 +167,22 @@ object Aggregates {
           |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
   }
 
-  /** collect_list/collect_set with deterministic (sorted) representation. */
+  /** collect_list/collect_set with deterministic (sorted) representation.
+    * Array outputs are serialized to CSV scalars (`array_join`) because the
+    * driver's pandas comparator cannot sort/hash list cells; the collect
+    * machinery itself is unchanged. */
   private val aggCollect = Spec(
     "agg_collect",
     """SELECT o_custkey,
-      |  list_sort(list(o_orderpriority)) AS priorities,
-      |  list_sort(list(DISTINCT o_orderstatus)) AS statuses
+      |  array_to_string(list_sort(list(o_orderpriority)), ',') AS priorities,
+      |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses
       |FROM orders GROUP BY o_custkey
       |ORDER BY o_custkey""".stripMargin) { (s, d) =>
     Tables.orders(s, d)
       .groupBy(col("o_custkey"))
-      .agg(sort_array(collect_list(col("o_orderpriority"))).as("priorities"),
-        sort_array(collect_set(col("o_orderstatus"))).as("statuses"))
+      .agg(
+        array_join(sort_array(collect_list(col("o_orderpriority"))), ",").as("priorities"),
+        array_join(sort_array(collect_set(col("o_orderstatus"))), ",").as("statuses"))
       .orderBy(col("o_custkey"))
   }
 

@@ -122,16 +122,19 @@ object Functions {
   /** Array ops over tokenized document text (strings are exact across
     * engines; float-array math lives in llm_cosine_topk with its epsilon
     * convention). DuckDB's list_distinct does not preserve order — both
-    * sides sort after distinct. */
+    * sides sort after distinct. Array-typed outputs are serialized to CSV
+    * scalars (`array_join` / `array_to_string`) for the driver's pandas
+    * comparator; the array machinery (slice/distinct/transform) is intact. */
   private val fnArray = Spec(
     "fn_array",
     """SELECT doc_id,
       |  len(words)                                   AS n_words,
       |  words[1]                                     AS first_word,
-      |  list_slice(words, 1, 4)                      AS head4,
-      |  list_sort(list_distinct(words))              AS vocab,
+      |  array_to_string(list_slice(words, 1, 4), ',') AS head4,
+      |  array_to_string(list_sort(list_distinct(words)), ',') AS vocab,
       |  list_contains(words, 'key')                  AS has_key,
-      |  list_transform(list_slice(words, 1, 4), x -> upper(x)) AS head4_up
+      |  array_to_string(list_transform(list_slice(words, 1, 4), x -> upper(x)), ',')
+      |    AS head4_up
       |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
@@ -139,19 +142,21 @@ object Functions {
       .select(col("doc_id"),
         size(col("words")).as("n_words"),
         col("words").getItem(0).as("first_word"),
-        slice(col("words"), 1, 4).as("head4"),
-        sort_array(array_distinct(col("words"))).as("vocab"),
+        array_join(slice(col("words"), 1, 4), ",").as("head4"),
+        array_join(sort_array(array_distinct(col("words"))), ",").as("vocab"),
         array_contains(col("words"), "key").as("has_key"),
-        transform(slice(col("words"), 1, 4), x => upper(x)).as("head4_up"))
+        array_join(transform(slice(col("words"), 1, 4), x => upper(x)), ",")
+          .as("head4_up"))
       .orderBy(col("doc_id"))
   }
 
   /** Map built from the props JSON (single-key objects per FIXTURES.md);
-    * emitted as scalar extractions + key list so representations compare. */
+    * emitted as scalar extractions + a CSV-serialized sorted key list so the
+    * driver comparator (which cannot hash list cells) sees only scalars. */
   private val fnMap = Spec(
     "fn_map",
     """SELECT event_id,
-      |  json_keys(props)                       AS ks,
+      |  array_to_string(list_sort(json_keys(props)), ',') AS ks,
       |  CAST(props->>'k' AS BIGINT)            AS k_val,
       |  len(json_keys(props))                  AS n_keys
       |FROM events
@@ -160,7 +165,7 @@ object Functions {
       org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>"))
     Tables.events(s, d)
       .select(col("event_id"),
-        map_keys(m).as("ks"),
+        array_join(sort_array(map_keys(m)), ",").as("ks"),
         element_at(m, "k").as("k_val"),
         size(map_keys(m)).as("n_keys"))
       .orderBy(col("event_id"))

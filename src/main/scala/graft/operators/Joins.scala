@@ -33,24 +33,31 @@ object Joins {
        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
        |GROUP BY o.o_custkey
        |ORDER BY o.o_custkey""".stripMargin) { (s, d) =>
-    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_" +
-      java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
-        .replaceAll("[^A-Za-z0-9]", "_")
-    def bucketize(name: String, df: org.apache.spark.sql.DataFrame,
-        key: String): Unit = {
-      s.sql(s"DROP TABLE IF EXISTS $name")
-      df.write.mode("overwrite")
-        .bucketBy(8, key).sortBy(key)
-        .option("path", s"$loc/$name")
-        .saveAsTable(name)
+    // Table names AND paths are keyed by sfDir, and each table is written
+    // once per sfDir per JVM (pay-once-at-write-time is the point of the
+    // operator): repeat invocations — and two sfDirs in one session — reuse
+    // or create their own catalog entries without clobbering.
+    val sfKey = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
+      .replaceAll("[^A-Za-z0-9]", "_")
+    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$sfKey"
+    def bucketize(base: String, df: => org.apache.spark.sql.DataFrame,
+        key: String): String = {
+      val name = s"${base}_$sfKey"
+      if (!s.catalog.tableExists(name)) {
+        df.write.mode("overwrite")
+          .bucketBy(8, key).sortBy(key)
+          .option("path", s"$loc/$base")
+          .saveAsTable(name)
+      }
+      name
     }
-    bucketize("graft_bkt_orders",
+    val ordersT = bucketize("graft_bkt_orders",
       Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
         col("o_totalprice")), "o_custkey")
-    bucketize("graft_bkt_customer",
+    val custT = bucketize("graft_bkt_customer",
       Tables.customer(s, d).select(col("c_custkey")), "c_custkey")
-    s.table("graft_bkt_orders").hint("merge")
-      .join(s.table("graft_bkt_customer").hint("merge"),
+    s.table(ordersT).hint("merge")
+      .join(s.table(custT).hint("merge"),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_pairs"),

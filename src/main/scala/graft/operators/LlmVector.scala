@@ -88,9 +88,16 @@ object LlmVector {
       .orderBy(col("probe_id"), col("rk"))
   }
 
-  /** Embedding-cosine near-duplicate pairs (score ≥ 0.99). Brute force is
-    * correct at fixture scale; the ANN/LSH bucketing below is the plan that
-    * replaces the crossJoin at 100 TB. */
+  /** Embedding-cosine near-duplicate pairs (score ≥ 0.99). Candidates come
+    * from the same hyperplane-LSH buckets as [[annLsh]]: each vector is
+    * bucketed once, one side multi-probes every bucket within hamming ≤ 2 of
+    * its own, and the pair meets on a bucket equi-join — work ∝ co-bucketed
+    * pairs, never all-pairs, and nothing is collected to the driver. The
+    * exact sequential-fold cosine then verifies each candidate. At cosine ≥
+    * 0.99 the angle is ~8°, so P(a pair lands > 2 sign-bits apart over 8
+    * hyperplanes) ≈ 1e-3 — recall indistinguishable from exact at fixture
+    * scale (oracle stays the brute-force SQL) and the property that makes it
+    * run at 100 TB. */
   private val dedupEmbed = Spec(
     "llm_dedup_embed",
     s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -98,24 +105,20 @@ object LlmVector {
        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
        |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.99
        |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
-    import s.implicits._
-    val rows = Tables.embeddings(s, d)
+    val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-    // Broadcast the corpus and stream partitions against it with primitive
-    // arrays — the executed form of a block-nested-loop join without 4M
-    // boxed UDF calls. Valid while one side fits an executor (it does: the
-    // "small side" here is the whole fixture corpus); at 100 TB the
-    // candidate set comes from LSH bucketing (llm_ann_lsh) instead and
-    // this exact loop runs per bucket.
-    val corpus = rows.collect().sortBy(_._1)
-    val bc = s.sparkContext.broadcast(corpus)
-    rows.flatMap { case (ida, ea) =>
-      bc.value.iterator
-        .filter(_._1 > ida)
-        .map { case (idb, eb) => (ida, idb, cosine(ea, eb)) }
-        .filter(_._3 >= 0.99)
-    }.toDF("vec_a", "vec_b", "score")
+      .withColumn("bucket", bucketUdf(col("embedding")))
+    // Multi-probe expansion on one side only: the flip matching the two
+    // buckets' XOR is unique, so each qualifying pair meets exactly once.
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      explode(array(probeBuckets.map(f => f(col("bucket"))): _*)).as("bucket"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("score", cosineCol("ea", "eb"))
+      .filter(col("score") >= 0.99)
+      .select(col("vec_a"), col("vec_b"), col("score"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
@@ -271,7 +274,6 @@ object LlmVector {
 
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     val sh = udf((t: String) => simhash64(t.split(" ").toSeq))
-    val ham = udf((a: Long, b: Long) => hamming64(a, b))
     val sigs = docs.select(col("doc_id"), sh(col("text")).as("sig"))
     val chunked = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(i =>
@@ -285,7 +287,9 @@ object LlmVector {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .distinct()
-      .withColumn("hamming", ham(col("sig_a"), col("sig_b")))
+      // codegen'd built-in, not a UDF: popcount of the signature XOR
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))

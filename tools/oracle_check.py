@@ -24,7 +24,14 @@ def canon(df: pd.DataFrame) -> str:
         elif pd.api.types.is_datetime64_any_dtype(s):
             out[c] = s.dt.floor("us").astype("datetime64[us]").astype(str)
         elif s.dtype == object:
-            out[c] = s.apply(lambda v: tuple(v.tolist()) if isinstance(v, np.ndarray) else (tuple(v) if isinstance(v, list) else v))
+            # The driver's comparator crashes on list cells (pandas can't
+            # sort/hash ndarray values). Mirror that strictness: reject any
+            # array-typed output column instead of silently tolerating it.
+            if s.apply(lambda v: isinstance(v, (np.ndarray, list))).any():
+                raise TypeError(
+                    f"array-typed output column '{c}' — driver comparator "
+                    "would fail; serialize it to a scalar (array_join/to_json)")
+            out[c] = s
         else:
             out[c] = s
     out = out.sort_values(by=list(out.columns), ignore_index=True)
@@ -63,8 +70,12 @@ def main():
         if len(spark_df) != len(duck_df):
             failures.append((name, f"rowcount spark={len(spark_df)} duck={len(duck_df)}"))
             continue
-        if canon(spark_df) != canon(duck_df):
-            failures.append((name, "hash mismatch"))
+        try:
+            if canon(spark_df) != canon(duck_df):
+                failures.append((name, "hash mismatch"))
+                continue
+        except TypeError as e:
+            failures.append((name, str(e)))
             continue
         passes.append(name)
     print(f"PASS {len(passes)}: {passes}")
