@@ -35,6 +35,22 @@ object Bench {
       name -> sec
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Quantify llm_ann_lsh against the exact brute-force baseline
+    // (llm_cosine_topk): recall@5 over the probe set. Diagnostic only —
+    // computed outside the per-query timings, so it does not move the
+    // bench total; -1 marks a failed measurement.
+    def recallOf(name: String): Double = try {
+      val exact = SparkEntry.queries("llm_cosine_topk")(spark, sfDir)
+        .select("probe_id", "neighbor_id")
+      val approx = SparkEntry.queries(name)(spark, sfDir)
+        .select("probe_id", "neighbor_id")
+      val tot = exact.count()
+      if (tot == 0) -1.0
+      else approx.join(exact, Seq("probe_id", "neighbor_id")).count()
+        .toDouble / tot
+    } catch { case _: Throwable => -1.0 }
+    val annRecall = recallOf("llm_ann_lsh")
+    val ivfRecall = recallOf("llm_ann_ivf")
     // The driver captures only the tail of stdout (round 1's 4 KB line was
     // truncated mid-JSON → "parsed": null). Keep the line well under that
     // window: 3-decimal seconds, slowest-first per-query map capped by
@@ -58,7 +74,7 @@ object Bench {
     val qs = kept.mkString("{", ",", "}")
     spark.stop()
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${entries.length},"omitted":$omitted,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${entries.length},"omitted":$omitted,"ann_recall":${fmt(annRecall)},"ivf_recall":${fmt(ivfRecall)},"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

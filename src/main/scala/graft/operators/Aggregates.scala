@@ -100,13 +100,28 @@ object Aggregates {
 
   /** HLL++ distinct users per event type — an ESTIMATE by design (O(1)
     * memory instead of a per-group distinct-set shuffle; the trade that
-    * matters at 100 TB). No DuckDB oracle: its HLL differs from Spark's;
-    * AggregatesSpec asserts the ±1% rsd bound against the exact count. */
-  private val aggApproxDistinct = Spec.noOracle(
-    "agg_approx_distinct") { (s, d) =>
+    * matters at 100 TB). DuckDB's HLL differs from Spark's, so the
+    * estimate itself can't hash-match; instead the query emits the exact
+    * count plus a boolean asserting the estimate landed within ±5% of it
+    * (rsd = 0.01 ⇒ 5% is 5σ), and the oracle emits the exact count plus
+    * literal TRUE — the driver's hash compare then quantifies the HLL
+    * error bound, not just row counts. AggregatesSpec asserts the tighter
+    * ±3σ bound on the raw estimate. */
+  private val aggApproxDistinct = Spec(
+    "agg_approx_distinct",
+    """SELECT event_type,
+      |  COUNT(DISTINCT user_id) AS exact_users,
+      |  TRUE AS approx_within_5pct
+      |FROM events GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
     Tables.events(s, d)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users"))
+          <= col("exact_users") * 0.05).as("approx_within_5pct"))
       .orderBy(col("event_type"))
   }
 

@@ -66,17 +66,35 @@ object Analytics {
       .orderBy(col("l_returnflag"))
   }
 
-  /** approx_percentile (t-digest-style sketch) — the O(1)-memory stand-in
-    * for exact percentiles at whole-table scale; an ESTIMATE by design
-    * (accuracy parameter 10000), no oracle: AnalyticsSpec bounds it
-    * against the exact percentile instead. */
-  private val approxPercentile = Spec.noOracle("agg_approx_percentile") {
-    (s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(expr("approx_percentile(l_quantity, 0.5, 10000)").as("ap50"),
-          expr("approx_percentile(l_quantity, 0.9, 10000)").as("ap90"))
-        .orderBy(col("l_returnflag"))
+  /** approx_percentile (G-K sketch) — the O(1)-memory stand-in for exact
+    * percentiles at whole-table scale; an ESTIMATE by design (accuracy
+    * 10000). Spark's sketch and any DuckDB one would disagree in exact
+    * value, so the query emits the exact percentile plus booleans asserting
+    * the sketch landed within ±2 quantity units of it (rank error n/10000 ≈
+    * 60 ranks at sf0.1, far under one unit of the 1..50 integer-valued
+    * quantity; ±2 leaves headroom), and the oracle emits the exact
+    * percentile plus literal TRUE — the driver's hash compare then
+    * quantifies the sketch bound. AnalyticsSpec asserts on the raw
+    * estimate too. */
+  private val approxPercentile = Spec(
+    "agg_approx_percentile",
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+      |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |  TRUE AS ap50_within_2,
+      |  TRUE AS ap90_within_2
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("ap50"),
+        expr("approx_percentile(l_quantity, 0.9, 10000)").as("ap90"))
+      .select(col("l_returnflag"), col("p50_qty"), col("p90_qty"),
+        (abs(col("ap50") - col("p50_qty")) <= 2.0).as("ap50_within_2"),
+        (abs(col("ap90") - col("p90_qty")) <= 2.0).as("ap90_within_2"))
+      .orderBy(col("l_returnflag"))
   }
 
   /** Cryptographic/checksum hash family (identical definitions across

@@ -44,11 +44,13 @@ object LlmText {
       .orderBy(col("doc_id"))
   }
 
-  /** DuckDB CTEs computing the Jaccard ≥ 0.5 shingle pairs (result relation:
-    * `pairs(doc_a, doc_b, n_inter, n_a, n_b, jaccard)`) — shared by the
-    * pair query and the clustering oracle. */
-  private val ngramPairsSqlCte =
-    """WITH sh AS (
+  /** DuckDB CTEs computing the Jaccard ≥ `threshold` shingle pairs (result
+    * relation: `pairs(doc_a, doc_b, n_inter, n_a, n_b, jaccard)`) — shared
+    * by the pair query, the clustering oracle, and (at 0.7) the MinHash
+    * near-dup oracle in [[LlmVector]]. `threshold` is spliced verbatim, so
+    * pass a literal like "0.5". */
+  private[graft] def ngramPairsSqlCteAt(threshold: String): String =
+    s"""WITH sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
       |    generate_series(1, len(string_split(text,' ')) - 2),
       |    i -> concat_ws(' ', string_split(text,' ')[i],
@@ -66,15 +68,30 @@ object LlmText {
       |  FROM inter
       |  JOIN sizes sa ON sa.doc_id = doc_a
       |  JOIN sizes sb ON sb.doc_id = doc_b
-      |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5)"""
+      |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)
+      |    >= $threshold)"""
       .stripMargin
+
+  private val ngramPairsSqlCte = ngramPairsSqlCteAt("0.5")
 
   /** Spark form of the `pairs` relation above. The inverted index carries
     * xxhash64(shingle), not the string: the equi-join shuffles 8-byte keys
     * instead of ~20-char strings. Distinctness is taken on the string
     * BEFORE hashing, so a (vanishingly unlikely) 64-bit collision could
-    * only overcount one shared shingle, never change set sizes. */
-  private def ngramPairs(s: SparkSession, d: String): DataFrame = {
+    * only overcount one shared shingle, never change set sizes.
+    *
+    * `maxDf` is the standard skew defense for set-similarity joins: a
+    * shingle appearing in k docs contributes k(k-1)/2 pairs to the
+    * self-join, so one stopword 3-gram shared by 10⁶ docs makes a 10¹²-pair
+    * group. Postings of shingles with document frequency > maxDf are
+    * dropped before the join (set sizes stay exact — computed on the
+    * uncapped index — so jaccard can only be underestimated for pairs whose
+    * overlap is mostly ubiquitous shingles, which is exactly the evidence a
+    * near-dup detector should discount). The default is far above the
+    * fixture max df (25 at sf0.1), so fixture output is bit-identical to
+    * the uncapped oracle; HotShingleCapSpec exercises the capped regime. */
+  private[graft] def ngramPairs(s: SparkSession, d: String,
+      maxDf: Int = 1024): DataFrame = {
     val sh = docsWords(s, d)
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"),
@@ -84,8 +101,17 @@ object LlmText {
             .stripMargin))).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.alias("a")
-      .join(sh.alias("b"),
+    // Posting lists after the document-frequency cap. The df aggregate and
+    // the postings join share the hash partitioning on `sh` that the
+    // self-join below needs anyway (exchange reuse), so the cap costs one
+    // co-partitioned aggregate, not an extra shuffle shape.
+    val capped = sh.join(
+      sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf)
+        .select(col("sh")),
+      "sh")
+    val inter = capped.alias("a")
+      .join(capped.alias("b"),
         col("a.sh") === col("b.sh")
           && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

