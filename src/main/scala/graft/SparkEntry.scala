@@ -22,7 +22,8 @@ object SparkEntry {
       Analytics.specs ++
       graft.streaming.StreamingOps.specs ++
       LlmText.specs ++
-      LlmVector.specs
+      LlmVector.specs ++
+      LlmPipeline.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Spec
+import graft.sources.Tables
+
+/** Training-data-pipeline operators beyond the dedup/similarity family —
+  * the steps that turn a raw document corpus into a training set:
+  * decontamination against an eval set, deterministic train/val/test
+  * splitting, repetition-based quality filtering, fixed-size chunking,
+  * sequence packing, and domain-mix rebalancing. All are oracle-checked
+  * (integer or exact-division arithmetic; md5 for hash-based decisions
+  * because its definition is identical across engines).
+  *
+  * Scale notes per operator are inline; the common conventions:
+  * per-row ops carry no shuffle, per-group ops shuffle once on the group
+  * key, and the only corpus×corpus contact (contamination) goes through
+  * the same inverted shingle index as the dedup family — never all-pairs.
+  */
+object LlmPipeline {
+  def specs: Seq[Spec] = Seq(contamination, splitHash, repetition, chunking,
+    packSequences, domainMix)
+
+  private def docsWords(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        split(col("text"), " ").as("words"))
+
+  /** Shared shingle CTE (same construction as the dedup family's). */
+  private val shingleCte =
+    """sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(string_split(text,' ')) - 2),
+      |    i -> concat_ws(' ', string_split(text,' ')[i],
+      |                   string_split(text,' ')[i+1],
+      |                   string_split(text,' ')[i+2])))) AS shingle
+      |  FROM documents WHERE len(string_split(text,' ')) >= 3)""".stripMargin
+
+  /** Eval-set decontamination: count, per training doc, how many of its
+    * distinct 3-gram shingles also occur in the (held-out) eval set —
+    * docs sharing ≥ 3 are flagged. The eval set here is the deterministic
+    * doc_id % 50 == 0 slice (a stand-in for a real benchmark suite).
+    *
+    * Scale shape: eval shingles are DISTINCT'd first (the eval set is
+    * benchmark-sized, i.e. tiny next to the corpus), so the contact is a
+    * broadcast-able semi-join of the training index against it — one pass
+    * over the corpus index, work ∝ matching shingles. At 100 TB the eval
+    * side becomes a broadcast bloom/set exactly as written. */
+  private val contamination = Spec(
+    "llm_contamination",
+    s"""WITH $shingleCte,
+       |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+       |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0),
+       |hits AS (
+       |  SELECT tr.doc_id, COUNT(*) AS n_shared
+       |  FROM tr JOIN ev USING (shingle) GROUP BY tr.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+       |  COALESCE(h.n_shared, 0) >= 3 AS contaminated
+       |FROM (SELECT DISTINCT doc_id FROM tr) d
+       |LEFT JOIN hits h ON h.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val sh = LlmText.docShingles(s, d)
+    val ev = sh.filter(col("doc_id") % 50 === 0).select(col("sh")).distinct()
+    val tr = sh.filter(col("doc_id") % 50 =!= 0)
+    val hits = tr.join(broadcast(ev), "sh")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    tr.select(col("doc_id")).distinct()
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) >= 3).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic train/val/test split by content-independent hash of the
+    * doc id: first md5 byte < 0xcd → train (~80 %), < 0xe6 → val (~10 %),
+    * else test. md5 of the decimal string is engine-identical, and the
+    * lowercase-hex byte compares bytewise the same in both engines, so the
+    * split is reproducible everywhere — the property that keeps a split
+    * stable across reshards and engine versions at 100 TB (and it's a
+    * per-row projection: no shuffle at all). */
+  private val splitHash = Spec(
+    "llm_split_hash",
+    """SELECT doc_id,
+      |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+      |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+      |         THEN 'train'
+      |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+      |         THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+    Tables.documents(s, d)
+      .select(col("doc_id"), bucket.as("bucket"),
+        when(bucket < "cd", "train")
+          .when(bucket < "e6", "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Within-document repetition score (the Gopher/C4-style quality
+    * signal): fraction of 3-gram occurrences that are repeats of an
+    * earlier 3-gram in the same doc. Pure per-row array arithmetic —
+    * no explode, no shuffle; at 100 TB this is a map-only pass. */
+  private val repetition = Spec(
+    "llm_repetition",
+    """SELECT doc_id,
+      |  len(grams) AS n_grams,
+      |  len(list_distinct(grams)) AS n_uniq,
+      |  CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+      |    / len(grams) AS rep_ratio
+      |FROM (
+      |  SELECT doc_id, list_transform(
+      |    generate_series(1, len(string_split(text,' ')) - 2),
+      |    i -> concat_ws(' ', string_split(text,' ')[i],
+      |                   string_split(text,' ')[i+1],
+      |                   string_split(text,' ')[i+2])) AS grams
+      |  FROM documents WHERE len(string_split(text,' ')) >= 3)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    docsWords(s, d)
+      .filter(size(col("words")) >= 3)
+      .withColumn("grams", expr(
+        """transform(sequence(0, size(words) - 3),
+          |  i -> concat_ws(' ', words[i], words[i+1], words[i+2]))"""
+          .stripMargin))
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_distinct(col("grams"))).cast("long").as("n_uniq"))
+      .withColumn("rep_ratio",
+        (col("n_grams") - col("n_uniq")).cast("double") / col("n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fixed-size chunking: split each document into non-overlapping
+    * 32-word chunks (the context-window preprocessing step). One
+    * generate+explode per row — no shuffle; chunk count ∝ corpus tokens,
+    * exactly the fan-out a 100 TB tokenization pass has. */
+  private val chunking = Spec(
+    "llm_chunking",
+    """SELECT doc_id,
+      |  CAST(i AS BIGINT) AS chunk_idx,
+      |  array_to_string(list_slice(words, i*32 + 1, i*32 + 32), ' ')
+      |    AS chunk_text,
+      |  CAST(len(list_slice(words, i*32 + 1, i*32 + 32)) AS BIGINT)
+      |    AS n_words_chunk
+      |FROM (SELECT doc_id, string_split(text, ' ') AS words
+      |      FROM documents),
+      |  UNNEST(generate_series(0, (len(words) - 1) // 32)) AS t(i)
+      |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+    docsWords(s, d)
+      .select(col("doc_id"),
+        posexplode(expr(
+          """transform(sequence(0, (size(words) - 1) div 32),
+            |  i -> concat_ws(' ', slice(words, i*32 + 1, 32)))"""
+            .stripMargin)).as(Seq("chunk_idx", "chunk_text")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_text"),
+        size(split(col("chunk_text"), " ")).cast("long").as("n_words_chunk"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Sequence packing: lay documents end-to-end into fixed 512-token
+    * packs, per language shard — each doc gets its pack id and offset
+    * from a running prefix sum ordered by doc_id. Partitioned window
+    * (one shuffle on the shard key, then a linear in-partition scan):
+    * the scalable form of packing — a global unpartitioned window would
+    * serialize on one task at 100 TB, which is why packing is sharded. */
+  private val packSequences = Spec(
+    "llm_pack_sequences",
+    """SELECT lang, doc_id, n_tokens,
+      |  CAST(cum - n_tokens AS BIGINT) AS offset_in_shard,
+      |  CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id
+      |FROM (
+      |  SELECT lang, doc_id, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum
+      |  FROM (SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens
+      |        FROM documents))
+      |ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docsWords(s, d)
+      .select(col("lang"), col("doc_id"),
+        size(col("words")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("lang"), col("doc_id"), col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("offset_in_shard"),
+        expr("(cum - n_tokens) div 512").as("pack_id"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  /** Domain-mix rebalancing to a uniform target: per source, the
+    * upsampling factor max_count/count (and its epoch ceiling) that a
+    * sampler would apply to equalize domains. The window runs AFTER the
+    * per-source aggregate, over ≤ |domains| rows — the cheap side of the
+    * shuffle; the exact-division doubles are bit-stable across engines. */
+  private val domainMix = Spec(
+    "llm_domain_mix",
+    """SELECT source, n_docs,
+      |  CAST(max_n AS DOUBLE) / n_docs AS upsample,
+      |  CAST(CEIL(CAST(max_n AS DOUBLE) / n_docs) AS BIGINT) AS n_epochs
+      |FROM (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(MAX(COUNT(*)) OVER () AS BIGINT) AS max_n
+      |  FROM documents GROUP BY source)
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("max_n", max(col("n_docs")).over(
+        Window.partitionBy()))
+      .select(col("source"), col("n_docs"),
+        (col("max_n").cast("double") / col("n_docs")).as("upsample"),
+        ceil(col("max_n").cast("double") / col("n_docs")).as("n_epochs"))
+      .orderBy(col("source"))
+  }
+}

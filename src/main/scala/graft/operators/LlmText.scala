@@ -90,9 +90,11 @@ object LlmText {
     * near-dup detector should discount). The default is far above the
     * fixture max df (25 at sf0.1), so fixture output is bit-identical to
     * the uncapped oracle; HotShingleCapSpec exercises the capped regime. */
-  private[graft] def ngramPairs(s: SparkSession, d: String,
-      maxDf: Int = 1024): DataFrame = {
-    val sh = docsWords(s, d)
+  /** (doc_id, sh) inverted index of distinct 3-word shingles, hashed to 8
+    * bytes — the shared substrate of the n-gram dedup family and the
+    * contamination check in [[LlmPipeline]]. */
+  private[graft] def docShingles(s: SparkSession, d: String): DataFrame =
+    docsWords(s, d)
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"),
         explode(array_distinct(expr(
@@ -100,6 +102,10 @@ object LlmText {
             |  i -> concat_ws(' ', words[i], words[i+1], words[i+2]))"""
             .stripMargin))).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+
+  private[graft] def ngramPairs(s: SparkSession, d: String,
+      maxDf: Int = 1024): DataFrame = {
+    val sh = docShingles(s, d)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // Posting lists after the document-frequency cap. The df aggregate and
     // the postings join share the hash partitioning on `sh` that the

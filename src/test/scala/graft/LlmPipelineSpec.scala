@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural invariants of the training-pipeline operators (their value
+  * correctness is oracle-checked; these pin the semantic properties the
+  * hash alone wouldn't explain). */
+class LlmPipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("pack_sequences: packs are contiguous prefix sums, pack_id consistent") {
+    val rows = SparkEntry.queries("llm_pack_sequences")(spark, SF01)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (lang, docs) =>
+      val sorted = docs.sortBy(_._2)
+      var expectedOffset = 0L
+      sorted.foreach { case (_, _, nTok, offset, packId) =>
+        assert(offset == expectedOffset, s"$lang: gap in packing at $offset")
+        assert(packId == offset / 512)
+        expectedOffset += nTok
+      }
+    }
+  }
+
+  test("split_hash: three splits, train fraction near 80%") {
+    val rows = SparkEntry.queries("llm_split_hash")(spark, SF01).collect()
+    val bySplit = rows.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    val frac = bySplit("train").toDouble / rows.length
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
+    // splitting twice is identical (content-independent determinism)
+    val again = SparkEntry.queries("llm_split_hash")(spark, SF01).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("contamination: eval docs never appear; flagged implies n_shared>=3") {
+    val rows = SparkEntry.queries("llm_contamination")(spark, SF01).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 50 != 0, "eval doc leaked into train output")
+      assert(r.getBoolean(2) == (r.getLong(1) >= 3))
+    }
+  }
+
+  test("chunking: chunks partition each doc exactly, all full but the last") {
+    val chunks = SparkEntry.queries("llm_chunking")(spark, SF001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val words = graft.sources.Tables.documents(spark, SF001)
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n")
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._3).sum == words(doc), s"doc $doc words lost")
+      sorted.init.foreach { case (_, _, n) => assert(n == 32) }
+      assert(sorted.last._3 <= 32 && sorted.last._3 >= 1)
+    }
+  }
+
+  test("repetition: ratios in [0,1), uniq <= total") {
+    val rows = SparkEntry.queries("llm_repetition")(spark, SF001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      val ratio = r.getDouble(3)
+      assert(ratio >= 0.0 && ratio < 1.0)
+    }
+  }
+
+  test("domain_mix: the largest domain is the unit anchor, others upsample") {
+    val rows = SparkEntry.queries("llm_domain_mix")(spark, SF01).collect()
+    assert(rows.length > 1)
+    assert(rows.count(_.getDouble(2) == 1.0) >= 1,
+      "max domain must have upsample exactly 1.0")
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 1.0)
+      assert(r.getLong(3) == math.ceil(r.getDouble(2)).toLong)
+    }
+  }
+}
