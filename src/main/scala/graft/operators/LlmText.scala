@@ -103,9 +103,29 @@ object LlmText {
             .stripMargin))).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
 
+  /** Materialized-pairs memo: the Jaccard self-join is the shared,
+    * expensive substrate of llm_dedup_ngram AND llm_dedup_cluster, so its
+    * result (tiny: the near-dup pairs, not the index) is computed once per
+    * (session, corpus, cap) and persisted — the same pay-once-at-
+    * materialization-time story as join_bucketed's write-once tables. The
+    * session is part of the key: a DataFrame is only valid in the session
+    * that built it. */
+  private val pairsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), DataFrame]
+
   private[graft] def ngramPairs(s: SparkSession, d: String,
       maxDf: Int = 1024): DataFrame = {
-    val sh = docShingles(s, d)
+    val key = (s,
+      java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString, maxDf)
+    pairsCache.getOrElseUpdate(key, computeNgramPairs(s, d, maxDf))
+  }
+
+  private def computeNgramPairs(s: SparkSession, d: String,
+      maxDf: Int): DataFrame = {
+    // The postings index feeds three consumers below (sizes, the df cap,
+    // and both sides of the self-join); persist it for the computation and
+    // release it once the memoized pairs are materialized.
+    val sh = docShingles(s, d).persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // Posting lists after the document-frequency cap. The df aggregate and
     // the postings join share the hash partitioning on `sh` that the
@@ -124,7 +144,7 @@ object LlmText {
       .agg(count(lit(1)).as("n_inter"))
     val jac = (col("n_inter").cast("double")
       / (col("n_a") + col("n_b") - col("n_inter")))
-    inter
+    val pairs = inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
         "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
@@ -133,6 +153,10 @@ object LlmText {
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"),
         col("n_b"), col("jaccard"))
+      .persist()
+    pairs.count() // materialize eagerly, then drop the (large) index
+    sh.unpersist()
+    pairs
   }
 
   /** Near-dup candidates by 3-word-shingle Jaccard ≥ 0.5, computed via an

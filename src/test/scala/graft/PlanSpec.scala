@@ -87,6 +87,17 @@ class PlanSpec extends AnyFunSuite {
     assert(aggIdx >= 0, p)
   }
 
+  test("llm_contamination broadcasts the eval shingle set") {
+    val p = plan("llm_contamination")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
+  test("llm_split_hash is a pure projection: no exchange at all") {
+    val p = plan("llm_split_hash")
+    assert(!p.contains("Exchange") || p.contains("rangepartitioning"),
+      p.take(1200)) // only the final ORDER BY may repartition
+  }
+
   test("whole-stage codegen covers the flagship aggregate") {
     // AQE finalizes the physical plan only at execution; run the query,
     // then check the executed plan for fused codegen stages.
