@@ -28,15 +28,9 @@ object LlmPipeline {
       .select(col("doc_id"), col("lang"), col("source"),
         split(col("text"), " ").as("words"))
 
-  /** Shared shingle CTE (same construction as the dedup family's). */
-  private val shingleCte =
-    """sh AS (
-      |  SELECT doc_id, unnest(list_distinct(list_transform(
-      |    generate_series(1, len(string_split(text,' ')) - 2),
-      |    i -> concat_ws(' ', string_split(text,' ')[i],
-      |                   string_split(text,' ')[i+1],
-      |                   string_split(text,' ')[i+2])))) AS shingle
-      |  FROM documents WHERE len(string_split(text,' ')) >= 3)""".stripMargin
+  /** Shared shingle CTE — the single definition in [[LlmText]], so the
+    * contamination oracle can never drift from the dedup family's. */
+  private val shingleCte = LlmText.shingleSqlCte
 
   /** Eval-set decontamination: count, per training doc, how many of its
     * distinct 3-gram shingles also occur in the (held-out) eval set —

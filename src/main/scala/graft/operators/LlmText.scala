@@ -49,14 +49,22 @@ object LlmText {
     * by the pair query, the clustering oracle, and (at 0.7) the MinHash
     * near-dup oracle in [[LlmVector]]. `threshold` is spliced verbatim, so
     * pass a literal like "0.5". */
-  private[graft] def ngramPairsSqlCteAt(threshold: String): String =
-    s"""WITH sh AS (
+  /** The `sh(doc_id, shingle)` CTE fragment alone — THE one SQL definition
+    * of a document's distinct 3-word shingles, shared by every oracle that
+    * touches shingles (pairs/cluster here, contamination in
+    * [[LlmPipeline]]) so the definition can never drift between them. It
+    * must mirror [[docShingles]] exactly. */
+  private[graft] val shingleSqlCte: String =
+    """sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
       |    generate_series(1, len(string_split(text,' ')) - 2),
       |    i -> concat_ws(' ', string_split(text,' ')[i],
       |                   string_split(text,' ')[i+1],
       |                   string_split(text,' ')[i+2])))) AS shingle
-      |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+      |  FROM documents WHERE len(string_split(text,' ')) >= 3)""".stripMargin
+
+  private[graft] def ngramPairsSqlCteAt(threshold: String): String =
+    s"""WITH $shingleSqlCte,
       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
@@ -109,7 +117,12 @@ object LlmText {
     * (session, corpus, cap) and persisted — the same pay-once-at-
     * materialization-time story as join_bucketed's write-once tables. The
     * session is part of the key: a DataFrame is only valid in the session
-    * that built it. */
+    * that built it. The memo assumes the corpus at a given path is
+    * IMMUTABLE for the session's lifetime — true of the driver fixtures
+    * and of every test (synthetic corpora use fresh temp dirs); rewriting
+    * a path in place and re-querying it would require dropping the entry
+    * first. Entries are few (one per corpus × cap) and tiny (the pair
+    * list, not the index), so no eviction is needed. */
   private val pairsCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Int), DataFrame]
 

@@ -144,6 +144,31 @@ class LlmSpec extends AnyFunSuite {
     assert(viaUnionFind.nonEmpty)
   }
 
+  test("embed dedup LSH candidates lose no qualifying pair (both fixtures)") {
+    // llm_dedup_embed's oracle is the exact brute-force SQL, but the query
+    // generates candidates via hamming<=2 multi-probe LSH — a pair whose
+    // buckets differ in >=3 of 8 sign bits would be silently dropped and
+    // fail the driver's compare. Assert against an exact JVM brute force
+    // on BOTH fixture scales so a fixture regeneration that breaks the
+    // assumption fails here first, not at the driver.
+    for (dir <- Seq(SF01, "/root/testdata/sf0.1")) {
+      val vecs = graft.sources.Tables.embeddings(spark, dir)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val exact = (for {
+        i <- vecs.indices.iterator
+        j <- (i + 1) until vecs.length
+        s = LlmVector.cosine(vecs(i)._2, vecs(j)._2)
+        if s >= 0.99
+      } yield (vecs(i)._1, vecs(j)._1)).toSet
+      val lsh = SparkEntry.queries("llm_dedup_embed")(spark, dir)
+        .select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(lsh == exact, s"$dir: LSH ${lsh.size} vs exact ${exact.size}")
+    }
+  }
+
   test("exact dedup keeps min doc_id per text group") {
     val df = docsDf(Seq(5L -> "a b c", 2L -> "a b c", 9L -> "x y z"))
       .withColumn("n_chars", length(col("text")))

@@ -92,10 +92,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
   }
 
-  test("llm_split_hash is a pure projection: no exchange at all") {
+  test("llm_split_hash is a pure projection: no exchange but the sort's") {
+    // Only the final ORDER BY's rangepartitioning exchange is allowed; any
+    // hashpartitioning exchange would mean the map-only guarantee broke.
     val p = plan("llm_split_hash")
-    assert(!p.contains("Exchange") || p.contains("rangepartitioning"),
-      p.take(1200)) // only the final ORDER BY may repartition
+    assert(!p.contains("hashpartitioning"), p.take(1200))
+    assert(p.contains("Scan parquet"), p.take(1200))
   }
 
   test("whole-stage codegen covers the flagship aggregate") {
