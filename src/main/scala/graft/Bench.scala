@@ -17,6 +17,18 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Total shuffle volume across the whole bench — the number that
+    // actually predicts 100 TB behavior (time at this volume is mostly
+    // fixed overhead; bytes shuffled scale with the data).
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit =
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
     // Untimed warmup: pay one-time session/codegen/parquet-footer costs
     // outside the per-query timings.
     SparkEntry.entry(spark).count()
@@ -84,7 +96,7 @@ object Bench {
     val qs = kept.mkString("{", ",", "}")
     spark.stop()
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${entries.length},"omitted":$omitted,"ann_recall":${fmt(annRecall)},"ivf_recall":${fmt(ivfRecall)},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${entries.length},"omitted":$omitted,"ann_recall":${fmt(annRecall)},"ivf_recall":${fmt(ivfRecall)},"shuffle_mb":${fmt(shuffleBytes.get / 1e6)},"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -21,7 +21,7 @@ import graft.sources.Tables
   */
 object LlmPipeline {
   def specs: Seq[Spec] = Seq(contamination, splitHash, repetition, chunking,
-    packSequences, domainMix)
+    packSequences, domainMix, piiScrub, vocab, curriculum)
 
   private def docsWords(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -185,6 +185,91 @@ object LlmPipeline {
         (col("cum") - col("n_tokens")).as("offset_in_shard"),
         expr("(cum - n_tokens) div 512").as("pack_id"))
       .orderBy(col("lang"), col("doc_id"))
+  }
+
+  /** PII scrubbing on the event log: pseudonymize the user id (salted
+    * sha256 — identical definition in both engines) and mask every digit
+    * run in the free-form props payload. Per-row projection, no shuffle;
+    * the regex class `[0-9]+` behaves identically under Java regex and
+    * RE2, which is what makes the scrub oracle-checkable (fancier PII
+    * patterns would be engine-divergent and belong behind a UDF). */
+  private val piiScrub = Spec(
+    "llm_pii_scrub",
+    """SELECT event_id,
+      |  substr(sha256(concat('graft.v1:', CAST(user_id AS VARCHAR))), 1, 16)
+      |    AS user_pseudo,
+      |  regexp_replace(props, '[0-9]+', '#', 'g') AS props_scrubbed
+      |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        substring(sha2(concat(lit("graft.v1:"),
+          col("user_id").cast("string")), 256), 1, 16).as("user_pseudo"),
+        regexp_replace(col("props"), "[0-9]+", "#").as("props_scrubbed"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Vocabulary builder: top-100 tokens by corpus frequency with
+    * cumulative coverage — the tokenizer-training prestep. Explode +
+    * two-phase hash agg, then rank/cumsum windows over the aggregated
+    * token table only (vocabulary-sized, not corpus-sized). Total-order
+    * tiebreak (count DESC, token ASC) keeps ranks and the integer cumsum
+    * deterministic; coverage is an exact int/int double division. */
+  private val vocab = Spec(
+    "llm_vocab",
+    """SELECT token, n, rk,
+      |  CAST(cum AS DOUBLE) / total AS coverage
+      |FROM (
+      |  SELECT token, n,
+      |    ROW_NUMBER() OVER w AS rk,
+      |    CAST(SUM(n) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |      CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(SUM(n) OVER () AS BIGINT) AS total
+      |  FROM (
+      |    SELECT token, COUNT(*) AS n
+      |    FROM (SELECT unnest(string_split(text, ' ')) AS token
+      |          FROM documents)
+      |    GROUP BY token)
+      |  WINDOW w AS (ORDER BY n DESC, token ASC))
+      |WHERE rk <= 100
+      |ORDER BY rk""".stripMargin) { (s, d) =>
+    val counts = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    // Windows over the aggregated vocabulary (≤ distinct-token rows, tiny
+    // next to the corpus); the unpartitioned frame is deliberate here.
+    val w = Window.orderBy(col("n").desc, col("token").asc)
+    counts
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("n")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("n")).over(
+        Window.partitionBy()))
+      .filter(col("rk") <= 100)
+      .select(col("token"), col("n"), col("rk"),
+        (col("cum").cast("double") / col("total")).as("coverage"))
+      .orderBy(col("rk"))
+  }
+
+  /** Curriculum staging: shortest-to-longest schedule per language —
+    * each doc gets its quartile (NTILE(4) over token count with a
+    * total-order tiebreak) within its language shard. Partitioned window,
+    * same sharded shape as the packer. */
+  private val curriculum = Spec(
+    "llm_curriculum",
+    """SELECT doc_id, lang, n_tokens,
+      |  CAST(NTILE(4) OVER (PARTITION BY lang
+      |    ORDER BY n_tokens, doc_id) AS INT) AS stage
+      |FROM (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_tokens"), col("doc_id"))
+    docsWords(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(col("words")).cast("long").as("n_tokens"))
+      .withColumn("stage", ntile(4).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("stage"))
+      .orderBy(col("doc_id"))
   }
 
   /** Domain-mix rebalancing to a uniform target: per source, the

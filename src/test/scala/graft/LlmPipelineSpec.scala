@@ -68,6 +68,56 @@ class LlmPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("pii_scrub: no digits survive in props, pseudonyms are stable") {
+    val rows = SparkEntry.queries("llm_pii_scrub")(spark, SF001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.getString(2).exists(_.isDigit), s"digits leaked: $r")
+      assert(r.getString(1).length == 16)
+    }
+    // same user_id must map to the same pseudonym everywhere
+    val byPseudo = graft.sources.Tables.events(spark, SF001)
+      .select("event_id", "user_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pseudo = rows.map(r => byPseudo(r.getLong(0)) -> r.getString(1))
+    pseudo.groupBy(_._1).foreach { case (_, ps) =>
+      assert(ps.map(_._2).distinct.length == 1)
+    }
+  }
+
+  test("vocab: ranks dense, counts non-increasing, coverage monotone <= 1") {
+    val rows = SparkEntry.queries("llm_vocab")(spark, SF01).collect()
+      .sortBy(_.getLong(2))
+    assert(rows.map(_.getLong(2)).toSeq == (1L to rows.length))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(1) >= b.getLong(1), "counts must be non-increasing")
+      assert(a.getDouble(3) < b.getDouble(3), "coverage must be monotone")
+    case _ => ()
+    }
+    assert(rows.last.getDouble(3) <= 1.0)
+  }
+
+  test("curriculum: stages are 1..4 and monotone in token count per lang") {
+    val rows = SparkEntry.queries("llm_curriculum")(spark, SF01).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(rows.map(_._3).toSet == Set(1, 2, 3, 4))
+    rows.groupBy(_._1).foreach { case (_, docs) =>
+      docs.sortBy(_._3).sliding(2).foreach {
+        case Array((_, t1, s1), (_, t2, s2)) =>
+          if (s1 < s2) () // cross-stage ordering checked below
+        case _ => ()
+      }
+      // max token count of stage k <= min of stage k+2 is too strict with
+      // ties at boundaries; assert mean is non-decreasing per stage.
+      val means = docs.groupBy(_._3).toSeq.sortBy(_._1)
+        .map { case (st, ds) => (st, ds.map(_._2).sum.toDouble / ds.length) }
+      means.sliding(2).foreach { case Seq((_, m1), (_, m2)) =>
+        assert(m1 <= m2, s"stage means not monotone: $means")
+      case _ => ()
+      }
+    }
+  }
+
   test("domain_mix: the largest domain is the unit anchor, others upsample") {
     val rows = SparkEntry.queries("llm_domain_mix")(spark, SF01).collect()
     assert(rows.length > 1)
