@@ -14,8 +14,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Per-(session, file) memo of the base relations. `spark.read.parquet`
+    * re-lists the path and re-reads footers on every call; with ~100
+    * registered queries each touching 1-3 fixture tables, that listing
+    * cost is pure per-query planning overhead. The fixtures are immutable
+    * for a session's lifetime (driver contract), so the lazily-built
+    * DataFrame — still just a logical plan, nothing is cached/executed —
+    * is safely shared across queries. Keyed by session because a plan is
+    * only valid in the session that built it. */
+  private val relationCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    relationCache.getOrElseUpdate((spark, s"$sfDir/$name.parquet"),
+      spark.read.parquet(s"$sfDir/$name.parquet"))
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4.1 refuses to
     * read natively ([PARQUET_TYPE_ILLEGAL]). We read it as a raw long via
@@ -30,7 +42,8 @@ object Tables {
     * scan reads the conf at execution). */
   private def eventsRaw(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$d/events.parquet")
+    relationCache.getOrElseUpdate((s, s"$d/events.parquet#nanosAsLong"),
+      s.read.parquet(s"$d/events.parquet"))
   }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
