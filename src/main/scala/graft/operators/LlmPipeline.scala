@@ -196,14 +196,18 @@ object LlmPipeline {
   private val piiScrub = Spec(
     "llm_pii_scrub",
     """SELECT event_id,
-      |  substr(sha256(concat('graft.v1:', CAST(user_id AS VARCHAR))), 1, 16)
+      |  substr(sha256(concat('graft.v1:',
+      |    COALESCE(CAST(user_id AS VARCHAR), 'null'))), 1, 16)
       |    AS user_pseudo,
       |  regexp_replace(props, '[0-9]+', '#', 'g') AS props_scrubbed
       |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    // COALESCE on both sides: DuckDB's concat ignores NULL args while
+    // Spark's propagates them — a NULL user_id would otherwise diverge.
     Tables.events(s, d)
       .select(col("event_id"),
         substring(sha2(concat(lit("graft.v1:"),
-          col("user_id").cast("string")), 256), 1, 16).as("user_pseudo"),
+          coalesce(col("user_id").cast("string"), lit("null"))), 256),
+          1, 16).as("user_pseudo"),
         regexp_replace(col("props"), "[0-9]+", "#").as("props_scrubbed"))
       .orderBy(col("event_id"))
   }
@@ -258,12 +262,14 @@ object LlmPipeline {
     "llm_curriculum",
     """SELECT doc_id, lang, n_tokens,
       |  CAST(NTILE(4) OVER (PARTITION BY lang
-      |    ORDER BY n_tokens, doc_id) AS INT) AS stage
+      |    ORDER BY n_tokens NULLS LAST, doc_id) AS INT) AS stage
       |FROM (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // NULLS LAST pinned explicitly: Spark's ASC default is NULLS FIRST,
+    // DuckDB's is NULLS LAST — a NULL text would shift every NTILE bucket.
     val w = Window.partitionBy(col("lang"))
-      .orderBy(col("n_tokens"), col("doc_id"))
+      .orderBy(col("n_tokens").asc_nulls_last, col("doc_id"))
     docsWords(s, d)
       .select(col("doc_id"), col("lang"),
         size(col("words")).cast("long").as("n_tokens"))

@@ -21,7 +21,11 @@ object Tables {
     * for a session's lifetime (driver contract), so the lazily-built
     * DataFrame — still just a logical plan, nothing is cached/executed —
     * is safely shared across queries. Keyed by session because a plan is
-    * only valid in the session that built it. */
+    * only valid in the session that built it. Unbounded by design: entries
+    * are one per (session, fixture file) — ≤ ~a dozen per session, each a
+    * logical plan + file listing — and every entry point (Verify, Bench,
+    * the test JVM) is single-session, so nothing accumulates; a
+    * session-cycling harness would want an explicit clear-on-stop. */
   private val relationCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
