@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Spec
 import graft.functions.{Det, Sql}
@@ -15,7 +16,36 @@ import graft.sources.Tables
 object Aggregates {
   def specs: Seq[Spec] = Seq(aggHashGroup, aggGlobal, aggDistinct,
     aggApproxDistinct, aggRollup, aggCube, aggGroupingSets, aggCollect,
-    aggCustomTyped, aggStringConcat)
+    aggCustomTyped, aggStringConcat, aggMode)
+
+  /** Mode (most frequent value) per group, made deterministic the only
+    * portable way: count + row_number with an explicit (count DESC, value
+    * ASC) tiebreak instead of the engines' built-in `mode` (whose tie
+    * behavior is unspecified and differs). Two-phase agg then a window
+    * over the (groups × distinct values) table — post-aggregate sized. */
+  private val aggMode = Spec(
+    "agg_mode",
+    """SELECT o_orderstatus, priority_mode, n_occurrences
+      |FROM (
+      |  SELECT o_orderstatus, o_orderpriority AS priority_mode,
+      |    COUNT(*) AS n_occurrences,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY COUNT(*) DESC, o_orderpriority ASC) AS rn
+      |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
+      |WHERE rn = 1
+      |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("n_occurrences").desc, col("priority_mode").asc)
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .withColumnRenamed("o_orderpriority", "priority_mode")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderstatus"), col("priority_mode"),
+        col("n_occurrences"))
+      .orderBy(col("o_orderstatus"))
+  }
 
   /** Deterministic string aggregation: sorted collect_list joined with a
     * separator (DuckDB string_agg with ORDER BY mirrors it exactly). */

@@ -20,7 +20,25 @@ import graft.sources.Tables
   */
 object Windows {
   def specs: Seq[Spec] = Seq(winRank, topkPerGroup, lagLead, runningFrame,
-    rangeFrame, firstLast)
+    rangeFrame, firstLast, cumeDist)
+
+  /** CUME_DIST over a total order (price, key): with the tiebreak the
+    * distribution value is row_number/n — an exact int/int double division,
+    * identical across engines and partitionings. */
+  private val cumeDist = Spec(
+    "win_cume_dist",
+    """SELECT o_orderkey, o_orderstatus,
+      |  CUME_DIST() OVER (PARTITION BY o_orderstatus
+      |    ORDER BY o_totalprice, o_orderkey) AS cd
+      |FROM orders
+      |ORDER BY o_orderstatus, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        cume_dist().over(w).as("cd"))
+      .orderBy(col("o_orderstatus"), col("o_orderkey"))
+  }
 
   /** first_value/last_value/nth_value over an explicit full-partition frame
     * (the default frame stops at CURRENT ROW, which silently breaks
