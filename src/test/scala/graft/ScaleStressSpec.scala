@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions.lit
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{LlmText, LlmVector}
+
+/** Dedup family at 40× the sf0.1 corpus (20 000 docs): the banded-MinHash
+  * path must still agree exactly with the inverted-index exact path, the
+  * hot-shingle cap must not fire on an organic vocabulary, and clustering
+  * must label every paired doc. This is the in-repo stand-in for the
+  * next scale-up: the shapes that survive 40× without new code paths are
+  * the ones that survive 1000×. Deterministic LCG corpus — no RNG APIs. */
+class ScaleStressSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val nDocs = 20000
+  private val vocab = (0 until 64).map(i => s"w$i")
+
+  /** xorshift-ish deterministic stream; avoids java.util.Random so the
+    * corpus is identical on every run and platform. */
+  private def lcg(seed: Long): Iterator[Long] =
+    Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L)
+
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_scale").toString
+    val rng = lcg(42L)
+    val docs = (0 until nDocs).map { i =>
+      val words = (0 until 30).map { _ =>
+        vocab(((rng.next() >>> 33) % vocab.length).toInt)
+      }
+      (i.toLong, words.mkString(" "))
+    }
+    // inject exact dups (doc N copies doc N-1's text) and near dups
+    // (1-word edit) on top of the base corpus
+    val byId = docs.toMap
+    val finalDocs = docs.map { case (id, text) =>
+      if (id % 100 == 98 && id > 0)
+        (id, byId(id - 1)) // exact dup of predecessor
+      else if (id % 100 == 97 && id > 1)
+        (id, byId(id - 2).replaceFirst("w0", "w1")) // near dup, 1 edit
+      else (id, text)
+    }
+    finalDocs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("src0"))
+      .coalesce(4).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("banded MinHash equals the exact inverted-index join at 20k docs") {
+    val exact = LlmText.ngramPairs(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("jaccard") >= 0.7)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val minhash = LlmVector.minhashPairs(
+      graft.sources.Tables.documents(spark, dir)
+        .select("doc_id", "text"), 0.7)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "stress corpus must contain injected dups")
+    assert(minhash == exact,
+      s"minhash ${minhash.size} vs exact ${exact.size}; " +
+        s"missed=${(exact -- minhash).take(5)} extra=${(minhash -- exact).take(5)}")
+  }
+
+  test("clustering labels every paired doc with its component minimum") {
+    val pairs = LlmText.ngramPairs(spark, dir)
+      .select("doc_a", "doc_b")
+    val labels = LlmText.clusterPairs(spark, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairRows = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairRows.nonEmpty)
+    pairRows.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+      assert(labels(a) <= math.min(a, b))
+    }
+  }
+}
