@@ -44,11 +44,6 @@ object LlmText {
       .orderBy(col("doc_id"))
   }
 
-  /** DuckDB CTEs computing the Jaccard ≥ `threshold` shingle pairs (result
-    * relation: `pairs(doc_a, doc_b, n_inter, n_a, n_b, jaccard)`) — shared
-    * by the pair query, the clustering oracle, and (at 0.7) the MinHash
-    * near-dup oracle in [[LlmVector]]. `threshold` is spliced verbatim, so
-    * pass a literal like "0.5". */
   /** The `sh(doc_id, shingle)` CTE fragment alone — THE one SQL definition
     * of a document's distinct 3-word shingles, shared by every oracle that
     * touches shingles (pairs/cluster here, contamination in
@@ -63,6 +58,11 @@ object LlmText {
       |                   string_split(text,' ')[i+2])))) AS shingle
       |  FROM documents WHERE len(string_split(text,' ')) >= 3)""".stripMargin
 
+  /** DuckDB CTEs computing the Jaccard ≥ `threshold` shingle pairs (result
+    * relation: `pairs(doc_a, doc_b, n_inter, n_a, n_b, jaccard)`) — shared
+    * by the pair query, the clustering oracle, and (at 0.7) the MinHash
+    * near-dup oracle in [[LlmVector]]. `threshold` is spliced verbatim, so
+    * pass a literal like "0.5". */
   private[graft] def ngramPairsSqlCteAt(threshold: String): String =
     s"""WITH $shingleSqlCte,
       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -82,22 +82,6 @@ object LlmText {
 
   private val ngramPairsSqlCte = ngramPairsSqlCteAt("0.5")
 
-  /** Spark form of the `pairs` relation above. The inverted index carries
-    * xxhash64(shingle), not the string: the equi-join shuffles 8-byte keys
-    * instead of ~20-char strings. Distinctness is taken on the string
-    * BEFORE hashing, so a (vanishingly unlikely) 64-bit collision could
-    * only overcount one shared shingle, never change set sizes.
-    *
-    * `maxDf` is the standard skew defense for set-similarity joins: a
-    * shingle appearing in k docs contributes k(k-1)/2 pairs to the
-    * self-join, so one stopword 3-gram shared by 10⁶ docs makes a 10¹²-pair
-    * group. Postings of shingles with document frequency > maxDf are
-    * dropped before the join (set sizes stay exact — computed on the
-    * uncapped index — so jaccard can only be underestimated for pairs whose
-    * overlap is mostly ubiquitous shingles, which is exactly the evidence a
-    * near-dup detector should discount). The default is far above the
-    * fixture max df (25 at sf0.1), so fixture output is bit-identical to
-    * the uncapped oracle; HotShingleCapSpec exercises the capped regime. */
   /** (doc_id, sh) inverted index of distinct 3-word shingles, hashed to 8
     * bytes — the shared substrate of the n-gram dedup family and the
     * contamination check in [[LlmPipeline]]. */
@@ -133,6 +117,26 @@ object LlmText {
     pairsCache.getOrElseUpdate(key, computeNgramPairs(s, d, maxDf))
   }
 
+  /** Spark form of the `pairs` relation above. The inverted index carries
+    * xxhash64(shingle), not the string: the equi-join shuffles 8-byte keys
+    * instead of ~20-char strings. Distinctness is taken on the string
+    * BEFORE hashing, so a (vanishingly unlikely) 64-bit collision could
+    * only overcount one shared shingle, never change set sizes.
+    *
+    * `maxDf` is the standard skew defense for set-similarity joins: a
+    * shingle appearing in k docs contributes k(k-1)/2 pairs to the
+    * self-join, so one stopword 3-gram shared by 10⁶ docs makes a 10¹²-pair
+    * group. Postings of shingles with document frequency > maxDf are
+    * dropped before the join (set sizes stay exact — computed on the
+    * uncapped index — so jaccard can only be underestimated for pairs whose
+    * overlap is mostly ubiquitous shingles, which is exactly the evidence a
+    * near-dup detector should discount). The default is far above the
+    * fixture max df (25 at sf0.1), so fixture output is bit-identical to
+    * the uncapped oracle; HotShingleCapSpec exercises the capped regime.
+    * (A collect_list + pair-explode variant was measured equal at fixture
+    * volume and rejected: it accumulates a hot shingle's full posting list
+    * BEFORE any size filter can drop it, so the df-cap join is the form
+    * whose skew bound actually holds at 100 TB.) */
   private def computeNgramPairs(s: SparkSession, d: String,
       maxDf: Int): DataFrame = {
     // The postings index feeds three consumers below (sizes, the df cap,
