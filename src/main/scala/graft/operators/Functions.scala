@@ -22,7 +22,30 @@ import graft.sources.Tables
   */
 object Functions {
   def specs: Seq[Spec] = Seq(fnString, fnDate, fnMath, fnArray, fnMap,
-    fnJson, fnUdfScalar, fnUdtfExplode)
+    fnJson, fnUdfScalar, fnUdtfExplode, fnRegex)
+
+  /** Regex function family over part names ("small ring", "red widget"):
+    * extract / extract-all count / boolean match. Patterns stay inside the
+    * character-class + alternation + anchors subset where Java regex
+    * (Spark) and RE2 (DuckDB) agree; Spark's regexp_extract returns '' on
+    * no-match, matching DuckDB. Per-row projection, codegen'd. */
+  private val fnRegex = Spec(
+    "fn_regex",
+    """SELECT p_partkey,
+      |  regexp_extract(p_name, '^[a-z]+', 0)              AS first_word,
+      |  regexp_extract(p_name, '([a-z]+)$', 1)            AS last_word,
+      |  len(regexp_extract_all(p_name, '[aeiou]+'))       AS n_vowel_runs,
+      |  regexp_matches(p_name, '^(red|blue|green) ')      AS is_colored
+      |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        regexp_extract(col("p_name"), "^[a-z]+", 0).as("first_word"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+        size(expr("regexp_extract_all(p_name, '[aeiou]+', 0)"))
+          .cast("long").as("n_vowel_runs"),
+        col("p_name").rlike("^(red|blue|green) ").as("is_colored"))
+      .orderBy(col("p_partkey"))
+  }
 
   private val fnString = Spec(
     "fn_string",

@@ -17,7 +17,38 @@ import graft.sources.Tables
 object Joins {
   def specs: Seq[Spec] = Seq(
     innerHash, leftOuter, rightOuter, fullOuter, leftSemi, leftAnti,
-    broadcastJoin, multiway, thetaRange, asOf, bucketed)
+    broadcastJoin, multiway, thetaRange, asOf, bucketed, nullSafe)
+
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): the join key is
+    * made nullable by mapping one priority class to NULL on both sides,
+    * and the null-safe comparison makes the NULL groups MATCH each other —
+    * the semantics a plain `=` join silently drops. Still plans as a hash
+    * join (the null-safe key hashes like any value); ORDER pins NULLS
+    * FIRST because the engines' defaults differ. */
+  private val nullSafe = Spec(
+    "join_null_safe",
+    """SELECT a.pk AS pk, a.n_f, b.n_o
+      |FROM (
+      |  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+      |              ELSE o_orderpriority END AS pk, COUNT(*) AS n_f
+      |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1) a
+      |JOIN (
+      |  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+      |              ELSE o_orderpriority END AS pk, COUNT(*) AS n_o
+      |  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1) b
+      |ON a.pk IS NOT DISTINCT FROM b.pk
+      |ORDER BY pk ASC NULLS FIRST""".stripMargin) { (s, d) =>
+    def side(status: String, cnt: String) = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === status)
+      .groupBy(when(col("o_orderpriority") === "1-URGENT", lit(null))
+        .otherwise(col("o_orderpriority")).as("pk"))
+      .agg(count(lit(1)).as(cnt))
+    val a = side("F", "n_f")
+    val b = side("O", "n_o").withColumnRenamed("pk", "pk_b")
+    a.join(b, col("pk") <=> col("pk_b"))
+      .select(col("pk"), col("n_f"), col("n_o"))
+      .orderBy(col("pk").asc_nulls_first)
+  }
 
   /** Bucketed co-located join: both sides pre-bucketed on the join key into
     * the same bucket count, so the sort-merge join consumes the buckets

@@ -20,7 +20,43 @@ import graft.sources.Tables
   */
 object Windows {
   def specs: Seq[Spec] = Seq(winRank, topkPerGroup, lagLead, runningFrame,
-    rangeFrame, firstLast, cumeDist)
+    rangeFrame, firstLast, cumeDist, sessionGap)
+
+  /** Batch sessionization — the gaps-and-islands idiom: a 30-minute gap
+    * (or the user's first event) starts a new session, and the session
+    * sequence number is the running sum of start flags. The batch twin of
+    * stream_session: same per-user shuffle + in-partition scan shape, all
+    * integer epoch-µs arithmetic with a total-order tiebreak. */
+  private val sessionGap = Spec(
+    "win_session_gap",
+    """SELECT user_id, event_id, eus,
+      |  CAST(SUM(new_sess) OVER (PARTITION BY user_id
+      |    ORDER BY eus, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS session_seq
+      |FROM (
+      |  SELECT user_id, event_id, eus,
+      |    CASE WHEN eus - LAG(eus) OVER (PARTITION BY user_id
+      |        ORDER BY eus, event_id) > 1800000000
+      |      OR LAG(eus) OVER (PARTITION BY user_id
+      |        ORDER BY eus, event_id) IS NULL
+      |      THEN 1 ELSE 0 END AS new_sess
+      |  FROM (SELECT user_id, event_id, epoch_us(ts) AS eus FROM events))
+      |ORDER BY user_id, eus, event_id""".stripMargin) { (s, d) =>
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("eus"), col("event_id"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("eus"))
+      .withColumn("new_sess",
+        when(col("eus") - lag(col("eus"), 1).over(ord) > 1800000000L
+          || lag(col("eus"), 1).over(ord).isNull, 1).otherwise(0))
+      .withColumn("session_seq", sum(col("new_sess")).over(run))
+      .select(col("user_id"), col("event_id"), col("eus"),
+        col("session_seq"))
+      .orderBy(col("user_id"), col("eus"), col("event_id"))
+  }
 
   /** CUME_DIST over a total order (price, key): with the tiebreak the
     * distribution value is row_number/n — an exact int/int double division,
