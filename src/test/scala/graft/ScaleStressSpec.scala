@@ -32,21 +32,35 @@ class ScaleStressSpec extends AnyFunSuite {
       }
       (i.toLong, words.mkString(" "))
     }
-    // inject exact dups (doc N copies doc N-1's text) and near dups
-    // (1-word edit) on top of the base corpus
-    val byId = docs.toMap
-    val finalDocs = docs.map { case (id, text) =>
-      if (id % 100 == 98 && id > 0)
-        (id, byId(id - 1)) // exact dup of predecessor
-      else if (id % 100 == 97 && id > 1)
-        (id, byId(id - 2).replaceFirst("w0", "w1")) // near dup, 1 edit
-      else (id, text)
+    // Inject near dups (guaranteed 1-word edit of doc id-2's FINAL text)
+    // and exact dups (copy of doc id-1's FINAL text) sequentially, so each
+    // injection references the corpus as it will actually be written —
+    // id%100: 97 becomes a near dup of base doc 95, then 98 an exact dup
+    // of that near dup, giving both jaccard≈0.9 and jaccard=1.0 pairs.
+    val texts = scala.collection.mutable.ArrayBuffer(docs.map(_._2): _*)
+    (0 until nDocs).foreach { id =>
+      if (id % 100 == 97 && id > 1) {
+        val w = texts(id - 2).split(" ")
+        w(0) = if (w(0) == "zz") "zy" else "zz" // always a real edit
+        texts(id) = w.mkString(" ")
+      } else if (id % 100 == 98 && id > 0) {
+        texts(id) = texts(id - 1)
+      }
     }
+    val finalDocs = (0 until nDocs).map(i => (i.toLong, texts(i)))
     finalDocs.toDF("doc_id", "text")
       .withColumn("lang", lit("en"))
       .withColumn("source", lit("src0"))
       .coalesce(4).write.mode("overwrite").parquet(s"$d/documents.parquet")
     d
+  }
+
+  test("organic vocabulary stays under the hot-shingle cap") {
+    val maxDf = LlmText.docShingles(spark, dir)
+      .groupBy("sh").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(maxDf <= 1024,
+      s"max shingle df $maxDf would trip the cap and skew the parity test")
   }
 
   test("banded MinHash equals the exact inverted-index join at 20k docs") {
@@ -60,6 +74,12 @@ class ScaleStressSpec extends AnyFunSuite {
       .select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty, "stress corpus must contain injected dups")
+    // the injections must actually be present: every (near-dup, its exact
+    // copy) pair has jaccard 1.0, every (base, near-dup) pair ≈ 0.8
+    (100 until nDocs by 100).foreach { c =>
+      assert(exact.contains((c + 97L, c + 98L)), s"missing exact pair at $c")
+      assert(exact.contains((c + 95L, c + 97L)), s"missing near pair at $c")
+    }
     assert(minhash == exact,
       s"minhash ${minhash.size} vs exact ${exact.size}; " +
         s"missed=${(exact -- minhash).take(5)} extra=${(minhash -- exact).take(5)}")
