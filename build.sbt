@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver json-parses the LAST line of `sbt "runMain ..."`
+// stdout. Two things break that by default: (a) forked-run output is routed
+// through sbt's logger and prefixed "[info] ", (b) sbt appends a trailing
+// "[success] Total time: ..." line. StdoutOutput passes the child's stdout
+// through raw; showSuccess := false drops the success line — together they
+// make the bench JSON the literal final line of stdout.
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -8,12 +8,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      // At bench volume (17 MB) task-scheduling overhead dominates: let AQE
-      // coalesce tiny shuffle outputs down to few tasks instead of keeping
-      // one per core. Results are partitioning-independent by construction
-      // (decimal aggregation — see ARCHITECTURE.md §2), so this is purely a
-      // latency knob; on a real 100 TB run parallelismFirst stays default.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // parallelismFirst stays at its default: the r2 bench flipped it to
+      // false for latency at 17 MB, and the three largest r2-vs-r1
+      // regressions (sink_partitioned, stream_sliding, llm_text_stats) were
+      // all on explode/write-heavy paths where trading parallelism for task
+      // count costs 3x. Default is also what a real 100 TB run would use.
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -32,6 +31,12 @@ object Bench {
     // Untimed warmup: pay one-time session/codegen/parquet-footer costs
     // outside the per-query timings.
     SparkEntry.entry(spark).count()
+    // Snapshot AFTER warmup so shuffle_mb covers only the timed queries
+    // (the r2 number silently included warmup and the untimed ANN-recall
+    // diagnostics). Listener events are delivered async; the short sleep
+    // lets in-flight stage-completed events drain before the snapshot.
+    Thread.sleep(1000)
+    val shuffleAtStart = shuffleBytes.get
     // Failures are reported as -1 s (the harness protocol's failure
     // marker, BASELINE.md), never as a plausible-looking duration.
     val results = SparkEntry.queries.map { case (name, fn) =>
@@ -50,6 +55,10 @@ object Bench {
     // not be summed into the headline total (that would UNDERSTATE it,
     // flattering the <=2x gate).
     val total = results.values.filter(_ >= 0).sum
+    // Shuffle delta for the timed section only, snapshotted before the
+    // untimed recall diagnostics below add their own shuffle traffic.
+    Thread.sleep(1000)
+    val benchShuffleBytes = shuffleBytes.get - shuffleAtStart
     // Quantify both ANN variants against the exact brute-force baseline
     // (llm_cosine_topk, materialized once): recall@5 over the probe set.
     // Diagnostic only — computed outside the per-query timings, so it does
@@ -94,9 +103,22 @@ object Bench {
     }
     val omitted = entries.length - kept.length
     val qs = kept.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${entries.length},"omitted":$omitted,"ann_recall":${fmt(annRecall)},"ivf_recall":${fmt(ivfRecall)},"shuffle_mb":${fmt(benchShuffleBytes / 1e6)},"sf":"$sfDir"}"""
+    // Self-check BEFORE printing: strict-parse the line with Jackson (on
+    // the classpath via Spark) so any future framing/locale/truncation
+    // regression fails loudly here instead of surfacing as a silent
+    // "parsed": null in the driver's BENCH file. Nothing may print to
+    // stdout after the JSON line — the driver parses the last line.
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    val tree = mapper.readTree(line)
+    require(tree.isObject && tree.has("value") && tree.get("value").isNumber
+        && tree.has("queries") && tree.get("queries").isObject,
+      "bench JSON self-check failed")
+    require(line.length <= 1900,
+      s"bench line ${line.length} chars risks the driver's 2000-char tail")
     spark.stop()
-    println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${entries.length},"omitted":$omitted,"ann_recall":${fmt(annRecall)},"ivf_recall":${fmt(ivfRecall)},"shuffle_mb":${fmt(shuffleBytes.get / 1e6)},"sf":"$sfDir"}""")
+    println(line)
     System.out.flush()
   }
 }

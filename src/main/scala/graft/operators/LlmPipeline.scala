@@ -214,10 +214,24 @@ object LlmPipeline {
 
   /** Vocabulary builder: top-100 tokens by corpus frequency with
     * cumulative coverage — the tokenizer-training prestep. Explode +
-    * two-phase hash agg, then rank/cumsum windows over the aggregated
-    * token table only (vocabulary-sized, not corpus-sized). Total-order
-    * tiebreak (count DESC, token ASC) keeps ranks and the integer cumsum
-    * deterministic; coverage is an exact int/int double division. */
+    * two-phase hash agg, then:
+    *   - top-100 via `orderBy(...).limit(100)` — compiles to
+    *     TakeOrderedAndProject (per-partition top-k, merge k·P rows), never
+    *     a global sort. At pretraining scale distinct tokens are billions
+    *     of rows; the r2 shape ranked them all through ONE unpartitioned
+    *     window task before applying `rk <= 100`.
+    *   - corpus total via a separate 1-row aggregate, broadcast-crossed in.
+    *   - rank + cumulative sum over the k-bounded top set WITHOUT any
+    *     window: Catalyst strips foldable partition keys, so a
+    *     constant-partitioned window degenerates to the empty spec (the
+    *     one-task funnel). Over k ≤ 100 rows a triangular broadcast
+    *     self-join is exact and fully partitioned — rk = |rows at-or-before
+    *     me in the (n DESC, token ASC) total order|, cum = sum of their
+    *     counts — O(k²) ≈ 10k pairs, independent of corpus size. The two
+    *     references to `top` share one shuffle via ReusedExchange.
+    * Total-order tiebreak (count DESC, token ASC) keeps ranks and the
+    * integer cumsum deterministic; coverage is an exact int/int double
+    * division. */
   private val vocab = Spec(
     "llm_vocab",
     """SELECT token, n, rk,
@@ -239,16 +253,21 @@ object LlmPipeline {
     val counts = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
-    // Windows over the aggregated vocabulary (≤ distinct-token rows, tiny
-    // next to the corpus); the unpartitioned frame is deliberate here.
-    val w = Window.orderBy(col("n").desc, col("token").asc)
-    counts
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .withColumn("cum", sum(col("n")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("total", sum(col("n")).over(
-        Window.partitionBy()))
-      .filter(col("rk") <= 100)
+    val top = counts.orderBy(col("n").desc, col("token").asc).limit(100)
+    // Corpus token total == SUM over the grouped counts, but computed
+    // map-only from per-doc token counts (no second explode+shuffle pass).
+    // coalesce(0) keeps a NULL text consistent with explode's skip.
+    val total = Tables.documents(s, d)
+      .select(coalesce(size(split(col("text"), " ")), lit(0))
+        .cast("long").as("c"))
+      .agg(sum(col("c")).as("total"))
+    val peer = top.select(col("token").as("t2"), col("n").as("n2"))
+    top.join(broadcast(peer),
+        col("n2") > col("n") ||
+          (col("n2") === col("n") && col("t2") <= col("token")))
+      .groupBy(col("token"), col("n"))
+      .agg(count(lit(1)).cast("long").as("rk"), sum(col("n2")).as("cum"))
+      .crossJoin(broadcast(total))
       .select(col("token"), col("n"), col("rk"),
         (col("cum").cast("double") / col("total")).as("coverage"))
       .orderBy(col("rk"))

@@ -100,6 +100,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Scan parquet"), p.take(1200))
   }
 
+  private def windowPartitionSpecs(name: String) =
+    SparkEntry.queries(name)(spark, SF001).queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec
+    }
+
+  test("win_ntile ranks under a partitioned window — no one-task funnel") {
+    val specs = windowPartitionSpecs("win_ntile")
+    assert(specs.nonEmpty, "expected the per-range-partition rank window")
+    assert(specs.forall(_.nonEmpty),
+      "a WindowExec with an empty partition spec moves ALL rows to one task")
+  }
+
+  test("llm_vocab takes top-k without a corpus-wide window or global sort") {
+    val df = SparkEntry.queries("llm_vocab")(spark, SF001)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 should be per-partition top-k, not a global sort: ${p.take(1200)}")
+    val specs = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec
+    }
+    assert(specs.forall(_.nonEmpty),
+      "rank/cumsum window must be partitioned (input is k-bounded)")
+  }
+
   test("whole-stage codegen covers the flagship aggregate") {
     // AQE finalizes the physical plan only at execution; run the query,
     // then check the executed plan for fused codegen stages.
