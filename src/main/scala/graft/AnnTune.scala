@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.LlmVector
+import graft.sources.Tables
+
+/** Recall/scan-fraction sweep for the two ANN candidate generators —
+  * `llm_ann_lsh` (hyperplane LSH, multi-probe) and `llm_ann_ivf` (coarse
+  * quantizer) — against the exact brute-force baseline `llm_cosine_topk`.
+  * ANN quality is a measured trade, not a guess: this main prints
+  * recall@5 and the measured fraction of the corpus each probe scores for
+  * a grid of configurations, and is how the shipped defaults were chosen
+  * (see the scaladoc on the two operators for the numbers).
+  *
+  * Usage: runMain graft.AnnTune [sfDir]
+  */
+object AnnTune {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("probe_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(SparkEntry.queries("llm_cosine_topk")(spark, sfDir))
+    def report(tag: String, top: DataFrame, raw: DataFrame): Unit = {
+      val recall = (pairs(top) & exact).size.toDouble / exact.size
+      val scan = raw.count() / (10.0 * (n - 1))
+      println(f"$tag%-28s recall@5=$recall%.3f scan=$scan%.3f")
+    }
+    for ((planes, radius, tables) <- Seq((8, 2, 1), (8, 3, 1), (8, 4, 1),
+        (9, 4, 1), (8, 2, 2), (8, 2, 4), (10, 3, 2)))
+      report(s"lsh planes=$planes r=$radius t=$tables",
+        LlmVector.lshTopk(emb, planes, radius, tables),
+        LlmVector.lshTopk(emb, planes, radius, tables, rank = false))
+    for ((cells, np) <- Seq((16, 3), (16, 6), (16, 8), (24, 10), (24, 12),
+        (32, 12), (64, 20)))
+      report(s"ivf cells=$cells nProbe=$np",
+        LlmVector.ivfTopk(spark, emb, cells, np),
+        LlmVector.ivfTopk(spark, emb, cells, np, rank = false))
+    spark.stop()
+  }
+}

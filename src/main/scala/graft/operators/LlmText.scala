@@ -110,8 +110,29 @@ object LlmText {
   private val pairsCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Int), DataFrame]
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.LlmText")
+
+  /** Sessions whose stop-listener is already registered. Entries for a
+    * stopped session are evicted so a session-cycling harness cannot
+    * accumulate strong references to dead sessions or their persisted
+    * pair DataFrames (ADVICE r2). */
+  private val hooked =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean])
+
+  private def evictOnStop(s: SparkSession): Unit = if (hooked.add(s)) {
+    s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onApplicationEnd(
+          e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+        pairsCache.keys.filter(_._1 eq s).foreach(pairsCache.remove)
+        hooked.remove(s)
+      }
+    })
+  }
+
   private[graft] def ngramPairs(s: SparkSession, d: String,
       maxDf: Int = 1024): DataFrame = {
+    evictOnStop(s)
     val key = (s,
       java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString, maxDf)
     pairsCache.getOrElseUpdate(key, computeNgramPairs(s, d, maxDf))
@@ -148,10 +169,9 @@ object LlmText {
     // the postings join share the hash partitioning on `sh` that the
     // self-join below needs anyway (exchange reuse), so the cap costs one
     // co-partitioned aggregate, not an extra shuffle shape.
+    val dfAgg = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val capped = sh.join(
-      sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDf)
-        .select(col("sh")),
+      dfAgg.filter(col("df") <= maxDf).select(col("sh")),
       "sh")
     val inter = capped.alias("a")
       .join(capped.alias("b"),
@@ -171,7 +191,26 @@ object LlmText {
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"),
         col("n_b"), col("jaccard"))
       .persist()
+    val t0 = System.nanoTime()
     pairs.count() // materialize eagerly, then drop the (large) index
+    // The one-time materialization bills to whichever consumer runs first
+    // (llm_dedup_ngram in the bench's map order, which is why its headline
+    // number dwarfs the other dedup-family queries) — make that legible in
+    // the logs rather than looking like a slow query. See BASELINE.md.
+    log.warn(f"materialized ngram near-dup pairs for $d (maxDf=$maxDf) in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s — one-time cost shared by " +
+      "llm_dedup_ngram / llm_dedup_cluster / llm_contamination")
+    // Diagnosability (ADVICE r2): when the cap actually fires, jaccard can
+    // undercount vs an uncapped oracle — say so loudly here instead of
+    // letting it surface as an unexplained hash mismatch. The count runs
+    // on the still-persisted postings, so it is one cheap cached-scan job.
+    val dropped = dfAgg.filter(col("df") > maxDf)
+      .agg(coalesce(sum(col("df")), lit(0L)).as("postings"),
+        count(lit(1)).as("shingles")).first()
+    if (dropped.getLong(1) > 0)
+      log.warn(s"ngram df-cap fired: dropped ${dropped.getLong(0)} postings " +
+        s"of ${dropped.getLong(1)} hot shingles (df > $maxDf); pair jaccard " +
+        "may undercount vs an uncapped exact oracle")
     sh.unpersist()
     pairs
   }

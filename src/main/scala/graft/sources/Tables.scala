@@ -21,17 +21,33 @@ object Tables {
     * for a session's lifetime (driver contract), so the lazily-built
     * DataFrame — still just a logical plan, nothing is cached/executed —
     * is safely shared across queries. Keyed by session because a plan is
-    * only valid in the session that built it. Unbounded by design: entries
-    * are one per (session, fixture file) — ≤ ~a dozen per session, each a
-    * logical plan + file listing — and every entry point (Verify, Bench,
-    * the test JVM) is single-session, so nothing accumulates; a
-    * session-cycling harness would want an explicit clear-on-stop. */
+    * only valid in the session that built it. Entries are one per
+    * (session, fixture file) — ≤ ~a dozen per session, each a logical plan
+    * + file listing — and a stop-listener evicts a session's entries when
+    * its context ends, so even a session-cycling harness cannot accumulate
+    * references to dead sessions (ADVICE r2). */
   private val relationCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  private val hooked =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean])
+
+  private def evictOnStop(s: SparkSession): Unit = if (hooked.add(s)) {
+    s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onApplicationEnd(
+          e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+        relationCache.keys.filter(_._1 eq s).foreach(relationCache.remove)
+        hooked.remove(s)
+      }
+    })
+  }
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    evictOnStop(spark)
     relationCache.getOrElseUpdate((spark, s"$sfDir/$name.parquet"),
       spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4.1 refuses to
     * read natively ([PARQUET_TYPE_ILLEGAL]). We read it as a raw long via
@@ -45,6 +61,7 @@ object Tables {
     * it at query-BUILD time would race with Spark's lazy evaluation (the
     * scan reads the conf at execution). */
   private def eventsRaw(s: SparkSession, d: String): DataFrame = {
+    evictOnStop(s)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     relationCache.getOrElseUpdate((s, s"$d/events.parquet#nanosAsLong"),
       s.read.parquet(s"$d/events.parquet"))

@@ -15,7 +15,7 @@ class IvfSpec extends AnyFunSuite {
     val emb = Tables.embeddings(spark, SF01)
     val a = LlmVector.ivfCentroids(emb)
     val b = LlmVector.ivfCentroids(emb)
-    assert(a.length <= 16 && a.nonEmpty)
+    assert(a.length <= 24 && a.nonEmpty)
     a.foreach { c =>
       val n = math.sqrt(c.map(x => x * x).sum)
       assert(math.abs(n - 1.0) < 1e-9, s"centroid norm $n")
@@ -48,9 +48,9 @@ class IvfSpec extends AnyFunSuite {
       .select("probe_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (ivf & exact).size.toDouble / exact.size
-    // nProbe/k = 3/16 ≈ 19 % scan; random candidates would land ≈ 0.19.
-    // The adaptive cells should do clearly better — floor at 0.35 to stay
-    // robust to fixture regeneration while still proving signal.
-    assert(recall >= 0.35, s"ivf recall@5 = $recall")
+    // Shipped config (AnnTune sweep): 24 cells, nProbe 12 ⇒ ~50 % scan,
+    // measured recall 0.84 here / 0.92 at sf0.1 — deterministic on the
+    // fixed fixtures, so the r2-verdict floor of 0.8 is safe to pin.
+    assert(recall >= 0.8, s"ivf recall@5 = $recall")
   }
 }

@@ -73,7 +73,11 @@ class LlmSpec extends AnyFunSuite {
       .select("probe_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & ann).size.toDouble / brute.size
-    assert(recall >= 0.2, s"LSH recall collapsed: $recall")
+    // Shipped config (AnnTune sweep): 8 planes, multi-probe radius 4 ⇒
+    // ~62 % scan, measured recall 0.86 here (0.80 at sf0.01, 0.86 at
+    // sf0.1) — deterministic on the fixed fixtures, so the r2-verdict
+    // floor of 0.8 is safe to pin.
+    assert(recall >= 0.8, s"LSH recall collapsed: $recall")
     assert(ann.nonEmpty)
   }
 
