@@ -505,43 +505,75 @@ object LlmVector {
       .orderBy(col("doc_id"))
   }
 
-  /** Multimodal binary pipeline: text → binary payload column → typed
-    * mapPartitions "decode" producing features. The decode itself is a
-    * DETERMINISTIC STUB (no image/audio codecs in this environment); the
-    * Spark-side plumbing — binary column through the plan, per-partition
-    * batch iteration, typed output schema — is real and is what carries
-    * over to a true decoder at 100 TB. Oracle mirrors the stub arithmetic
-    * over the UTF-8 bytes (position-weighted byte sum). */
+  /** Multimodal binary pipeline with a REAL codec: each document's UTF-8
+    * bytes are rendered into a grayscale image, encoded to an actual PNG
+    * (`javax.imageio`, in-JDK, headless) — that binary column is the
+    * opaque blob a multimodal corpus table carries — then a second typed
+    * `mapPartitions` stage DECODES the PNG and extracts features from the
+    * decoded pixels (dimensions, position-weighted pixel checksum).
+    *
+    * Oracle strategy: PNG is lossless and the render arithmetic is
+    * deterministic (pixel i = byte i mod n, width/height fixed functions
+    * of the byte count), so DuckDB predicts the decoded-pixel features
+    * from the source text — hash-parity proves the full encode → PNG →
+    * decode round-trip, not a stub. The encoded byte count itself is
+    * zlib-dependent and deliberately NOT an output column. At 100 TB the
+    * same two-stage plan shape holds with real camera/render payloads and
+    * any JVM codec; per-partition iteration amortizes codec setup and the
+    * blob column streams through the plan without touching the driver. */
   private val multimodalDecode = Spec(
     "llm_multimodal_decode",
     """SELECT doc_id,
-      |  length(text) AS n_bytes,
-      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |    list_transform(generate_series(1, length(text)),
-      |      i -> CAST(i AS BIGINT) * ascii(text[i]))),
-      |    (x, y) -> x + y) AS checksum,
-      |  (list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |    list_transform(generate_series(1, length(text)),
-      |      i -> CAST(i AS BIGINT) * ascii(text[i]))),
-      |    (x, y) -> x + y) % 640) + 1 AS width,
-      |  (length(text) % 480) + 1 AS height
+      |  CAST((length(text) % 32) + 4 AS BIGINT) AS width,
+      |  CAST((length(text) % 24) + 3 AS BIGINT) AS height,
+      |  CAST(((length(text) % 32) + 4) * ((length(text) % 24) + 3)
+      |    AS BIGINT) AS n_px,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(
+      |      generate_series(1, ((length(text) % 32) + 4)
+      |                         * ((length(text) % 24) + 3)),
+      |      i -> CAST(i AS BIGINT) *
+      |        CASE WHEN length(text) = 0 THEN 0
+      |             ELSE ascii(text[((i - 1) % length(text)) + 1]) END)),
+      |    (x, y) -> x + y) AS BIGINT) AS px_checksum
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
     val payloads = Tables.documents(s, d)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
-    payloads.mapPartitions { it =>
+    val pngs = payloads.mapPartitions { it =>
       it.map { case (id, bytes) =>
-        var checksum = 0L
+        val n = bytes.length
+        val w = (n % 32) + 4
+        val h = (n % 24) + 3
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
         var i = 0
-        while (i < bytes.length) {
-          checksum += (i + 1).toLong * (bytes(i) & 0xff)
+        while (i < w * h) {
+          val b = if (n == 0) 0 else bytes(i % n) & 0xff
+          img.setRGB(i % w, i / w, (b << 16) | (b << 8) | b)
           i += 1
         }
-        (id, bytes.length.toLong, checksum,
-          (checksum % 640) + 1, (bytes.length % 480 + 1).toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray)
       }
-    }.toDF("doc_id", "n_bytes", "checksum", "width", "height")
+    }.toDF("doc_id", "png").as[(Long, Array[Byte])]
+    pngs.mapPartitions { it =>
+      it.map { case (id, png) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(png))
+        val w = img.getWidth
+        val h = img.getHeight
+        var checksum = 0L
+        var i = 0
+        while (i < w * h) {
+          checksum += (i + 1).toLong * (img.getRGB(i % w, i / w) & 0xff)
+          i += 1
+        }
+        (id, w.toLong, h.toLong, w.toLong * h, checksum)
+      }
+    }.toDF("doc_id", "width", "height", "n_px", "px_checksum")
       .orderBy(col("doc_id"))
   }
 }
