@@ -21,7 +21,59 @@ import graft.sources.Tables
 object Analytics {
   def specs: Seq[Spec] = Seq(percentiles, pivotStatus, ntileBuckets,
     crossJoin, conditionals, subqueries, hashes, bitwise, percentRank,
-    skewSalted, statsMoments, approxPercentile)
+    skewSalted, statsMoments, approxPercentile, histogram, retention)
+
+  /** Fixed-width histogram of lineitem prices: bucket = floor(x / width).
+    * One two-phase hash aggregate (map-side partial per bucket), no sort,
+    * no window — the shape a 100 TB profile query must have. floor of an
+    * IEEE double division is bit-identical across engines; the bucket id
+    * is cast to BIGINT because Spark's floor yields LONG while DuckDB's
+    * yields DOUBLE. */
+  private val histogram = Spec(
+    "agg_histogram",
+    s"""SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bucket,
+       |  COUNT(*) AS n, ${Sql.dsum("l_extendedprice", "sum_price")}
+       |FROM lineitem
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(floor(col("l_extendedprice") / 10000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        Det.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Weekly cohort retention over the event stream: each user joins the
+    * cohort of the Monday-truncated week of their FIRST event; the cell
+    * (cohort_week, week_offset) counts distinct users from that cohort
+    * active that many weeks later — the product-analytics matrix. Plan:
+    * min-aggregate per user, equi-join back on user_id (co-partitioned
+    * with the first shuffle), then a distinct-count aggregate — three
+    * key-partitioned shuffles, no windows, no driver state. Both engines
+    * truncate weeks to Monday 00:00; the day difference between two week
+    * starts is an exact multiple of 7, so integer division is exact. */
+  private val retention = Spec(
+    "win_retention",
+    """SELECT CAST(cw AS DATE) AS cohort_week,
+      |  CAST(datediff('day', CAST(cw AS DATE), CAST(ew AS DATE)) // 7
+      |    AS BIGINT) AS week_offset,
+      |  COUNT(DISTINCT e.user_id) AS n_users
+      |FROM (SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+      |      FROM events GROUP BY user_id) u
+      |JOIN (SELECT user_id, date_trunc('week', ts) AS ew FROM events) e
+      |  ON u.user_id = e.user_id
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+    ev.select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("ew"))
+      .join(cohorts, "user_id")
+      .select(col("user_id"), col("cohort_week"),
+        expr("datediff(ew, cohort_week) div 7").cast("long").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
 
   /** Variance / stddev / covariance / correlation computed FROM exact
     * decimal moments (sum, sum of squares, co-sum) with a fixed double
@@ -253,7 +305,10 @@ object Analytics {
        |GROUP BY quartile ORDER BY quartile""".stripMargin) { (s, d) =>
     import s.implicits._
     val ord = Seq(col("c_acctbal").desc, col("c_custkey").asc)
+    // Only the rank keys are materialized — at 100 TB the persisted
+    // footprint is two columns, not the table.
     val ranged = Tables.customer(s, d)
+      .select(col("c_acctbal"), col("c_custkey"))
       .repartitionByRange(s.sparkContext.defaultParallelism, ord: _*)
       .withColumn("pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -17,7 +17,40 @@ import graft.sources.Tables
 object Joins {
   def specs: Seq[Spec] = Seq(
     innerHash, leftOuter, rightOuter, fullOuter, leftSemi, leftAnti,
-    broadcastJoin, multiway, thetaRange, asOf, bucketed, nullSafe)
+    broadcastJoin, multiway, thetaRange, asOf, bucketed, nullSafe, salted)
+
+  /** Skew-salted equi-join: the fact side appends a deterministic salt in
+    * 0..R-1 to its key, the dim side is replicated R ways (one row per
+    * salt), and the join runs on (key, salt) — a key hot enough to sink
+    * one reducer is spread over R tasks. This is the manual defense for
+    * engines/paths where AQE skew-join does not apply (stream-static
+    * joins, pre-3.0 stacks, or a skew AQE's 256 MB split threshold does
+    * not catch); the salt never escapes the plan, so the result is
+    * IDENTICAL to the plain join — which is exactly what the oracle runs.
+    * R = 8 multiplies the dim by 8: only acceptable because the dim side
+    * is orders of magnitude smaller than the fact side (here: orders vs
+    * lineitem), the same asymmetry the technique assumes at 100 TB. */
+  private val salted = Spec(
+    "join_salted",
+    s"""SELECT o_orderstatus, COUNT(*) AS n,
+       |  ${Sql.dsum("l_extendedprice", "sum_price")}
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    val r = 8
+    val fact = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey")), lit(r)).cast("int"))
+    val dim = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .withColumn("salt", explode(array((0 until r).map(lit(_)): _*)))
+    fact.join(dim,
+        fact("l_orderkey") === dim("o_orderkey")
+          && fact("salt") === dim("salt"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
 
   /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): the join key is
     * made nullable by mapping one priority class to NULL on both sides,

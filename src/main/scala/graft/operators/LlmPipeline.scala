@@ -21,7 +21,72 @@ import graft.sources.Tables
   */
 object LlmPipeline {
   def specs: Seq[Spec] = Seq(contamination, splitHash, repetition, chunking,
-    packSequences, domainMix, piiScrub, vocab, curriculum)
+    packSequences, domainMix, piiScrub, vocab, curriculum, sampleStratified,
+    winsorize)
+
+  /** Stratified downsampling with per-language rates (the data-mixing
+    * knob: keep half of English, a quarter of German, a tenth of the
+    * rest), decided by a content-independent md5 of the doc id — the same
+    * engine-portable hash-threshold trick as [[splitHash]], with a
+    * distinct salt so the sample is independent of the split. Map-only
+    * (filter + projection, no shuffle), reshard-stable, and each kept row
+    * carries weight = 1/rate so downstream aggregates stay unbiased.
+    * Thresholds compare the first two hex chars: '80'/256 = 1/2,
+    * '40'/256 = 1/4, '1a'/256 ≈ 0.102. */
+  private val sampleStratified = Spec(
+    "llm_sample_stratified",
+    """SELECT doc_id, lang, weight FROM (
+      |  SELECT doc_id, lang,
+      |    substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2) AS b,
+      |    CASE lang WHEN 'en' THEN '80' WHEN 'de' THEN '40'
+      |      ELSE '1a' END AS thr,
+      |    CASE lang WHEN 'en' THEN 2.0 WHEN 'de' THEN 4.0
+      |      ELSE 256.0 / 26 END AS weight
+      |  FROM documents)
+      |WHERE b < thr ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val b = substring(md5(concat(lit("sample:"), col("doc_id").cast("string"))),
+      1, 2)
+    val thr = when(col("lang") === "en", "80")
+      .when(col("lang") === "de", "40").otherwise("1a")
+    val weight = when(col("lang") === "en", 2.0)
+      .when(col("lang") === "de", 4.0).otherwise(256.0 / 26)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), b.as("b"), thr.as("thr"),
+        weight.as("weight"))
+      .filter(col("b") < col("thr"))
+      .select(col("doc_id"), col("lang"), col("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-language winsorization of document lengths: clip n_chars to the
+    * language's exact [p05, p95] band — the outlier-taming prestep before
+    * length-weighted mixing. Exact per-group percentiles (both engines
+    * share the linear-interpolation definition and IEEE arithmetic — see
+    * Analytics' percentile note), broadcast back onto the rows by an
+    * equi-join on lang: the quantile table is |languages| rows however
+    * large the corpus. */
+  private val winsorize = Spec(
+    "llm_winsorize",
+    """SELECT doc_id, d.lang, n_chars,
+      |  LEAST(GREATEST(CAST(n_chars AS DOUBLE), p05), p95) AS clipped
+      |FROM documents d
+      |JOIN (SELECT lang,
+      |        quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS p05,
+      |        quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS p95
+      |      FROM documents GROUP BY lang) q
+      |  ON d.lang = q.lang
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val q = Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(expr("percentile(CAST(n_chars AS DOUBLE), 0.05)").as("p05"),
+        expr("percentile(CAST(n_chars AS DOUBLE), 0.95)").as("p95"))
+    Tables.documents(s, d)
+      .join(broadcast(q), "lang")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        least(greatest(col("n_chars").cast("double"), col("p05")),
+          col("p95")).as("clipped"))
+      .orderBy(col("doc_id"))
+  }
 
   private def docsWords(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)

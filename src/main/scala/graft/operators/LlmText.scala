@@ -19,12 +19,61 @@ import graft.sources.Tables
   */
 object LlmText {
   def specs: Seq[Spec] = Seq(dedupExact, dedupNgram, dedupCluster, textStats,
-    langId, quality, tokenCount, fingerprint, tfidf)
+    langId, quality, tokenCount, fingerprint, tfidf, ngramLm)
 
   private def docsWords(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("text"),
         split(col("text"), " ").as("words"))
+
+  /** Corpus bigram language-model counts: the 50 most frequent bigrams
+    * with their conditional probability P(w2 | w1) = c(w1,w2) / c(w1,·) —
+    * the classic n-gram-LM / data-mixing prestep. The prefix total
+    * c(w1,·) is re-aggregated FROM the bigram counts (not a separate
+    * unigram pass), so numerator and denominator share one explode and
+    * boundary handling can never diverge. Plan: one generate+explode, two
+    * two-phase hash aggregates, an equi-join on w1, and a
+    * TakeOrderedAndProject top-50 under the (n12 DESC, w1, w2) total
+    * order — no global sort, no window; conditional p is a single exact
+    * IEEE int/int double division. */
+  private val ngramLm = Spec(
+    "llm_ngram_lm",
+    """SELECT w1, w2, n12, n1, CAST(n12 AS DOUBLE) / n1 AS p
+      |FROM (SELECT w1, w2, COUNT(*) AS n12
+      |      FROM (SELECT ws[i] AS w1, ws[i + 1] AS w2
+      |            FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1))
+      |                    AS i
+      |                  FROM (SELECT string_split(text, ' ') AS ws
+      |                        FROM documents)
+      |                  WHERE len(ws) >= 2))
+      |      GROUP BY w1, w2) c12
+      |JOIN (SELECT w1 AS w1b, CAST(SUM(n12b) AS BIGINT) AS n1
+      |      FROM (SELECT w1, w2, COUNT(*) AS n12b
+      |            FROM (SELECT ws[i] AS w1, ws[i + 1] AS w2
+      |                  FROM (SELECT ws, unnest(generate_series(1,
+      |                          len(ws) - 1)) AS i
+      |                        FROM (SELECT string_split(text, ' ') AS ws
+      |                              FROM documents)
+      |                        WHERE len(ws) >= 2))
+      |            GROUP BY w1, w2)
+      |      GROUP BY w1) c1
+      |  ON w1 = w1b
+      |ORDER BY n12 DESC, w1, w2 LIMIT 50""".stripMargin) { (s, d) =>
+    val bg = docsWords(s, d)
+      .filter(size(col("words")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(words) - 2),
+          |  i -> struct(words[i] AS w1, words[i + 1] AS w2))"""
+          .stripMargin)).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
+    c12.join(c1, "w1")
+      .select(col("w1"), col("w2"), col("n12"), col("n1"),
+        (col("n12").cast("double") / col("n1")).as("p"))
+      .orderBy(col("n12").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
 
   /** Exact dedup by normalized text, keeping the smallest doc_id as the
     * canonical representative. The fixture has duplicates only at sf0.1

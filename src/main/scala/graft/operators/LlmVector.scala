@@ -105,9 +105,15 @@ object LlmVector {
        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
        |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.99
        |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
-    val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"))
-      .withColumn("bucket", bucketUdf(nPlanes)(col("embedding")))
+    embedNearDupPairs(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), 0.99)
+  }
+
+  /** Reusable embedding near-dup pipeline (LSH-bucketed candidates + exact
+    * cosine verification) so tests can run it on synthetic borderline
+    * corpora. */
+  def embedNearDupPairs(vecs: DataFrame, threshold: Double): DataFrame = {
+    val emb = vecs.withColumn("bucket", bucketUdf(nPlanes)(col("embedding")))
     // Multi-probe expansion on one side only: the flip matching the two
     // buckets' XOR is unique, so each qualifying pair meets exactly once.
     val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
@@ -118,7 +124,7 @@ object LlmVector {
     a.join(b, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("score", cosineCol("ea", "eb"))
-      .filter(col("score") >= 0.99)
+      .filter(col("score") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("score"))
       .orderBy(col("vec_a"), col("vec_b"))
   }

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.LlmVector
+
+/** ADVICE r2 #1: the probabilistic candidate generators (MinHash banding,
+  * hyperplane-LSH buckets) are graded against EXACT oracles, and their
+  * parity is data-dependent — a true pair sitting just above the threshold
+  * is the one most likely to be missed. These tests build synthetic corpora
+  * whose pair similarities straddle the thresholds densely (jaccard around
+  * 0.7, cosine around 0.99) and assert the candidate-generator + exact-
+  * verify pipelines return EXACTLY the brute-force pair set, so the parity
+  * claim is exercised where it is weakest, not just on the easy fixtures.
+  * Everything is deterministic: fixed constructions, no RNG at test time.
+  */
+class BorderlineParitySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("minhash banding == exact pairs on jaccard straddling 0.7") {
+    // Doc pairs (2i, 2i+1) share `common` words of a 60-word budget; with
+    // all-distinct single-use words the 3-gram shingle sets overlap in a
+    // controlled band. common sweeps so exact jaccard crosses 0.7 from
+    // ~0.55 to ~0.85 — each pair's true jaccard is computed brute-force
+    // below rather than assumed.
+    def word(tag: String, i: Int) = s"$tag$i"
+    // With 60-word docs and c shared prefix words, the 3-gram shingle sets
+    // give jaccard (c-2)/(118-c): 0.57 at c=44 rising to 0.97 at c=59,
+    // crossing 0.7 between c=49 (0.681) and c=50 (0.706).
+    val docs = (0 until 16).flatMap { p =>
+      val common = 44 + p // 44..59 shared words of 60
+      val shared = (0 until common).map(word(s"c${p}_", _))
+      val a = shared ++ (0 until (60 - common)).map(word(s"a${p}_", _))
+      val b = shared ++ (0 until (60 - common)).map(word(s"b${p}_", _))
+      Seq((2L * p, a.mkString(" ")), (2L * p + 1, b.mkString(" ")))
+    }
+    val df = docs.toDF("doc_id", "text")
+    def shingles(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val exact = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      sa = shingles(ta); sb = shingles(tb)
+      j = (sa & sb).size.toDouble / (sa | sb).size if j >= 0.7
+    } yield (ia, ib)).toSet
+    // Sanity: the construction actually produces pairs on BOTH sides of
+    // the threshold, including within ±0.05 of it.
+    val allJ = for {
+      (ia, ta) <- docs if ia % 2 == 0
+      (ib, tb) <- docs if ib == ia + 1
+      sa = shingles(ta); sb = shingles(tb)
+    } yield (sa & sb).size.toDouble / (sa | sb).size
+    assert(allJ.exists(j => j >= 0.7 && j < 0.75), allJ.sorted.mkString(","))
+    assert(allJ.exists(j => j >= 0.65 && j < 0.7), allJ.sorted.mkString(","))
+    assert(exact.nonEmpty && exact.size < 16)
+    val got = LlmVector.minhashPairs(df, 0.7)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exact,
+      s"banding missed ${exact -- got} / phantom ${got -- exact}")
+  }
+
+  test("embed LSH+verify == exact pairs on cosine straddling 0.99") {
+    // Pair 2i/2i+1: v and normalize(v + eps*w) with w ⊥ v, so
+    // cos = 1/sqrt(1+eps²); eps sweeps cos from ~0.9985 down to ~0.976,
+    // densely crossing 0.99 (cos >= 0.99 ⇔ eps <= ~0.1425).
+    val dim = 16
+    def base(p: Int): Array[Float] = {
+      val v = new Array[Float](dim)
+      v(p % dim) = 1f; v((p + 3) % dim) = 0.5f; v
+    }
+    def ortho(p: Int): Array[Float] = {
+      val w = new Array[Float](dim)
+      // orthogonal to base(p): weight +1 on a 0-coordinate axis
+      w((p + 7) % dim) = 1f
+      if ((p + 7) % dim == p % dim || (p + 7) % dim == (p + 3) % dim)
+        { w((p + 7) % dim) = 0f; w((p + 9) % dim) = 1f }
+      w
+    }
+    val vecs = (0 until 12).flatMap { p =>
+      val eps = 0.055f + 0.015f * p // 0.055 .. 0.22
+      val v = base(p)
+      val w = ortho(p)
+      val u = v.zip(w).map { case (x, y) => x + eps * y }
+      Seq((2L * p, v.toSeq), (2L * p + 1, u.toSeq))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val exact = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib
+      c = LlmVector.cosine(va.toArray, vb.toArray) if c >= 0.99
+    } yield (ia, ib)).toSet
+    val allC = vecs.grouped(2).map { case Seq((_, va), (_, vb)) =>
+      LlmVector.cosine(va.toArray, vb.toArray) }.toSeq
+    assert(allC.exists(c => c >= 0.99 && c < 0.995), allC.mkString(","))
+    assert(allC.exists(c => c >= 0.985 && c < 0.99), allC.mkString(","))
+    assert(exact.nonEmpty && exact.size < 12)
+    val got = LlmVector.embedNearDupPairs(df, 0.99)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exact,
+      s"LSH missed ${exact -- got} / phantom ${got -- exact}")
+  }
+}
