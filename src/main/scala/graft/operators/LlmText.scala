@@ -19,7 +19,68 @@ import graft.sources.Tables
   */
 object LlmText {
   def specs: Seq[Spec] = Seq(dedupExact, dedupNgram, dedupCluster, textStats,
-    langId, quality, tokenCount, fingerprint, tfidf, ngramLm)
+    langId, quality, tokenCount, fingerprint, tfidf, ngramLm, cooccur)
+
+  /** Skip-gram co-occurrence with lift: canonical unordered word pairs
+    * within a ±2 token window, scored by
+    * lift = n_pair · T / (n_a · n_b) — association strength against the
+    * independence baseline, the embedding/PMI prestep (PMI itself is
+    * ln(lift); ln is banned from oracle-checked outputs by the libm rule,
+    * and lift is the same ranking). Top-50 under the (n_pair DESC, wa,
+    * wb) total order. Plan: one nested-transform explode for the pair
+    * stream, hash aggregates for pair/unigram/total counts, two
+    * broadcast-sized joins on the 50-row top set — the heavy explode
+    * shuffles only 8-byte-ish pair keys, and every division is a single
+    * IEEE double op, identical across engines. */
+  private val cooccur = Spec(
+    "llm_cooccur",
+    """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      |toks AS (SELECT unnest(ws) AS t FROM w),
+      |uni AS (SELECT t, COUNT(*) AS n FROM toks GROUP BY t),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM toks),
+      |pr AS (SELECT unnest(flatten(list_transform(
+      |         generate_series(1, len(ws) - 1), i ->
+      |           list_transform(generate_series(i + 1, least(i + 2, len(ws))),
+      |             j -> CASE WHEN ws[i] <= ws[j]
+      |                    THEN ws[i] || ' ' || ws[j]
+      |                    ELSE ws[j] || ' ' || ws[i] END)))) AS k
+      |       FROM w WHERE len(ws) >= 2),
+      |np AS (SELECT k, COUNT(*) AS n_pair FROM pr GROUP BY k)
+      |SELECT string_split(k, ' ')[1] AS wa, string_split(k, ' ')[2] AS wb,
+      |  n_pair, a.n AS n_a, b.n AS n_b,
+      |  (CAST(n_pair AS DOUBLE) * CAST(total AS DOUBLE))
+      |    / (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)) AS lift
+      |FROM np
+      |JOIN uni a ON string_split(k, ' ')[1] = a.t
+      |JOIN uni b ON string_split(k, ' ')[2] = b.t
+      |CROSS JOIN tot
+      |ORDER BY n_pair DESC, wa, wb LIMIT 50""".stripMargin) { (s, d) =>
+    val words = docsWords(s, d).select(col("words"))
+    val toks = words.select(explode(col("words")).as("t"))
+    val uni = toks.groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val tot = toks.agg(count(lit(1)).as("total"))
+    val np = words.filter(size(col("words")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(words) - 2), i ->
+          |  transform(sequence(i + 1, least(i + 2, size(words) - 1)), j ->
+          |    if(words[i] <= words[j],
+          |       concat_ws(' ', words[i], words[j]),
+          |       concat_ws(' ', words[j], words[i])))))""".stripMargin))
+        .as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_pair"))
+    np
+      .select(element_at(split(col("k"), " "), 1).as("wa"),
+        element_at(split(col("k"), " "), 2).as("wb"), col("n_pair"))
+      .join(uni.select(col("t").as("wa"), col("n").as("n_a")), "wa")
+      .join(uni.select(col("t").as("wb"), col("n").as("n_b")), "wb")
+      .crossJoin(broadcast(tot))
+      .select(col("wa"), col("wb"), col("n_pair"), col("n_a"), col("n_b"),
+        ((col("n_pair").cast("double") * col("total").cast("double"))
+          / (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("lift"))
+      .orderBy(col("n_pair").desc, col("wa"), col("wb"))
+      .limit(50)
+  }
 
   private def docsWords(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)

@@ -126,6 +126,24 @@ class PlanSpec extends AnyFunSuite {
       "rank/cumsum window must be partitioned (input is k-bounded)")
   }
 
+  test("join_salted stays an equi hash join on (key, salt) — never a loop") {
+    val p = plan("join_salted")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p.take(900))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(900))
+  }
+
+  test("llm_sample_stratified is map-only: no exchange but the sort's") {
+    val p = plan("llm_sample_stratified")
+    assert(!p.contains("hashpartitioning"), p.take(1200))
+    assert(p.contains("Scan parquet"), p.take(1200))
+  }
+
+  test("llm_winsorize broadcasts the per-language quantile table") {
+    val p = plan("llm_winsorize")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
   test("whole-stage codegen covers the flagship aggregate") {
     // AQE finalizes the physical plan only at execution; run the query,
     // then check the executed plan for fused codegen stages.
