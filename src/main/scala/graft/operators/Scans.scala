@@ -13,7 +13,7 @@ import graft.sources.Tables
   */
 object Scans {
   def specs: Seq[Spec] = Seq(scanParquet, scanCsv, scanJson, scanOrc,
-    sinkPartitioned, sourceStreamFile)
+    sinkPartitioned, sourceStreamFile, sinkStreamForeach)
 
   /** Scratch dir for a round-trip op, keyed by the op name AND the full
     * (absolutized) sfDir so runs against different scale factors — or
@@ -133,17 +133,33 @@ object Scans {
       |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type
       |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val stream = eventsFileStream(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Det.dsum6(col("value")).as("sum_value"))
+    val name = "graft_src_stream_" + java.nio.file.Paths.get(d)
+      .toAbsolutePath.normalize.toString.replaceAll("[^A-Za-z0-9]", "_")
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).orderBy(col("event_type"))
+  }
+
+  /** Streaming `readStream` over the events fixture exposed as a file-source
+    * directory. The file source wants a directory; expose the fixture file
+    * through a symlinked temp dir (at scale the source IS a directory of
+    * arriving files, so this is the realistic shape anyway). The link
+    * target is absolutized (a relative sfDir would otherwise resolve
+    * against the temp dir) and stale/broken links are replaced, not
+    * trusted. */
+  private def eventsFileStream(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    // The file source wants a directory; expose the fixture file through a
-    // symlinked temp dir (at scale the source IS a directory of arriving
-    // files, so this is the realistic shape anyway). The link target is
-    // absolutized (a relative sfDir would otherwise resolve against the
-    // temp dir) and stale/broken links are replaced, not trusted.
     import java.nio.file.{Files, LinkOption, Paths}
     val target = Paths.get(d, "events.parquet").toAbsolutePath.normalize
     val srcDir = Paths.get(scratch("stream_src", d))
@@ -155,16 +171,35 @@ object Scans {
       Files.delete(link)
     if (!Files.exists(link, LinkOption.NOFOLLOW_LINKS))
       Files.createSymbolicLink(link, target)
-    val stream = s.readStream.schema(schema)
-      .parquet(srcDir.toString)
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        graft.functions.Det.dsum6(col("value")).as("sum_value"))
-    val name = "graft_src_stream_" +
-      target.toString.replaceAll("[^A-Za-z0-9]", "_")
-    val q = stream.writeStream.format("memory").queryName(name)
-      .outputMode("complete").start()
+    s.readStream.schema(schema).parquet(srcDir.toString)
+  }
+
+  /** Streaming `foreachBatch` sink with the idempotent per-batch-directory
+    * layout: each micro-batch overwrites `out/batch=<id>`, so a replayed
+    * batch (the at-least-once delivery case) rewrites ITS OWN directory
+    * instead of duplicating rows — this overwrite-by-batch-id pattern is
+    * how exactly-once file output is built on Structured Streaming's
+    * at-least-once foreachBatch contract in production. The read-back goes
+    * through partition discovery (batch becomes a partition column) and
+    * batch/stream parity is the oracle: the SQL computes the same
+    * filtered projection straight from the source table. */
+  private val sinkStreamForeach = Spec(
+    "sink_stream_foreach",
+    """SELECT event_id, user_id, value FROM events
+      |WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val out = scratch("foreach_sink", d)
+    val q = eventsFileStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/batch=$id")
+      }
+      .start()
     try q.processAllAvailable() finally q.stop()
-    s.table(name).orderBy(col("event_type"))
+    s.read.parquet(out)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("event_id"))
   }
 }
