@@ -16,7 +16,40 @@ import graft.sources.Tables
 object Aggregates {
   def specs: Seq[Spec] = Seq(aggHashGroup, aggGlobal, aggDistinct,
     aggApproxDistinct, aggRollup, aggCube, aggGroupingSets, aggCollect,
-    aggCustomTyped, aggStringConcat, aggMode)
+    aggCustomTyped, aggStringConcat, aggMode, aggFiltered)
+
+  /** SQL:2003 FILTER-clause aggregates: several differently-filtered
+    * aggregates over ONE scan and ONE two-phase hash aggregate — the
+    * conditional-aggregation surface that replaces N self-joins (or N
+    * passes) with per-row predicates inside the aggregate. Exercised
+    * through the SQL FILTER syntax itself (Spark parses it natively);
+    * semantically identical to the `sum(CASE WHEN ...)` family but the
+    * declared form the optimizer and readers want. */
+  private val aggFiltered = Spec(
+    "agg_filtered",
+    s"""SELECT o_orderstatus,
+       |  COUNT(*) AS n,
+       |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+       |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+       |    FILTER (WHERE o_totalprice > 100000), 0) AS DOUBLE)
+       |    AS big_total,
+       |  COUNT(DISTINCT o_custkey)
+       |    FILTER (WHERE o_orderpriority = '5-LOW') AS n_low_cust
+       |FROM orders GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        expr("COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')")
+          .as("n_urgent"),
+        coalesce(expr(
+          """SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            |  FILTER (WHERE o_totalprice > 100000)""".stripMargin),
+          lit(BigDecimal(0))).cast("double").as("big_total"),
+        expr("COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderpriority = '5-LOW')")
+          .as("n_low_cust"))
+      .orderBy(col("o_orderstatus"))
+  }
 
   /** Mode (most frequent value) per group, made deterministic the only
     * portable way: count + row_number with an explicit (count DESC, value

@@ -8,7 +8,40 @@ import graft.sources.Tables
   * row (distinct forms) or plain concatenation (union all) — no surprises
   * at scale. */
 object SetOps {
-  def specs: Seq[Spec] = Seq(unionAll, unionDistinct, intersect, exceptOp)
+  def specs: Seq[Spec] = Seq(unionAll, unionDistinct, intersect, exceptOp,
+    intersectAll, exceptAll)
+
+  /** Bag-semantics INTERSECT ALL: multiplicity = min of the two sides —
+    * run on a duplicate-heavy projection (customer keys of multi-order
+    * customers) so the ALL semantics are actually exercised. Plans as a
+    * count-per-row aggregate on each side + join (Spark rewrites it via
+    * `replicate_rows`), all key-partitioned. */
+  private val intersectAll = Spec(
+    "set_intersect_all",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |INTERSECT ALL
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .intersectAll(
+        o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Bag-semantics EXCEPT ALL: multiplicity = max(0, left − right). */
+  private val exceptAll = Spec(
+    "set_except_all",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |EXCEPT ALL
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .exceptAll(
+        o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
 
   private def urgent(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
