@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, max}
 import graft.operators.LlmVector
 import graft.sources.Tables
 
@@ -31,20 +32,29 @@ object AnnTune {
       df.select("probe_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = pairs(SparkEntry.queries("llm_cosine_topk")(spark, sfDir))
-    def report(tag: String, top: DataFrame, raw: DataFrame): Unit = {
-      val recall = (pairs(top) & exact).size.toDouble / exact.size
-      val scan = raw.count() / (10.0 * (n - 1))
+    // Each config's candidate generation runs ONCE: the raw scored set is
+    // persisted, the scan fraction is its count, and the ranked top-5 is
+    // derived from the same cached set.
+    def report(tag: String, raw: DataFrame): Unit = {
+      val cached = raw.persist()
+      val scan = cached.count() / (10.0 * (n - 1))
+      // Collapse duplicate pairs before ranking (multi-table candidate
+      // sets meet once per table — same dedup the shipped query applies;
+      // a no-op for the single-table and IVF sets, which are pair-unique).
+      val deduped = cached.groupBy(col("probe_id"), col("neighbor_id"))
+        .agg(max(col("score")).as("score"))
+      val recall = (pairs(LlmVector.rankTop5(deduped, rank = true)) & exact)
+        .size.toDouble / exact.size
+      cached.unpersist()
       println(f"$tag%-28s recall@5=$recall%.3f scan=$scan%.3f")
     }
     for ((planes, radius, tables) <- Seq((8, 2, 1), (8, 3, 1), (8, 4, 1),
         (9, 4, 1), (8, 2, 2), (8, 2, 4), (10, 3, 2)))
       report(s"lsh planes=$planes r=$radius t=$tables",
-        LlmVector.lshTopk(emb, planes, radius, tables),
         LlmVector.lshTopk(emb, planes, radius, tables, rank = false))
     for ((cells, np) <- Seq((16, 3), (16, 6), (16, 8), (24, 10), (24, 12),
         (32, 12), (64, 20)))
       report(s"ivf cells=$cells nProbe=$np",
-        LlmVector.ivfTopk(spark, emb, cells, np),
         LlmVector.ivfTopk(spark, emb, cells, np, rank = false))
     spark.stop()
   }

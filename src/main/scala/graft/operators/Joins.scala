@@ -19,17 +19,21 @@ object Joins {
     innerHash, leftOuter, rightOuter, fullOuter, leftSemi, leftAnti,
     broadcastJoin, multiway, thetaRange, asOf, bucketed, nullSafe, salted)
 
-  /** Skew-salted equi-join: the fact side appends a deterministic salt in
-    * 0..R-1 to its key, the dim side is replicated R ways (one row per
-    * salt), and the join runs on (key, salt) — a key hot enough to sink
-    * one reducer is spread over R tasks. This is the manual defense for
-    * engines/paths where AQE skew-join does not apply (stream-static
-    * joins, pre-3.0 stacks, or a skew AQE's 256 MB split threshold does
-    * not catch); the salt never escapes the plan, so the result is
-    * IDENTICAL to the plain join — which is exactly what the oracle runs.
-    * R = 8 multiplies the dim by 8: only acceptable because the dim side
-    * is orders of magnitude smaller than the fact side (here: orders vs
-    * lineitem), the same asymmetry the technique assumes at 100 TB. */
+  /** Skew-salted equi-join: the fact side appends a salt in 0..R-1 to its
+    * key, the dim side is replicated R ways (one row per salt), and the
+    * join runs on (key, salt) — a key hot enough to sink one reducer is
+    * spread over R tasks. The salt MUST vary WITHIN a join key (here it
+    * hashes l_linenumber, which varies within an orderkey) — deriving it
+    * from the join key itself would give every row of a hot key the same
+    * salt and spread nothing while still paying the R× dim replication.
+    * This is the manual defense for engines/paths where AQE skew-join
+    * does not apply (stream-static joins, pre-3.0 stacks, or skew AQE's
+    * 256 MB split threshold does not catch); the salt never escapes the
+    * plan, so the result is IDENTICAL to the plain join — which is
+    * exactly what the oracle runs. R = 8 multiplies the dim by 8: only
+    * acceptable because the dim side is orders of magnitude smaller than
+    * the fact side (here: orders vs lineitem), the same asymmetry the
+    * technique assumes at 100 TB. */
   private val salted = Spec(
     "join_salted",
     s"""SELECT o_orderstatus, COUNT(*) AS n,
@@ -39,8 +43,9 @@ object Joins {
        |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
     val r = 8
     val fact = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_extendedprice"))
-      .withColumn("salt", pmod(xxhash64(col("l_orderkey")), lit(r)).cast("int"))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_linenumber"))
+      .withColumn("salt",
+        pmod(xxhash64(col("l_linenumber")), lit(r)).cast("int"))
     val dim = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_orderstatus"))
       .withColumn("salt", explode(array((0 until r).map(lit(_)): _*)))

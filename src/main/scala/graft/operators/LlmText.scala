@@ -68,9 +68,13 @@ object LlmText {
           |       concat_ws(' ', words[j], words[i])))))""".stripMargin))
         .as("k"))
       .groupBy(col("k")).agg(count(lit(1)).as("n_pair"))
+    // Top-50 BEFORE the unigram joins (same argument as llm_ngram_lm:
+    // order keys are pre-join, joins are key-unique, so the enrich joins
+    // land on 50 rows instead of the full distinct-pair set).
     np
       .select(element_at(split(col("k"), " "), 1).as("wa"),
         element_at(split(col("k"), " "), 2).as("wb"), col("n_pair"))
+      .orderBy(col("n_pair").desc, col("wa"), col("wb")).limit(50)
       .join(uni.select(col("t").as("wa"), col("n").as("n_a")), "wa")
       .join(uni.select(col("t").as("wb"), col("n").as("n_b")), "wb")
       .crossJoin(broadcast(tot))
@@ -79,7 +83,6 @@ object LlmText {
           / (col("n_a").cast("double") * col("n_b").cast("double")))
           .as("lift"))
       .orderBy(col("n_pair").desc, col("wa"), col("wb"))
-      .limit(50)
   }
 
   private def docsWords(s: SparkSession, d: String): DataFrame =
@@ -129,11 +132,16 @@ object LlmText {
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
     val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
     val c1 = c12.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
-    c12.join(c1, "w1")
+    // Top-50 BEFORE the prefix-total join: the order keys are all computed
+    // pre-join and the join is key-unique, so limiting first is
+    // semantically identical — and the join input shrinks from |distinct
+    // bigrams| to 50 rows (Spark does not push TakeOrdered through a
+    // join on its own). n1 still aggregates over the FULL bigram table.
+    c12.orderBy(col("n12").desc, col("w1"), col("w2")).limit(50)
+      .join(c1, "w1")
       .select(col("w1"), col("w2"), col("n12"), col("n1"),
         (col("n12").cast("double") / col("n1")).as("p"))
       .orderBy(col("n12").desc, col("w1"), col("w2"))
-      .limit(50)
   }
 
   /** Exact dedup by normalized text, keeping the smallest doc_id as the
@@ -222,23 +230,13 @@ object LlmText {
 
   private val log = org.slf4j.LoggerFactory.getLogger("graft.LlmText")
 
-  /** Sessions whose stop-listener is already registered. Entries for a
-    * stopped session are evicted so a session-cycling harness cannot
-    * accumulate strong references to dead sessions or their persisted
-    * pair DataFrames (ADVICE r2). */
-  private val hooked =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean])
-
-  private def evictOnStop(s: SparkSession): Unit = if (hooked.add(s)) {
-    s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onApplicationEnd(
-          e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-        pairsCache.keys.filter(_._1 eq s).foreach(pairsCache.remove)
-        hooked.remove(s)
-      }
-    })
-  }
+  /** Entries for a stopped session are evicted so a session-cycling
+    * harness cannot accumulate strong references to dead sessions or
+    * their persisted pair DataFrames (ADVICE r2). */
+  private def evictOnStop(s: SparkSession): Unit =
+    graft.sources.SessionHooks.onApplicationEnd(s, "llmtext-pairs") { () =>
+      pairsCache.keys.filter(_._1 eq s).foreach(pairsCache.remove)
+    }
 
   private[graft] def ngramPairs(s: SparkSession, d: String,
       maxDf: Int = 1024): DataFrame = {

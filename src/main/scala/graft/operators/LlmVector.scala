@@ -208,8 +208,10 @@ object LlmVector {
     rankTop5(deduped, rank = true)
   }
 
-  /** Shared per-probe top-5 ranking over scored candidates. */
-  private def rankTop5(cands: DataFrame, rank: Boolean): DataFrame = {
+  /** Shared per-probe top-5 ranking over scored candidates (package-open
+    * so AnnTune can rank a persisted raw candidate set without re-running
+    * candidate generation). */
+  private[graft] def rankTop5(cands: DataFrame, rank: Boolean): DataFrame = {
     if (!rank)
       return cands.select(col("probe_id"), col("neighbor_id"), col("score"))
     val win = Window.partitionBy(col("probe_id"))
@@ -511,18 +513,22 @@ object LlmVector {
       .orderBy(col("doc_id"))
   }
 
-  /** Multimodal binary pipeline with a REAL codec: each document's UTF-8
-    * bytes are rendered into a grayscale image, encoded to an actual PNG
-    * (`javax.imageio`, in-JDK, headless) — that binary column is the
+  /** Multimodal binary pipeline with a REAL codec: each document's
+    * CODEPOINTS are rendered into a grayscale image, encoded to an actual
+    * PNG (`javax.imageio`, in-JDK, headless) — that binary column is the
     * opaque blob a multimodal corpus table carries — then a second typed
     * `mapPartitions` stage DECODES the PNG and extracts features from the
     * decoded pixels (dimensions, position-weighted pixel checksum).
     *
     * Oracle strategy: PNG is lossless and the render arithmetic is
-    * deterministic (pixel i = byte i mod n, width/height fixed functions
-    * of the byte count), so DuckDB predicts the decoded-pixel features
-    * from the source text — hash-parity proves the full encode → PNG →
-    * decode round-trip, not a stub. The encoded byte count itself is
+    * deterministic (pixel i = codepoint (i mod n) mod 256, width/height
+    * fixed functions of the codepoint count), so DuckDB predicts the
+    * decoded-pixel features from the source text — hash-parity proves the
+    * full encode → PNG → decode round-trip, not a stub. Codepoints, NOT
+    * UTF-8 bytes: Spark `length`/DuckDB `length` and `ascii(text[i])` all
+    * speak codepoints, so the parity holds for non-ASCII text too (a
+    * byte-based render would silently diverge on the first umlaut a
+    * fixture regeneration introduces). The encoded PNG byte count is
     * zlib-dependent and deliberately NOT an output column. At 100 TB the
     * same two-stage plan shape holds with real camera/render payloads and
     * any JVM codec; per-partition iteration amortizes codec setup and the
@@ -540,23 +546,26 @@ object LlmVector {
       |                         * ((length(text) % 24) + 3)),
       |      i -> CAST(i AS BIGINT) *
       |        CASE WHEN length(text) = 0 THEN 0
-      |             ELSE ascii(text[((i - 1) % length(text)) + 1]) END)),
+      |             ELSE ascii(text[((i - 1) % length(text)) + 1]) % 256
+      |        END)),
       |    (x, y) -> x + y) AS BIGINT) AS px_checksum
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
     val payloads = Tables.documents(s, d)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[(Long, Array[Byte])]
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
     val pngs = payloads.mapPartitions { it =>
-      it.map { case (id, bytes) =>
-        val n = bytes.length
+      it.map { case (id, text) =>
+        val cps = if (text == null) Array.empty[Int]
+          else text.codePoints().toArray
+        val n = cps.length
         val w = (n % 32) + 4
         val h = (n % 24) + 3
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
         var i = 0
         while (i < w * h) {
-          val b = if (n == 0) 0 else bytes(i % n) & 0xff
+          val b = if (n == 0) 0 else cps(i % n) % 256
           img.setRGB(i % w, i / w, (b << 16) | (b << 8) | b)
           i += 1
         }

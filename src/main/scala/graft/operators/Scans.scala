@@ -189,6 +189,15 @@ object Scans {
       |WHERE event_type = 'purchase'
       |ORDER BY event_id""".stripMargin) { (s, d) =>
     val out = scratch("foreach_sink", d)
+    // Clean the output root first: batch ids restart at 0 per invocation
+    // (fresh temp checkpoint), so overwrite-by-batch-id only covers the
+    // directories THIS run writes — stale batch=N dirs from an earlier run
+    // with different batching would otherwise union into the read-back.
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(out))
     val q = eventsFileStream(s, d)
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("value"))

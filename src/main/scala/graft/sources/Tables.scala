@@ -29,19 +29,10 @@ object Tables {
   private val relationCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
-  private val hooked =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean])
-
-  private def evictOnStop(s: SparkSession): Unit = if (hooked.add(s)) {
-    s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onApplicationEnd(
-          e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-        relationCache.keys.filter(_._1 eq s).foreach(relationCache.remove)
-        hooked.remove(s)
-      }
-    })
-  }
+  private def evictOnStop(s: SparkSession): Unit =
+    SessionHooks.onApplicationEnd(s, "tables") { () =>
+      relationCache.keys.filter(_._1 eq s).foreach(relationCache.remove)
+    }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     evictOnStop(spark)

@@ -20,14 +20,14 @@ class MultimodalSpec extends AnyFunSuite {
       .select(col("doc_id"), col("text")).collect()
     assert(docs.length == rows.size)
     docs.foreach { r =>
-      val bytes = r.getString(1).getBytes("UTF-8")
-      val n = bytes.length
+      val cps = r.getString(1).codePoints().toArray
+      val n = cps.length
       val w = (n % 32) + 4
       val h = (n % 24) + 3
       var checksum = 0L
       var i = 0
       while (i < w * h) {
-        val b = if (n == 0) 0 else bytes(i % n) & 0xff
+        val b = if (n == 0) 0 else cps(i % n) % 256
         checksum += (i + 1).toLong * b
         i += 1
       }
