@@ -364,9 +364,13 @@ object LlmPipeline {
 
   /** Domain-mix rebalancing to a uniform target: per source, the
     * upsampling factor max_count/count (and its epoch ceiling) that a
-    * sampler would apply to equalize domains. The window runs AFTER the
-    * per-source aggregate, over ≤ |domains| rows — the cheap side of the
-    * shuffle; the exact-division doubles are bit-stable across engines. */
+    * sampler would apply to equalize domains. The global max is a 1-row
+    * aggregate broadcast-crossed onto the ≤ |domains| per-source rows —
+    * the last unpartitioned window in the engine was here and even this
+    * post-aggregate one is now gone (the whole engine plans zero
+    * WindowExec nodes with an empty partition spec — asserted engine-wide
+    * in PlanSpec); the exact-division doubles are bit-stable across
+    * engines. */
   private val domainMix = Spec(
     "llm_domain_mix",
     """SELECT source, n_docs,
@@ -377,11 +381,11 @@ object LlmPipeline {
       |    CAST(MAX(COUNT(*)) OVER () AS BIGINT) AS max_n
       |  FROM documents GROUP BY source)
       |ORDER BY source""".stripMargin) { (s, d) =>
-    Tables.documents(s, d)
+    val counts = Tables.documents(s, d)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"))
-      .withColumn("max_n", max(col("n_docs")).over(
-        Window.partitionBy()))
+    counts
+      .crossJoin(broadcast(counts.agg(max(col("n_docs")).as("max_n"))))
       .select(col("source"), col("n_docs"),
         (col("max_n").cast("double") / col("n_docs")).as("upsample"),
         ceil(col("max_n").cast("double") / col("n_docs")).as("n_epochs"))

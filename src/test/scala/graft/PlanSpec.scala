@@ -144,6 +144,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
   }
 
+  test("NO query in the engine plans an unpartitioned window") {
+    // The blanket form of the two targeted assertions above: a WindowExec
+    // with an empty partition spec moves EVERYTHING through one task — at
+    // 100 TB that is the difference between a plan and an outage. Every
+    // registered query must be free of them.
+    val offenders = SparkEntry.specNames.flatMap { name =>
+      val specs = windowPartitionSpecs(name)
+      if (specs.forall(_.nonEmpty)) None else Some(name)
+    }
+    assert(offenders.isEmpty,
+      s"queries with a one-task window funnel: ${offenders.mkString(", ")}")
+  }
+
   test("whole-stage codegen covers the flagship aggregate") {
     // AQE finalizes the physical plan only at execution; run the query,
     // then check the executed plan for fused codegen stages.
