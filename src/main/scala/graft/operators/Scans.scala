@@ -13,7 +13,43 @@ import graft.sources.Tables
   */
 object Scans {
   def specs: Seq[Spec] = Seq(scanParquet, scanCsv, scanJson, scanOrc,
-    sinkPartitioned, sourceStreamFile, sinkStreamForeach)
+    sinkPartitioned, sourceStreamFile, sinkStreamForeach, sinkCompacted)
+
+  /** Small-file compaction — the table-maintenance op every long-lived
+    * 100 TB dataset needs: streaming ingest and fine-grained partitioning
+    * leave thousands of KB-sized files whose per-file open/footer/listing
+    * overhead eventually dominates scans. Here a deliberately fragmented
+    * copy (64 shards of a ~100k-row table) is compacted by rewriting
+    * through a coarse repartition; `require` pins the invariant that the
+    * rewrite actually shrank the file count, and the oracle pins that
+    * compaction is content-IDENTITY — same rows, nothing dropped or
+    * duplicated. At scale the repartition target comes from
+    * bytes/targetFileSize and `maxRecordsPerFile`, and the rewrite runs
+    * per partition-directory; the plan shape (scan → round-robin exchange
+    * → write) is the same. */
+  private val sinkCompacted = Spec(
+    "sink_compacted",
+    """SELECT event_id, event_type, value FROM events
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    def parquetFiles(p: String): Int = {
+      val f = new java.io.File(p)
+      if (!f.isDirectory) 0
+      else f.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    val frag = scratch("compact_frag", d)
+    val out = scratch("compact_out", d)
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(frag)
+    s.read.parquet(frag)
+      .repartition(4)
+      .write.mode("overwrite").parquet(out)
+    require(parquetFiles(out) < parquetFiles(frag),
+      s"compaction did not reduce file count: ${parquetFiles(frag)} -> " +
+        s"${parquetFiles(out)}")
+    s.read.parquet(out).orderBy(col("event_id"))
+  }
 
   /** Scratch dir for a round-trip op, keyed by the op name AND the full
     * (absolutized) sfDir so runs against different scale factors — or
