@@ -17,7 +17,45 @@ import graft.sources.Tables
 object Joins {
   def specs: Seq[Spec] = Seq(
     innerHash, leftOuter, rightOuter, fullOuter, leftSemi, leftAnti,
-    broadcastJoin, multiway, thetaRange, asOf, bucketed, nullSafe, salted)
+    broadcastJoin, multiway, thetaRange, asOf, bucketed, nullSafe, salted,
+    dpp)
+
+  /** Dynamic partition pruning: the fact side is LAID OUT partitioned by
+    * the join key (customers by nation directory), the dim side carries a
+    * selective filter (one region's nations), and Catalyst prunes fact
+    * partitions AT RUNTIME from the dim join keys — the scan's
+    * PartitionFilters gains a `dynamicpruningexpression` fed by the reused
+    * broadcast, so only 5 of 25 nation directories are ever listed or
+    * read. At 100 TB with date-partitioned facts this is the difference
+    * between scanning a quarter's directories and the whole table; static
+    * pruning (sink_partitioned) cannot do it because the surviving keys
+    * are only known after the dim filter runs. PlanSpec asserts the
+    * `dynamicpruning` marker so a conf or plan regression is loud.
+    *
+    * The partition key is joined as the read-back's inferred IntegerType
+    * (the dim side is cast instead) so the scan-side key stays a bare
+    * partition-column reference — a cast above it risks defeating the
+    * pruning rule's lineage check. Oracle: the identical join computed
+    * straight from the unpartitioned source table. */
+  private val dpp = Spec(
+    "join_dpp",
+    """SELECT c.c_custkey, c.c_acctbal, n.n_name
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE n.n_regionkey = 1
+      |ORDER BY c.c_custkey""".stripMargin) { (s, d) =>
+    val loc = Scans.scratch("dpp_customer", d)
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
+      .write.mode("overwrite").partitionBy("c_nationkey").parquet(loc)
+    val fact = s.read.parquet(loc)
+    val dim = Tables.nation(s, d)
+      .filter(col("n_regionkey") === 1)
+      .select(col("n_nationkey").cast("int").as("n_nationkey"),
+        col("n_name"))
+    fact.join(broadcast(dim), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_acctbal"), col("n_name"))
+      .orderBy(col("c_custkey"))
+  }
 
   /** Skew-salted equi-join: the fact side appends a salt in 0..R-1 to its
     * key, the dim side is replicated R ways (one row per salt), and the

@@ -111,7 +111,18 @@ object LlmVector {
 
   /** Reusable embedding near-dup pipeline (LSH-bucketed candidates + exact
     * cosine verification) so tests can run it on synthetic borderline
-    * corpora. */
+    * corpora.
+    *
+    * INVARIANT (ADVICE r3): oracle parity is probabilistic, not exact — a
+    * qualifying ≥threshold pair whose 8-plane sign buckets differ in MORE
+    * than the radius-2 multi-probe flips is silently missed. At cos ≥ 0.99
+    * the angle is ≤ 8.1°, so P[a single hyperplane separates the pair] ≤
+    * 8.1/180 ≈ 0.045 and P[>2 of 8 planes do] ≈ C(8,3)·0.045³ ≈ 0.5 % — on
+    * the current fixtures zero qualifying pairs are missed (the DuckDB
+    * exact oracle hash-matches) and BorderlineParitySpec pins one synthetic
+    * borderline construction. If a fixture regeneration ever breaks this
+    * row's parity, the fix is a larger probe radius (annLsh already uses
+    * radius 4), traded against candidate volume. */
   def embedNearDupPairs(vecs: DataFrame, threshold: Double): DataFrame = {
     val emb = vecs.withColumn("bucket", bucketUdf(nPlanes)(col("embedding")))
     // Multi-probe expansion on one side only: the flip matching the two
@@ -549,7 +560,12 @@ object LlmVector {
       |             ELSE ascii(text[((i - 1) % length(text)) + 1]) % 256
       |        END)),
       |    (x, y) -> x + y) AS BIGINT) AS px_checksum
-      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |FROM (SELECT doc_id, COALESCE(text, '') AS text FROM documents)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // The COALESCE above mirrors the Spark-side null guard below (ADVICE
+    // r3): both engines must agree that a NULL text decodes as the empty
+    // document (w=4, h=3, checksum=0), or a fixture regeneration that
+    // introduces NULL text breaks parity silently.
     import s.implicits._
     val payloads = Tables.documents(s, d)
       .select(col("doc_id"), col("text"))

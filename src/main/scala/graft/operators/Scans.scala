@@ -54,7 +54,7 @@ object Scans {
   /** Scratch dir for a round-trip op, keyed by the op name AND the full
     * (absolutized) sfDir so runs against different scale factors — or
     * concurrent Verify/Bench JVMs — never read each other's files. */
-  private def scratch(op: String, sfDir: String): String = {
+  private[operators] def scratch(op: String, sfDir: String): String = {
     val abs = java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize.toString
     val key = abs.replaceAll("[^A-Za-z0-9]", "_")
     s"${System.getProperty("java.io.tmpdir")}/graft_${op}_$key"

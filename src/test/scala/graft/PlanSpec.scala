@@ -144,6 +144,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
   }
 
+  test("join_dpp prunes fact partitions at runtime from the dim filter") {
+    val p = plan("join_dpp")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamicpruningexpression in the partitioned scan: ${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
   test("NO query in the engine plans an unpartitioned window") {
     // The blanket form of the two targeted assertions above: a WindowExec
     // with an empty partition spec moves EVERYTHING through one task — at

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -81,5 +83,83 @@ class StreamingRecoverySpec extends AnyFunSuite {
         graft.functions.Det.dsum6(col("value")).as("s"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(streamed == batch)
+  }
+
+  /** The foreachBatch exactly-once contract under the failure it exists
+    * for: a crash BETWEEN the sink write and the checkpoint commit.
+    * Structured Streaming then re-delivers the uncommitted batch on
+    * restart (at-least-once), and the overwrite-by-batch-id sink layout
+    * (sink_stream_foreach, Scans.scala) must absorb the replay so the
+    * final output still equals an uninterrupted run's. The crash is
+    * simulated deterministically: delete the last `commits/N` marker while
+    * keeping `offsets/N` — exactly the on-disk state a mid-commit kill
+    * leaves behind. */
+  test("foreachBatch restart replays the uncommitted batch idempotently") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_replay").toString
+    val srcDir = s"$base/src"
+    val ckDir = s"$base/ck"
+    val outDir = s"$base/out"
+    val refDir = s"$base/ref"
+    Files.createDirectories(Paths.get(srcDir))
+
+    def startQuery(out: String, ck: String) = spark.readStream
+      .schema("id LONG, v STRING")
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/batch=$id")
+      }
+      .start()
+
+    val chunk1 = (0L until 300L).map(i => (i, s"v$i"))
+    val chunk2 = (300L until 500L).map(i => (i, s"v$i"))
+    chunk1.toDF("id", "v").coalesce(1).write.mode("append").parquet(srcDir)
+
+    val q1 = startQuery(outDir, ckDir)
+    try q1.processAllAvailable() finally q1.stop()
+
+    // Simulate the kill between sink write and checkpoint commit: the
+    // offset log says batch N was planned, the commit log no longer says
+    // it finished → restart MUST replay batch N through foreachBatch.
+    val commits = Paths.get(ckDir, "commits")
+    val last = Files.list(commits).iterator().asScala
+      .filter(p => p.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toLong)
+    Files.delete(last)
+    // The local ChecksumFs writes a `.N.crc` sidecar per commit file; it
+    // must go too or the replayed batch's re-commit fails its rename (a
+    // real kill-between-write-and-commit leaves neither file behind).
+    Files.deleteIfExists(
+      commits.resolve("." + last.getFileName.toString + ".crc"))
+
+    chunk2.toDF("id", "v").coalesce(1).write.mode("append").parquet(srcDir)
+
+    var replayed = 0L
+    val q2 = spark.readStream
+      .schema("id LONG, v STRING")
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", ckDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (id.toString == last.getFileName.toString) replayed += 1
+        batch.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      }
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(replayed == 1, "the uncommitted batch was not re-delivered")
+
+    // Uninterrupted twin over the full corpus: the recovered output must
+    // be indistinguishable from never having crashed.
+    val qRef = startQuery(refDir, s"$base/ckRef")
+    try qRef.processAllAvailable() finally qRef.stop()
+
+    val got = spark.read.parquet(outDir).select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = spark.read.parquet(refDir).select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want, "recovered output differs from uninterrupted run")
+    assert(got.size == 500, "every source row exactly once")
   }
 }
