@@ -53,7 +53,8 @@ object AnnTune {
       report(s"lsh planes=$planes r=$radius t=$tables",
         LlmVector.lshTopk(emb, planes, radius, tables, rank = false))
     for ((cells, np) <- Seq((16, 3), (16, 6), (16, 8), (24, 10), (24, 12),
-        (32, 12), (64, 20)))
+        (32, 12), (48, 14), (48, 17), (48, 19), (64, 18), (64, 22),
+        (64, 26), (64, 20)))
       report(s"ivf cells=$cells nProbe=$np",
         LlmVector.ivfTopk(spark, emb, cells, np, rank = false))
     spark.stop()

@@ -23,7 +23,8 @@ object SparkEntry {
       graft.streaming.StreamingOps.specs ++
       LlmText.specs ++
       LlmVector.specs ++
-      LlmPipeline.specs
+      LlmPipeline.specs ++
+      LlmMultimodal.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

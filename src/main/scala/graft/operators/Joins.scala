@@ -147,6 +147,20 @@ object Joins {
     val sfKey = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
       .replaceAll("[^A-Za-z0-9]", "_")
     val loc = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$sfKey"
+    // Session hygiene (VERDICT r3 #6): the catalog entries die with the
+    // session's in-memory catalog, but the bucket FILES under tmp would
+    // outlive it and accumulate across sfDirs — delete them when the
+    // session's context ends, same lifecycle as the pairsCache eviction.
+    // (Idempotent per (session, sfKey); file-only, no catalog calls, so it
+    // is safe during context teardown.)
+    graft.sources.SessionHooks.onApplicationEnd(s, s"joins-bucketed-$sfKey") {
+      () =>
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(loc))
+    }
     def bucketize(base: String, df: => org.apache.spark.sql.DataFrame,
         key: String): String = {
       val name = s"${base}_$sfKey"

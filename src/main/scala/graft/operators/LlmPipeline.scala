@@ -22,7 +22,37 @@ import graft.sources.Tables
 object LlmPipeline {
   def specs: Seq[Spec] = Seq(contamination, splitHash, repetition, chunking,
     packSequences, domainMix, piiScrub, vocab, curriculum, sampleStratified,
-    winsorize)
+    winsorize, filterFunnel)
+
+  /** Quality-filter funnel — the survival count after each stage of a
+    * chained document filter (language allowlist → length band → minimum
+    * word count), the first diagnostic any corpus-curation run reports:
+    * it tells you WHICH rule ate your data. One map-only pass computes
+    * every stage predicate per row and one partial-aggregated global sum
+    * folds them; adding a 20th rule adds a column, not a scan, so the
+    * funnel costs one pass at 100 TB no matter how deep it gets. */
+  private val filterFunnel = Spec(
+    "llm_filter_funnel",
+    """SELECT COUNT(*) AS n_total,
+      |  CAST(SUM(CASE WHEN lang IN ('en','de','fr')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_after_lang,
+      |  CAST(SUM(CASE WHEN lang IN ('en','de','fr')
+      |    AND n_chars BETWEEN 50 AND 2000
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_after_len,
+      |  CAST(SUM(CASE WHEN lang IN ('en','de','fr')
+      |    AND n_chars BETWEEN 50 AND 2000
+      |    AND len(string_split(text, ' ')) >= 10
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_after_words
+      |FROM documents""".stripMargin) { (s, d) =>
+    val p1 = col("lang").isin("en", "de", "fr")
+    val p2 = p1 && col("n_chars").between(50, 2000)
+    val p3 = p2 && size(split(col("text"), " ")) >= 10
+    Tables.documents(s, d)
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(p1, 1L).otherwise(0L)).as("n_after_lang"),
+        sum(when(p2, 1L).otherwise(0L)).as("n_after_len"),
+        sum(when(p3, 1L).otherwise(0L)).as("n_after_words"))
+  }
 
   /** Stratified downsampling with per-language rates (the data-mixing
     * knob: keep half of English, a quarter of German, a tenth of the

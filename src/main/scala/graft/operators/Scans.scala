@@ -13,7 +13,50 @@ import graft.sources.Tables
   */
 object Scans {
   def specs: Seq[Spec] = Seq(scanParquet, scanCsv, scanJson, scanOrc,
-    sinkPartitioned, sourceStreamFile, sinkStreamForeach, sinkCompacted)
+    sinkPartitioned, sourceStreamFile, sinkStreamForeach, sinkCompacted,
+    scanBinaryFile)
+
+  /** Raw-blob ingestion via the `binaryFile` source — the path every
+    * multimodal corpus takes into Spark (images/audio arrive as files, not
+    * rows). A bounded sample of documents is materialized as one .bin file
+    * each (distributed foreachPartition write — blobs never transit the
+    * driver), read back as (path, length, content) rows, and round-tripped:
+    * the oracle predicts byte length AND exact content from the source
+    * table, so a single flipped byte anywhere in the file path fails the
+    * hash. At 100 TB the same `binaryFile` load reads a bucket listing;
+    * per-file rows then shard by path exactly like any other scan. */
+  private val scanBinaryFile = Spec(
+    "scan_binaryfile",
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS n_bytes,
+      |  COALESCE(text, '') AS text_back
+      |FROM documents WHERE doc_id % 50 = 0
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val dir = scratch("binsrc", d)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(dir)) // stale files would union into the read-back
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"doc_${r.getLong(0)}.bin"),
+            r.getString(1).getBytes("UTF-8"))
+        }
+      }
+    s.read.format("binaryFile").load(dir)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long")
+          .as("doc_id"),
+        col("length").as("n_bytes"),
+        col("content").cast("string").as("text_back"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Small-file compaction — the table-maintenance op every long-lived
     * 100 TB dataset needs: streaming ingest and fine-grained partitioning

@@ -15,7 +15,7 @@ class IvfSpec extends AnyFunSuite {
     val emb = Tables.embeddings(spark, SF01)
     val a = LlmVector.ivfCentroids(emb)
     val b = LlmVector.ivfCentroids(emb)
-    assert(a.length <= 24 && a.nonEmpty)
+    assert(a.length <= 48 && a.nonEmpty)
     a.foreach { c =>
       val n = math.sqrt(c.map(x => x * x).sum)
       assert(math.abs(n - 1.0) < 1e-9, s"centroid norm $n")
@@ -48,9 +48,9 @@ class IvfSpec extends AnyFunSuite {
       .select("probe_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (ivf & exact).size.toDouble / exact.size
-    // Shipped config (AnnTune sweep): 24 cells, nProbe 12 ⇒ ~50 % scan,
-    // measured recall 0.84 here / 0.92 at sf0.1 — deterministic on the
-    // fixed fixtures, so the r2-verdict floor of 0.8 is safe to pin.
+    // Shipped config (r4 AnnTune sweep): 48 cells, nProbe 19 ⇒ ~40 % scan,
+    // measured recall 0.90 at sf0.1 — deterministic on the fixed fixtures,
+    // so the r2-verdict floor of 0.8 is safe to pin.
     assert(recall >= 0.8, s"ivf recall@5 = $recall")
   }
 }

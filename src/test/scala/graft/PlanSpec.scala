@@ -144,6 +144,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
   }
 
+  test("llm_embed_quantize is map-only: no exchange but the sort's") {
+    val p = plan("llm_embed_quantize")
+    assert(!p.contains("hashpartitioning"), p.take(1200))
+    assert(p.contains("Scan parquet"), p.take(1200))
+  }
+
+  test("llm_filter_funnel is one pass: single scan, two-phase global agg") {
+    val p = plan("llm_filter_funnel")
+    // One "Location:" line per scan node in the formatted detail section.
+    assert(p.linesIterator.count(_.contains("Location: InMemoryFileIndex"))
+        == 1,
+      s"funnel must not rescan per stage: ${p.take(1200)}")
+    assert(p.contains("HashAggregate") && p.contains("partial"),
+      p.take(1200))
+  }
+
   test("join_dpp prunes fact partitions at runtime from the dim filter") {
     val p = plan("join_dpp")
     assert(p.toLowerCase.contains("dynamicpruning"),
