@@ -22,7 +22,77 @@ import graft.sources.Tables
 object LlmPipeline {
   def specs: Seq[Spec] = Seq(contamination, splitHash, repetition, chunking,
     packSequences, domainMix, piiScrub, vocab, curriculum, sampleStratified,
-    winsorize, filterFunnel)
+    winsorize, filterFunnel, instructionFormat, oovRate)
+
+  /** Chat-template rendering — the SFT-pipeline step that turns a
+    * (prompt, response) pair into the model's instruction format. The
+    * pair is derived deterministically (first ⌈n/2⌉ words are the
+    * "user" turn, the rest the "assistant" turn) and rendered with
+    * codegen'd string expressions: split + slice + array_join + concat,
+    * map-only, no UDF. Newlines come from chr(10) on the oracle side so
+    * the SQL literal never embeds an escape DuckDB would read as two
+    * characters. */
+  private val instructionFormat = Spec(
+    "llm_instruction_format",
+    """SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+      |  concat('### User', chr(10),
+      |    array_to_string(w[1:(len(w)+1)//2], ' '),
+      |    chr(10), '### Assistant', chr(10),
+      |    array_to_string(w[(len(w)+1)//2+1:len(w)], ' ')) AS rendered
+      |FROM (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val words = split(coalesce(col("text"), lit("")), " ")
+    val n = size(words)
+    val k = floor((n + 1) / lit(2.0)).cast("int")
+    Tables.documents(s, d)
+      .select(col("doc_id"), words.as("w"), n.as("n_words"), k.as("k"))
+      .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+        concat(lit("### User\n"),
+          array_join(slice(col("w"), lit(1), col("k")), " "),
+          lit("\n### Assistant\n"),
+          array_join(
+            slice(col("w"), col("k") + 1, col("n_words") - col("k")), " "))
+          .as("rendered"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Tokenizer vocabulary coverage — after building the top-100 vocab
+    * (same total order as llm_vocab: count DESC, token ASC), score each
+    * language's out-of-vocabulary token rate. The vocab is k-bounded and
+    * BROADCAST to the token stream (100 rows against billions at scale:
+    * never a shuffle join), the per-language rollup is one two-phase hash
+    * agg, and the rate is an exact int/int double division (identical
+    * IEEE operands in both engines). This is the metric that decides
+    * whether a tokenizer needs retraining before a new corpus mix ships. */
+  private val oovRate = Spec(
+    "llm_oov_rate",
+    """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+      |             FROM documents),
+      |v AS (SELECT token FROM (
+      |        SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+      |        ORDER BY n DESC, token ASC LIMIT 100))
+      |SELECT lang, COUNT(*) AS n_tokens,
+      |  CAST(SUM(CASE WHEN token IN (SELECT token FROM v)
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+      |  CAST(SUM(CASE WHEN token IN (SELECT token FROM v)
+      |    THEN 0 ELSE 1 END) AS DOUBLE) / COUNT(*) AS oov_rate
+      |FROM tok GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+    val vocab100 = tok.groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")) // TakeOrderedAndProject
+      .limit(100)
+      .select(col("token"), lit(true).as("in_vocab"))
+    tok.join(broadcast(vocab100), Seq("token"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens"))
+      .orderBy(col("lang"))
+  }
 
   /** Quality-filter funnel — the survival count after each stage of a
     * chained document filter (language allowlist → length band → minimum

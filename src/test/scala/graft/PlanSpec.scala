@@ -160,6 +160,19 @@ class PlanSpec extends AnyFunSuite {
       p.take(1200))
   }
 
+  test("llm_instruction_format is map-only: no exchange but the sort's") {
+    val p = plan("llm_instruction_format")
+    assert(!p.contains("hashpartitioning"), p.take(1200))
+  }
+
+  test("llm_oov_rate broadcasts the k-bounded vocab and takes top-k sorted") {
+    val p = plan("llm_oov_rate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab must broadcast, never shuffle the token stream: ${p.take(1200)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must be per-partition top-k, not a global sort: ${p.take(1200)}")
+  }
+
   test("join_dpp prunes fact partitions at runtime from the dim filter") {
     val p = plan("join_dpp")
     assert(p.toLowerCase.contains("dynamicpruning"),
