@@ -24,7 +24,8 @@ object SparkEntry {
       LlmText.specs ++
       LlmVector.specs ++
       LlmPipeline.specs ++
-      LlmMultimodal.specs
+      LlmMultimodal.specs ++
+      Maintenance.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -21,7 +21,54 @@ import graft.sources.Tables
 object Analytics {
   def specs: Seq[Spec] = Seq(percentiles, pivotStatus, ntileBuckets,
     crossJoin, conditionals, subqueries, hashes, bitwise, percentRank,
-    skewSalted, statsMoments, approxPercentile, histogram, retention)
+    skewSalted, statsMoments, approxPercentile, histogram, retention,
+    scd2Intervals)
+
+  /** Slowly-changing-dimension (type 2) build from an event log: per
+    * user, keep only STATE TRANSITIONS (event_type differs from the
+    * previous event), then stamp each surviving row with its validity
+    * interval [valid_from, valid_to) via LEAD — the classic
+    * log-to-dimension fold every warehouse runs nightly. Both windows
+    * partition by user_id (never a global window), with (ts, event_id) as
+    * the total order so tied timestamps cannot flap the intervals.
+    * Timestamps are emitted as epoch microseconds (the events-table
+    * convention — DuckDB truncates the same parquet ns column to µs). */
+  private val scd2Intervals = Spec(
+    "win_scd2_intervals",
+    """WITH s AS (
+      |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+      |    LAG(event_type) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |t AS (SELECT user_id, event_type, event_id, ts_us
+      |      FROM s WHERE prev IS NULL OR event_type <> prev)
+      |SELECT user_id, event_type, ts_us AS valid_from_us,
+      |  LEAD(ts_us) OVER
+      |    (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us,
+      |  CAST(CASE WHEN LEAD(ts_us) OVER
+      |      (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+      |    THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      |FROM t ORDER BY user_id, valid_from_us, event_id""".stripMargin) {
+    (s, d) =>
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val transitions = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        lag(col("event_type"), 1).over(byUser).as("prev"))
+      .filter(col("prev").isNull || col("event_type") =!= col("prev"))
+    val byUserUs = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    transitions
+      .select(col("user_id"), col("event_type"),
+        col("ts_us").as("valid_from_us"),
+        lead(col("ts_us"), 1).over(byUserUs).as("valid_to_us"),
+        when(lead(col("ts_us"), 1).over(byUserUs).isNull, 1L).otherwise(0L)
+          .as("is_current"),
+        col("event_id"))
+      .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
+      .drop("event_id")
+  }
 
   /** Fixed-width histogram of lineitem prices: bucket = floor(x / width).
     * One two-phase hash aggregate (map-side partial per bucket), no sort,

@@ -173,6 +173,20 @@ class PlanSpec extends AnyFunSuite {
       s"top-100 must be per-partition top-k, not a global sort: ${p.take(1200)}")
   }
 
+  test("merge_upsert broadcasts the change feed; the base never shuffles") {
+    val p = plan("merge_upsert")
+    assert(p.contains("BroadcastHashJoin"),
+      s"CDC merge must broadcast the (small) change feed: ${p.take(1200)}")
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
+
+  test("profile_columns profiles every column in ONE scan of the table") {
+    val p = plan("profile_columns")
+    assert(p.linesIterator.count(_.contains("Location: InMemoryFileIndex"))
+        == 1,
+      s"profiler must not rescan per column: ${p.take(1200)}")
+  }
+
   test("join_dpp prunes fact partitions at runtime from the dim filter") {
     val p = plan("join_dpp")
     assert(p.toLowerCase.contains("dynamicpruning"),
