@@ -22,7 +22,46 @@ object Analytics {
   def specs: Seq[Spec] = Seq(percentiles, pivotStatus, ntileBuckets,
     crossJoin, conditionals, subqueries, hashes, bitwise, percentRank,
     skewSalted, statsMoments, approxPercentile, histogram, retention,
-    scd2Intervals)
+    scd2Intervals, sqlTpchQ3)
+
+  /** The SQL entry path end-to-end: the classic shipping-priority query
+    * (TPC-H Q3, minus the columns the fixtures omit) submitted as ONE SQL
+    * string through `spark.sql` over registered temp views — same text,
+    * modulo table names, that the DuckDB oracle runs. Catalyst gets only
+    * the SQL (no DataFrame hints) and must find the plan on its own:
+    * pushed filters, broadcast dims, and ORDER BY+LIMIT fused to
+    * TakeOrderedAndProject (PlanSpec pins all three). Revenue uses the
+    * §7.4 decimal convention — both engines sum exact decimals and cast
+    * to double once at the end, so the top-10 is hash-exact. */
+  private val sqlTpchQ3 = Spec(
+    "sql_tpch_q3",
+    s"""SELECT l_orderkey,
+       |  CAST(SUM(${Sql.revenue}) AS DOUBLE) AS revenue,
+       |  o_orderdate, o_orderpriority
+       |FROM customer JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, l_orderkey
+       |LIMIT 10""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("graft_q3_customer")
+    Tables.orders(s, d).createOrReplaceTempView("graft_q3_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_q3_lineitem")
+    s.sql(
+      s"""SELECT l_orderkey,
+         |  CAST(SUM(${Sql.revenue}) AS DOUBLE) AS revenue,
+         |  o_orderdate, o_orderpriority
+         |FROM graft_q3_customer JOIN graft_q3_orders ON c_custkey = o_custkey
+         |JOIN graft_q3_lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin)
+  }
 
   /** Slowly-changing-dimension (type 2) build from an event log: per
     * user, keep only STATE TRANSITIONS (event_type differs from the

@@ -173,6 +173,15 @@ class PlanSpec extends AnyFunSuite {
       s"top-100 must be per-partition top-k, not a global sort: ${p.take(1200)}")
   }
 
+  test("sql_tpch_q3 (pure SQL entry) still gets the DataFrame-grade plan") {
+    val p = plan("sql_tpch_q3")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ORDER BY+LIMIT must fuse to top-k: ${p.take(1200)}")
+    assert(p.contains("PushedFilters"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the filtered dims should broadcast at this size: ${p.take(1200)}")
+  }
+
   test("merge_upsert broadcasts the change feed; the base never shuffles") {
     val p = plan("merge_upsert")
     assert(p.contains("BroadcastHashJoin"),
