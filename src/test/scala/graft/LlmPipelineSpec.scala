@@ -124,4 +124,44 @@ class LlmPipelineSpec extends AnyFunSuite {
       assert(r.getLong(3) == math.ceil(r.getDouble(2)).toLong)
     }
   }
+
+  test("instruction_format renders losslessly: turns reconstruct the doc") {
+    val docs = graft.sources.Tables.documents(spark, SF001)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = SparkEntry.queries("llm_instruction_format")(spark, SF001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length == docs.size)
+    rows.foreach { case (id, nWords, rendered) =>
+      assert(rendered.startsWith("### User\n"), s"doc $id")
+      val body = rendered.stripPrefix("### User\n")
+      val idx = body.indexOf("\n### Assistant\n")
+      assert(idx >= 0, s"doc $id: missing assistant turn")
+      val prompt = body.substring(0, idx)
+      val response = body.substring(idx + "\n### Assistant\n".length)
+      val joined =
+        if (response.isEmpty) prompt else s"$prompt $response"
+      assert(joined == docs(id), s"doc $id: turns must reconstruct text")
+      assert(nWords == docs(id).split(" ", -1).length.toLong, s"doc $id")
+      // the user turn gets ⌈n/2⌉ words, the assistant turn the rest
+      assert(prompt.split(" ", -1).length == (nWords + 1) / 2, s"doc $id")
+    }
+  }
+
+  test("oov_rate: rates are consistent ratios and vocab covers most tokens") {
+    val rows = SparkEntry.queries("llm_oov_rate")(spark, SF01)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, nTok, nOov, rate) =>
+      assert(nOov >= 0 && nOov <= nTok, lang)
+      assert(rate == nOov.toDouble / nTok, lang)
+    }
+    // the fixture vocabulary is small (FIXTURES.md: a bounded jargon set),
+    // so the top-100 vocab must cover the overwhelming majority of tokens
+    val total = rows.map(_._2).sum
+    val oov = rows.map(_._3).sum
+    assert(oov.toDouble / total < 0.5,
+      s"top-100 vocab covers too little: $oov/$total")
+  }
 }

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** merge_upsert / profile_columns / win_scd2_intervals — the MERGE
+  * semantics, profiler completeness, and interval-chain invariants that
+  * the row-hash oracle implies but a reviewer should see asserted
+  * directly. */
+class MaintenanceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("merge_upsert applies update/delete/insert MERGE semantics exactly") {
+    val base = graft.sources.Tables.orders(spark, SF001)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val out = SparkEntry.queries("merge_upsert")(spark, SF001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+
+    val outKeys = out.map(_._1).toSet
+    // deletes: keys ≡1 (mod 10) are gone
+    assert(base.keys.filter(_ % 10 == 1).forall(k => !outKeys.contains(k)))
+    // updates: keys ≡0 present, action 'updated', price scaled by exactly 1.1
+    out.filter(_._1 % 10 == 0).filter(_._1 < 10000000L).foreach {
+      case (k, p, a) =>
+        assert(a == "updated" && p == base(k) * 1.1d, s"key $k")
+    }
+    // inserts: one row per ≡2 key, shifted by 1e7, original price, 'inserted'
+    val ins = out.filter(_._3 == "inserted")
+    val expIns = base.keys.filter(_ % 10 == 2).map(_ + 10000000L).toSet
+    assert(ins.map(_._1).toSet == expIns)
+    ins.foreach { case (k, p, _) => assert(p == base(k - 10000000L)) }
+    // everything else kept untouched
+    out.filter(r => r._3 == "kept").foreach { case (k, p, _) =>
+      assert(p == base(k), s"kept key $k must keep its price")
+    }
+    assert(out.length ==
+      base.size - base.keys.count(_ % 10 == 1) + expIns.size)
+  }
+
+  test("profile_columns covers each column with exact counts") {
+    val rows = SparkEntry.queries("profile_columns")(spark, SF001)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+    assert(rows.keySet == Set("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority"))
+    val n = graft.sources.Tables.orders(spark, SF001).count()
+    // primary key: no nulls, all distinct
+    assert(rows("o_orderkey")._1 == 0 && rows("o_orderkey")._2 == n)
+    // low-cardinality dims: bounded domains (FIXTURES.md)
+    assert(rows("o_orderstatus")._2 <= 3)
+    assert(rows("o_orderpriority")._2 <= 5)
+    rows.values.foreach { case (nulls, distinct, vmin, vmax) =>
+      assert(nulls == 0 && distinct > 0 && vmin <= vmax)
+    }
+  }
+
+  test("win_scd2_intervals chains per user: no gaps, one current row") {
+    val byUser = SparkEntry.queries("win_scd2_intervals")(spark, SF001)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4)))
+      .groupBy(_._1)
+    assert(byUser.nonEmpty)
+    byUser.foreach { case (user, rows) =>
+      // exactly one open (current) interval per user, and it is the last
+      assert(rows.count(_._4.isEmpty) == 1, s"user $user")
+      assert(rows.count(_._5 == 1L) == 1, s"user $user")
+      val sorted = rows.sortBy(_._3)
+      // closed intervals chain exactly onto the next valid_from
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3),
+            s"user $user: interval ending ${a._4} must meet ${b._3}")
+          // consecutive intervals are genuine state CHANGES (only
+          // order-assertable when the boundary timestamp is unambiguous)
+          if (a._3 != b._3)
+            assert(a._2 != b._2,
+              s"user $user: adjacent intervals with the same state")
+        case _ => ()
+      }
+      assert(sorted.last._4.isEmpty, s"user $user: current must be last")
+    }
+  }
+}
