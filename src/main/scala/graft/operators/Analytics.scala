@@ -22,7 +22,52 @@ object Analytics {
   def specs: Seq[Spec] = Seq(percentiles, pivotStatus, ntileBuckets,
     crossJoin, conditionals, subqueries, hashes, bitwise, percentRank,
     skewSalted, statsMoments, approxPercentile, histogram, retention,
-    scd2Intervals, sqlTpchQ3)
+    scd2Intervals, sqlTpchQ3, gapFillDaily)
+
+  /** Time-series gap filling — densify a daily metric so downstream
+    * charts/models see an unbroken calendar: per event_type, generate the
+    * [min_day, max_day] calendar (`sequence` + explode — rows are
+    * generated DISTRIBUTED, per group, never on the driver), left-join
+    * the observed daily counts, and zero-fill the holes. The calendar
+    * side is |groups| × |days| — tiny relative to the event log — and
+    * joins on (group, day), co-partitioned with the aggregate it fills.
+    * Days are emitted as ISO strings (both engines render dates
+    * identically; date dtypes round-trip differently through the
+    * comparator). */
+  private val gapFillDaily = Spec(
+    "gap_fill_daily",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+      |span AS (
+      |  SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+      |  FROM daily GROUP BY event_type),
+      |cal AS (
+      |  SELECT event_type,
+      |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM span)
+      |SELECT c.event_type, CAST(c.day AS VARCHAR) AS day_str,
+      |  COALESCE(d.n, 0) AS n_events,
+      |  CAST(CASE WHEN d.n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS was_gap
+      |FROM cal c LEFT JOIN daily d
+      |  ON c.event_type = d.event_type AND c.day = d.day
+      |ORDER BY c.event_type, day_str""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val cal = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+          .as("day"))
+    cal.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day").cast("string").as("day_str"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        when(col("n").isNull, 1L).otherwise(0L).as("was_gap"))
+      .orderBy(col("event_type"), col("day_str"))
+  }
 
   /** The SQL entry path end-to-end: the classic shipping-priority query
     * (TPC-H Q3, minus the columns the fixtures omit) submitted as ONE SQL

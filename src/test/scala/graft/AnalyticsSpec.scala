@@ -52,4 +52,31 @@ class AnalyticsSpec extends AnyFunSuite {
         assert(math.abs(r.getAs[Double]("covar_pop_qd") - cv) < 1e-6)
       }
   }
+
+  test("gap_fill_daily zero-fills the missing calendar days") {
+    // The driver fixtures happen to be gap-free (every (type, day) in the
+    // span is observed), so the COALESCE path never fires there — build a
+    // corpus WITH holes, in the events-parquet layout the loader expects
+    // (ts is TIMESTAMP(NANOS) read as a raw long).
+    import spark.implicits._
+    def ns(day: Int): Long = // 2024-01-<day> 12:00 UTC, in nanoseconds
+      (java.time.LocalDate.of(2024, 1, day).toEpochDay * 86400L + 43200L) *
+        1000000000L
+    val rows = Seq( // type a: days 1 and 3 — day 2 is a hole; b: 1 and 2
+      (1L, ns(1), 10L, "a", 1.0, "{}"), (2L, ns(3), 10L, "a", 1.0, "{}"),
+      (3L, ns(1), 11L, "b", 1.0, "{}"), (4L, ns(2), 11L, "b", 1.0, "{}"),
+      (5L, ns(2), 12L, "b", 1.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_gaps")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("gap_fill_daily")(spark, dir.toString)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("a", "2024-01-01", 1L, 0L),
+      ("a", "2024-01-02", 0L, 1L), // the filled hole
+      ("a", "2024-01-03", 1L, 0L),
+      ("b", "2024-01-01", 1L, 0L),
+      ("b", "2024-01-02", 2L, 0L)))
+  }
 }
