@@ -43,7 +43,7 @@ object Joins {
       |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
       |WHERE n.n_regionkey = 1
       |ORDER BY c.c_custkey""".stripMargin) { (s, d) =>
-    val loc = Scans.scratch("dpp_customer", d)
+    val loc = Scans.scratch(s, "dpp_customer", d)
     Tables.customer(s, d)
       .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
       .write.mode("overwrite").partitionBy("c_nationkey").parquet(loc)
@@ -154,12 +154,7 @@ object Joins {
     // (Idempotent per (session, sfKey); file-only, no catalog calls, so it
     // is safe during context teardown.)
     graft.sources.SessionHooks.onApplicationEnd(s, s"joins-bucketed-$sfKey") {
-      () =>
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(new java.io.File(loc))
+      () => Scans.rmRecursive(new java.io.File(loc))
     }
     def bucketize(base: String, df: => org.apache.spark.sql.DataFrame,
         key: String): String = {

@@ -396,10 +396,12 @@ object LlmVector {
     * frontier: (48,14) 0.78@29 %, (48,17) 0.82@35 %, (48,19) 0.90@40 %,
     * (64,26) 0.86@41 % — finer quantizers keep paying off until ~k=48,
     * then the 2048-row training sample's per-cell support (~40 vectors at
-    * sf0.1) becomes the limit. The near-orthogonal fixture geometry makes
-    * ~40 % scan the honest price of 0.9 recall here; on clustered
-    * real-world embeddings the same design reaches it at far smaller
-    * fractions. */
+    * sf0.1) becomes the limit. At sf0.01 the same config measures exactly
+    * 0.80 (floor-exact — IvfSpec documents the measured small-N fallback:
+    * 64 cells / nProbe 26 = 0.94 @ 39.8 % there). The near-orthogonal
+    * fixture geometry makes ~40 % scan the honest price of 0.9 recall
+    * here; on clustered real-world embeddings the same design reaches it
+    * at far smaller fractions. */
   private val annIvf = Spec.noOracle("llm_ann_ivf") { (s, d) =>
     ivfTopk(s, Tables.embeddings(s, d), ivfK, ivfNProbe)
   }

@@ -21,7 +21,13 @@ object Maintenance {
     * small relative to the base and broadcasts (hinted here), making the
     * whole merge map-side — the base is never shuffled. The update
     * multiplies a double by 1.1 on both engines (same IEEE operands ⇒
-    * bit-identical), so the oracle hash-checks every merged value. */
+    * bit-identical), so the oracle hash-checks every merged value.
+    *
+    * Insert rows are excluded from the matched-side join IN BOTH the
+    * engine and the oracle SQL (not just the engine): if a regenerated
+    * fixture ever grows orderkeys past the 1e7 insert-key shift, an
+    * asymmetric join would silently turn colliding inserts into matches
+    * on one side only — the r4 review caught exactly that latent skew. */
   private val mergeUpsert = Spec(
     "merge_upsert",
     """WITH ch AS (
@@ -36,7 +42,8 @@ object Maintenance {
       |  SELECT b.o_orderkey,
       |    COALESCE(c.new_price, b.o_totalprice) AS o_totalprice,
       |    CASE WHEN c.op = 'U' THEN 'updated' ELSE 'kept' END AS action
-      |  FROM orders b LEFT JOIN ch c ON b.o_orderkey = c.k
+      |  FROM orders b LEFT JOIN (SELECT * FROM ch WHERE op <> 'I') c
+      |    ON b.o_orderkey = c.k
       |  WHERE c.op IS NULL OR c.op <> 'D'
       |  UNION ALL
       |  SELECT k, new_price, 'inserted' FROM ch WHERE op = 'I')

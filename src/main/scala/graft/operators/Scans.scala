@@ -18,13 +18,17 @@ object Scans {
 
   /** Raw-blob ingestion via the `binaryFile` source — the path every
     * multimodal corpus takes into Spark (images/audio arrive as files, not
-    * rows). A bounded sample of documents is materialized as one .bin file
-    * each (distributed foreachPartition write — blobs never transit the
-    * driver), read back as (path, length, content) rows, and round-tripped:
-    * the oracle predicts byte length AND exact content from the source
-    * table, so a single flipped byte anywhere in the file path fails the
-    * hash. At 100 TB the same `binaryFile` load reads a bucket listing;
-    * per-file rows then shard by path exactly like any other scan. */
+    * rows). The scalable half is the READ: `binaryFile.load` lists a
+    * directory/bucket and shards per-file rows like any other scan — at
+    * 100 TB that is an object-store listing and the blobs never transit
+    * the driver. The WRITER here is only the fixture generator: a
+    * foreachPartition java.nio write that requires executors and driver to
+    * share `java.io.tmpdir`, i.e. local mode (on a real cluster the corpus
+    * already sits on shared storage, or the generator would write through
+    * the Hadoop FS API — java.nio cannot address HDFS/S3). Read back as
+    * (path, length, content) and round-tripped: the oracle predicts byte
+    * length AND exact content from the source table, so a single flipped
+    * byte anywhere in the path fails the hash. */
   private val scanBinaryFile = Spec(
     "scan_binaryfile",
     """SELECT doc_id,
@@ -32,12 +36,8 @@ object Scans {
       |  COALESCE(text, '') AS text_back
       |FROM documents WHERE doc_id % 50 = 0
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val dir = scratch("binsrc", d)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    rm(new java.io.File(dir)) // stale files would union into the read-back
+    val dir = scratch(s, "binsrc", d)
+    rmRecursive(new java.io.File(dir)) // stale files would union back in
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     Tables.documents(s, d)
       .filter(col("doc_id") % 50 === 0)
@@ -79,8 +79,8 @@ object Scans {
       if (!f.isDirectory) 0
       else f.listFiles().count(_.getName.endsWith(".parquet"))
     }
-    val frag = scratch("compact_frag", d)
-    val out = scratch("compact_out", d)
+    val frag = scratch(s, "compact_frag", d)
+    val out = scratch(s, "compact_out", d)
     Tables.events(s, d)
       .select(col("event_id"), col("event_type"), col("value"))
       .repartition(64)
@@ -94,13 +94,30 @@ object Scans {
     s.read.parquet(out).orderBy(col("event_id"))
   }
 
+  /** Shared recursive delete for scratch/bucket cleanup (one definition —
+    * the r4 review found three drifting copies). */
+  private[operators] def rmRecursive(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmRecursive))
+    f.delete(); ()
+  }
+
   /** Scratch dir for a round-trip op, keyed by the op name AND the full
     * (absolutized) sfDir so runs against different scale factors — or
-    * concurrent Verify/Bench JVMs — never read each other's files. */
-  private[operators] def scratch(op: String, sfDir: String): String = {
+    * concurrent Verify/Bench JVMs — never read each other's files.
+    * EVERY scratch dir self-registers deletion when the owning session's
+    * context ends (generalizing VERDICT r3 #6 from join_bucketed to all
+    * scratch consumers — the r4 review caught join_dpp/scan_binaryfile
+    * re-leaking one operator over from the fix): idempotent per
+    * (session, op, sfDir), file-only, safe during context teardown. */
+  private[operators] def scratch(s: org.apache.spark.sql.SparkSession,
+      op: String, sfDir: String): String = {
     val abs = java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize.toString
     val key = abs.replaceAll("[^A-Za-z0-9]", "_")
-    s"${System.getProperty("java.io.tmpdir")}/graft_${op}_$key"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_${op}_$key"
+    graft.sources.SessionHooks.onApplicationEnd(s, s"scratch-$op-$key") {
+      () => rmRecursive(new java.io.File(dir))
+    }
+    dir
   }
 
   /** Full projection of the largest fixture table, deterministic order. */
@@ -124,7 +141,7 @@ object Scans {
       .filter(col("l_orderkey") % 100 === 0)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_returnflag"))
-    val tmp = scratch("csv", d)
+    val tmp = scratch(s, "csv", d)
     slice.write.mode("overwrite").option("header", "true").csv(tmp)
     val schema = StructType(Seq(
       StructField("l_orderkey", LongType),
@@ -148,7 +165,7 @@ object Scans {
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), unix_micros(col("ts")).as("ts_us"))
-    val tmp = scratch("json", d)
+    val tmp = scratch(s, "json", d)
     slice.write.mode("overwrite").json(tmp)
     val schema = StructType(Seq(
       StructField("event_id", LongType),
@@ -166,7 +183,7 @@ object Scans {
     "scan_orc",
     """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
       |FROM supplier ORDER BY s_suppkey""".stripMargin) { (s, d) =>
-    val tmp = scratch("orc", d)
+    val tmp = scratch(s, "orc", d)
     Tables.supplier(s, d).write.mode("overwrite").orc(tmp)
     s.read.orc(tmp)
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
@@ -189,7 +206,7 @@ object Scans {
     """SELECT o_orderkey, o_custkey, o_totalprice, 'P' AS o_orderstatus
       |FROM orders WHERE o_orderstatus = 'P'
       |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
-    val tmp = scratch("part_sink", d)
+    val tmp = scratch(s, "part_sink", d)
     Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         col("o_orderstatus"))
@@ -241,7 +258,7 @@ object Scans {
       StructField("value", DoubleType), StructField("props", StringType)))
     import java.nio.file.{Files, LinkOption, Paths}
     val target = Paths.get(d, "events.parquet").toAbsolutePath.normalize
-    val srcDir = Paths.get(scratch("stream_src", d))
+    val srcDir = Paths.get(scratch(s, "stream_src", d))
     Files.createDirectories(srcDir)
     val link = srcDir.resolve("events.parquet")
     if (Files.exists(link, LinkOption.NOFOLLOW_LINKS)
@@ -267,16 +284,12 @@ object Scans {
     """SELECT event_id, user_id, value FROM events
       |WHERE event_type = 'purchase'
       |ORDER BY event_id""".stripMargin) { (s, d) =>
-    val out = scratch("foreach_sink", d)
+    val out = scratch(s, "foreach_sink", d)
     // Clean the output root first: batch ids restart at 0 per invocation
     // (fresh temp checkpoint), so overwrite-by-batch-id only covers the
     // directories THIS run writes — stale batch=N dirs from an earlier run
     // with different batching would otherwise union into the read-back.
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(out))
+    rmRecursive(new java.io.File(out))
     val q = eventsFileStream(s, d)
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("value"))

@@ -48,9 +48,16 @@ class IvfSpec extends AnyFunSuite {
       .select("probe_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (ivf & exact).size.toDouble / exact.size
-    // Shipped config (r4 AnnTune sweep): 48 cells, nProbe 19 ⇒ ~40 % scan,
-    // measured recall 0.90 at sf0.1 — deterministic on the fixed fixtures,
-    // so the r2-verdict floor of 0.8 is safe to pin.
+    // Shipped config (r4 AnnTune sweep): 48 cells, nProbe 19 ⇒ recall 0.90
+    // @ 39.7 % scan at sf0.1 and EXACTLY 0.80 here at sf0.01 (floor-exact:
+    // 48 cells over 500 vectors is ~10/cell of quantizer support). Both
+    // numbers are deterministic on the pinned fixtures (seeded sample,
+    // fixed Lloyd iterations), so the 0.8 pin cannot flake — but it has
+    // ZERO headroom at this scale by measurement, not accident. If a
+    // fixture regeneration ever lands below the floor, re-run
+    // `runMain graft.AnnTune /root/testdata/sf0.01`; the r4 sweep already
+    // measured (64, 26) at 0.94 @ 39.8 % scan on this corpus as the
+    // small-N fallback.
     assert(recall >= 0.8, s"ivf recall@5 = $recall")
   }
 }

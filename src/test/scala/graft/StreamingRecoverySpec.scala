@@ -124,9 +124,12 @@ class StreamingRecoverySpec extends AnyFunSuite {
     // offset log says batch N was planned, the commit log no longer says
     // it finished → restart MUST replay batch N through foreachBatch.
     val commits = Paths.get(ckDir, "commits")
-    val last = Files.list(commits).iterator().asScala
-      .filter(p => p.getFileName.toString.forall(_.isDigit))
-      .maxBy(_.getFileName.toString.toLong)
+    val listing = Files.list(commits)
+    val last =
+      try listing.iterator().asScala
+        .filter(p => p.getFileName.toString.forall(_.isDigit))
+        .maxBy(_.getFileName.toString.toLong)
+      finally listing.close()
     Files.delete(last)
     // The local ChecksumFs writes a `.N.crc` sidecar per commit file; it
     // must go too or the replayed batch's re-commit fails its rename (a
