@@ -16,7 +16,73 @@ import graft.sources.Tables
 object Aggregates {
   def specs: Seq[Spec] = Seq(aggHashGroup, aggGlobal, aggDistinct,
     aggApproxDistinct, aggRollup, aggCube, aggGroupingSets, aggCollect,
-    aggCustomTyped, aggStringConcat, aggMode, aggFiltered)
+    aggCustomTyped, aggStringConcat, aggMode, aggFiltered, aggUnpivot,
+    aggSketchHll)
+
+  /** Wide→long reshaping (`unpivot`/melt — the inverse of `pivot_status`):
+    * four lineitem measure columns become (metric, value) rows, then one
+    * hash aggregate totals each metric. `unpivot` plans as a per-row
+    * `Expand` — map-only, no shuffle until the 4-group aggregate — so at
+    * 100 TB it costs one pass regardless of how many measures melt. This
+    * is the normalization step feeding any generic metrics store. */
+  private val aggUnpivot = Spec(
+    "agg_unpivot",
+    s"""SELECT metric, ${Sql.dsum("value", "total")}, COUNT(value) AS n
+       |FROM (
+       |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+       |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+       |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+       |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+       |GROUP BY metric ORDER BY metric""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"))
+      .unpivot(
+        ids = Array(col("l_orderkey")),
+        values = Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        variableColumnName = "metric",
+        valueColumnName = "value")
+      .groupBy(col("metric"))
+      .agg(Det.dsum(col("value")).as("total"), count(col("value")).as("n"))
+      .orderBy(col("metric"))
+  }
+
+  /** Mergeable HLL sketches (Apache DataSketches built-ins) — the 100 TB
+    * incremental-cardinality pattern: fine-grained partial sketches
+    * (here per status×priority, in production per day/partition) are
+    * aggregated ONCE, stored, and any coarser rollup is a cheap
+    * `hll_union_agg` over sketch blobs — no re-scan of the base data.
+    * That mergeability is what `approx_count_distinct` (one-shot, see
+    * `agg_approx_distinct`) cannot give you. The oracle hash-checks the
+    * exact distinct count and a TRUE band flag; the Spark side computes
+    * the sketch estimate and asserts it landed within ±5 % (lgK=12 ⇒
+    * ~1.6 % relative standard error, so the band has 3σ headroom). */
+  private val aggSketchHll = Spec(
+    "agg_sketch_hll",
+    """SELECT o_orderstatus,
+      |  COUNT(DISTINCT o_custkey) AS exact_custs,
+      |  TRUE AS merged_within_5pct
+      |FROM orders GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    val orders = Tables.orders(s, d)
+    // stage 1: fine-grained partial sketches (the stored artifact at scale)
+    val partial = orders
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+    // stage 2: rollup by MERGING sketches — never touches the base table
+    val merged = partial
+      .groupBy(col("o_orderstatus"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_custs"))
+    val exact = orders
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("exact_custs"))
+    exact.join(merged, Seq("o_orderstatus"))
+      .select(col("o_orderstatus"), col("exact_custs"),
+        (abs(col("est_custs") - col("exact_custs"))
+          <= col("exact_custs") * 0.05).as("merged_within_5pct"))
+      .orderBy(col("o_orderstatus"))
+  }
 
   /** SQL:2003 FILTER-clause aggregates: several differently-filtered
     * aggregates over ONE scan and ONE two-phase hash aggregate — the

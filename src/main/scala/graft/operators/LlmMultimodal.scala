@@ -19,7 +19,69 @@ import graft.sources.Tables
   * survives unchanged.
   */
 object LlmMultimodal {
-  def specs: Seq[Spec] = Seq(resize, frameSample)
+  def specs: Seq[Spec] = Seq(resize, frameSample, audioFeatures)
+
+  /** Audio feature extraction — windowed RMS energy + zero-crossing rate,
+    * the two features every speech/audio curation pipeline computes before
+    * anything model-specific (silence trimming, energy filters, rough
+    * voicedness). The waveform is a deterministic 256-sample sawtooth
+    * derived from doc_id (the container ships no audio codecs — stub rule;
+    * sample generation is libm-free: multiply, divide-by-2^6, floor, so
+    * every sample is IEEE-exact in both engines). The FRAMING MATH is the
+    * real thing: 4 frames of 64 samples, per-frame sum-of-squares →
+    * `sqrt(E/64)` (sqrt is correctly-rounded — exact parity), crossings
+    * via consecutive-pair sign products. Everything is built-in array
+    * HOFs (`transform`/`slice`/`zip_with`/`aggregate`) — map-only, no
+    * shuffle until the final ORDER BY; at 100 TB swap the synthetic
+    * generator for a real PCM decode (the [[Pixels]] mapPartitions
+    * pattern) and the framing plan is unchanged. HOF lambdas are
+    * interpreted per element (~1k evals/doc here — fine); a hot
+    * production path would promote the frame kernel to a codegen'd
+    * native expression exactly as `graft_cosine` did. */
+  private val audioFeatures = Spec(
+    "llm_multimodal_audio",
+    """WITH base AS (
+      |  SELECT doc_id, (doc_id % 7) + 1 AS k FROM documents),
+      |pcm AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 256),
+      |      t -> 2.0 * ((k * t) / 64.0 - floor((k * t) / 64.0)) - 1.0)
+      |      AS samples
+      |  FROM base),
+      |frames AS (
+      |  SELECT doc_id, f.frame_id,
+      |    samples[f.frame_id * 64 + 1 : f.frame_id * 64 + 64] AS fr
+      |  FROM pcm CROSS JOIN (SELECT unnest(range(0, 4)) AS frame_id) f)
+      |SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
+      |  sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list_transform(fr, x -> x * x)), (a, b) -> a + b) / 64.0) AS rms,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(1, 64),
+      |      i -> CASE WHEN fr[i] * fr[i + 1] < 0
+      |           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+      |    (a, b) -> a + b) AS BIGINT) AS zcr
+      |FROM frames ORDER BY doc_id, frame_id""".stripMargin) { (s, d) =>
+    val frameLen = 64
+    Tables.documents(s, d)
+      .select(col("doc_id"), ((col("doc_id") % 7) + 1).as("k"))
+      .withColumn("samples", transform(sequence(lit(0), lit(255)), t => {
+        val phase = (col("k") * t).cast("double") / lit(64.0)
+        lit(2.0) * (phase - floor(phase)) - lit(1.0)
+      }))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          f => slice(col("samples"), f * frameLen + 1, lit(frameLen)))))
+      .select(col("doc_id"), col("pos").cast("long").as("frame_id"),
+        col("col").as("fr"))
+      .select(col("doc_id"), col("frame_id"),
+        sqrt(aggregate(col("fr"), lit(0.0),
+          (acc, x) => acc + x * x) / lit(64.0)).as("rms"),
+        aggregate(
+          zip_with(slice(col("fr"), 1, 63), slice(col("fr"), 2, 63),
+            (a, b) => when(a * b < 0, 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x).as("zcr"))
+      .orderBy(col("doc_id"), col("frame_id"))
+  }
 
   /** Decode → nearest-neighbor resize to a fixed 8×6 thumbnail — the
     * standard first transform of an image-training pipeline (uniform

@@ -10,7 +10,84 @@ import graft.sources.Tables
   * this family, lives in [[Scans]] as `sink_compacted`.)
   */
 object Maintenance {
-  def specs: Seq[Spec] = Seq(mergeUpsert, profileColumns)
+  def specs: Seq[Spec] = Seq(mergeUpsert, profileColumns, snapshotDiff,
+    zorderLayout)
+
+  /** Snapshot diff — the other direction of CDC from [[mergeUpsert]]:
+    * given two versions of a table, emit what changed (added / removed /
+    * changed rows), the audit step before trusting any pipeline rewrite.
+    * The new snapshot is derived deterministically from the base (updates
+    * for keys ≡0 mod 10, deletes ≡1, inserts ≡2 at keys shifted +2e7, past
+    * any fixture keyspace) and the diff is ONE full-outer join on the
+    * table key. At 100 TB both snapshots share the key layout, so with
+    * bucketed/co-partitioned storage this is a zero-shuffle zip join, and
+    * the output is change-proportional — never snapshot-sized. The price
+    * comparison is on identical IEEE operands in both engines (×1.1 on
+    * the same double), so 'changed' membership is bit-deterministic. */
+  private val snapshotDiff = Spec(
+    "snapshot_diff",
+    """WITH old AS (
+      |  SELECT o_orderkey AS k, o_totalprice AS price FROM orders),
+      |newsnap AS (
+      |  SELECT o_orderkey AS k,
+      |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.1
+      |         ELSE o_totalprice END AS price
+      |  FROM orders WHERE o_orderkey % 10 <> 1
+      |  UNION ALL
+      |  SELECT o_orderkey + 20000000, o_totalprice FROM orders
+      |  WHERE o_orderkey % 10 = 2)
+      |SELECT COALESCE(o.k, n.k) AS o_orderkey,
+      |  o.price AS old_price, n.price AS new_price,
+      |  CASE WHEN o.k IS NULL THEN 'added'
+      |       WHEN n.k IS NULL THEN 'removed'
+      |       ELSE 'changed' END AS change_type
+      |FROM old o FULL JOIN newsnap n ON o.k = n.k
+      |WHERE o.k IS NULL OR n.k IS NULL OR o.price <> n.price
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+    val newSnap = base
+      .filter(col("k") % 10 =!= 1)
+      .select(col("k").as("nk"),
+        when(col("k") % 10 === 0, col("price") * 1.1d)
+          .otherwise(col("price")).as("new_price"))
+      .unionAll(base.filter(col("k") % 10 === 2)
+        .select((col("k") + 20000000L).as("nk"), col("price")))
+    base.join(newSnap, col("k") === col("nk"), "full_outer")
+      .filter(col("k").isNull || col("nk").isNull
+        || col("price") =!= col("new_price"))
+      .select(coalesce(col("k"), col("nk")).as("o_orderkey"),
+        col("price").as("old_price"), col("new_price"),
+        when(col("k").isNull, "added")
+          .when(col("nk").isNull, "removed")
+          .otherwise("changed").as("change_type"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Z-order (Morton) clustering rewrite — the data-layout lever for
+    * multi-dimensional pruning: interleave the low 8 bits of two
+    * clustering keys, range-repartition + sort the table by the z-value,
+    * and rewrite. After the rewrite each parquet file owns a narrow,
+    * pairwise-disjoint z-range (MaintenanceSpec asserts it), so the
+    * file-level min/max stats prune reads on EITHER key dimension — at
+    * 100 TB that is the difference between scanning a corpus and reading
+    * a handful of files, and it is exactly what table formats call
+    * OPTIMIZE ZORDER. The z-value itself is pure integer bit arithmetic
+    * (shift/and/or — no libm), so the oracle recomputes every z bit-for-
+    * bit and the read-back hash-checks the full round trip. */
+  private val zorderLayout = Spec(
+    "zorder_layout",
+    s"""SELECT o_orderkey, ${Zorder.sql("o_custkey", "o_orderkey")} AS zval
+       |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val dir = Scans.scratch(s, "zorder", d)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        Zorder.zcol(col("o_custkey"), col("o_orderkey")).as("zval"))
+      .repartitionByRange(16, col("zval"))
+      .sortWithinPartitions(col("zval"))
+      .write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir).orderBy(col("o_orderkey"))
+  }
 
   /** MERGE INTO semantics on vanilla Spark: a deterministic change feed
     * (updates for keys ≡0 mod 10, deletes for ≡1, inserts for ≡2 at
@@ -124,4 +201,33 @@ object Maintenance {
         col("p.vmin"), col("p.vmax"))
       .orderBy(col("col_name"))
   }
+}
+
+/** Morton (z-order) interleave of the low 8 bits of two non-negative
+  * integer keys: bit i of `a` lands at position 2i, bit i of `b` at
+  * 2i+1. Identical formulas emitted as a Catalyst column (codegen'd
+  * shift/and/or builtins) and as DuckDB SQL so the two engines agree on
+  * every bit; 16 bits of z-resolution is enough to order 2^16 cells,
+  * which at any realistic file count (≪ 65536) clusters files exactly. */
+object Zorder {
+  private val bits = 0 until 8
+
+  /** Catalyst expression form. */
+  def zcol(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val am = a % 256
+    val bm = b % 256
+    bits.map { i =>
+      shiftleft(shiftright(am, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftright(bm, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _).cast("long")
+  }
+
+  /** DuckDB mirror of [[zcol]] (same bits, same positions). */
+  def sql(a: String, b: String): String =
+    bits.map { i =>
+      s"((((($a % 256) >> $i) & 1) << ${2 * i}) | " +
+        s"(((($b % 256) >> $i) & 1) << ${2 * i + 1}))"
+    }.mkString("CAST((", " | ", ") AS BIGINT)")
 }

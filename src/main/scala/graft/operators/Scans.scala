@@ -14,7 +14,49 @@ import graft.sources.Tables
 object Scans {
   def specs: Seq[Spec] = Seq(scanParquet, scanCsv, scanJson, scanOrc,
     sinkPartitioned, sourceStreamFile, sinkStreamForeach, sinkCompacted,
-    scanBinaryFile)
+    scanBinaryFile, scanCsvCorrupt)
+
+  /** PERMISSIVE ingestion of a dirty CSV drop — the rule for any external
+    * feed at 100 TB is "never let one bad row kill a billion-row load, and
+    * never silently drop it either". A deliberately corrupted file set is
+    * generated distributed (every key ≡3 mod 10 writes a non-numeric
+    * price), read back under `mode=PERMISSIVE` with a
+    * `columnNameOfCorruptRecord` quarantine column, and ONE conditional
+    * aggregate reports the good/bad split plus the good-row total — the
+    * load-audit row a production ingest writes next to every batch. The
+    * aggregate reads data AND quarantine columns together, so the count
+    * is immune to the classic corrupt-column-pruning trap (a scan of only
+    * `_bad` would never exercise the parser). Double→string→double is
+    * exact (Spark emits shortest round-trip literals), so the good-row
+    * decimal total hash-matches the oracle's prediction from parquet. */
+  private val scanCsvCorrupt = Spec(
+    "scan_csv_corrupt",
+    """SELECT COUNT(*) FILTER (WHERE o_orderkey % 10 <> 3) AS n_good,
+      |  COUNT(*) FILTER (WHERE o_orderkey % 10 = 3) AS n_bad,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    FILTER (WHERE o_orderkey % 10 <> 3) AS DOUBLE) AS good_total
+      |FROM orders""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types._
+    val tmp = scratch(s, "csv_corrupt", d)
+    Tables.orders(s, d)
+      .select(concat_ws(",", col("o_orderkey"),
+        when(col("o_orderkey") % 10 === 3, lit("oops"))
+          .otherwise(col("o_totalprice").cast("string"))).as("value"))
+      .write.mode("overwrite").text(tmp)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_totalprice", DoubleType),
+      StructField("_bad", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .csv(tmp)
+      .agg(count(when(col("_bad").isNull, 1)).as("n_good"),
+        count(col("_bad")).as("n_bad"),
+        sum(graft.functions.Det.dec2(
+          when(col("_bad").isNull, col("o_totalprice"))))
+          .cast("double").as("good_total"))
+  }
 
   /** Raw-blob ingestion via the `binaryFile` source — the path every
     * multimodal corpus takes into Spark (images/audio arrive as files, not

@@ -27,6 +27,51 @@ class AggregatesSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_unpivot melts to exactly rows×metrics and preserves totals") {
+    val out = SparkEntry.queries("agg_unpivot")(spark, SF01)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    val li = Tables.lineitem(spark, SF01)
+    val n = li.count()
+    assert(out.keySet == Set("l_quantity", "l_extendedprice",
+      "l_discount", "l_tax"))
+    out.foreach { case (m, (total, cnt)) =>
+      assert(cnt == n, s"$m: melted count $cnt != $n rows")
+      val direct = li.agg(graft.functions.Det.dsum(col(m)))
+        .collect()(0).getDouble(0)
+      assert(total == direct, s"$m: melted total $total != direct $direct")
+    }
+  }
+
+  test("agg_sketch_hll merged estimate stays in band and exact side agrees") {
+    val rows = SparkEntry.queries("agg_sketch_hll")(spark, SF01)
+      .collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val exact = Tables.orders(spark, SF01)
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val (ex, ok) = rows(k)
+      assert(ex == n, s"$k: exact_custs $ex != independent $n")
+      assert(ok, s"$k: merged-sketch estimate outside the 5% band of $n")
+    }
+    // Mergeability is the point: the union of per-priority sketches must
+    // estimate the status-level cardinality, not the sum of the parts
+    // (overlapping customer sets would inflate a naive sum).
+    val naiveSum = Tables.orders(spark, SF01)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .groupBy(col("o_orderstatus")).agg(sum(col("n")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(naiveSum(k) > n,
+        s"$k: fixture has no cross-priority customer overlap — the " +
+          "merge-vs-sum distinction this test pins would be vacuous")
+    }
+  }
+
   test("MoneyStats computes exact count/mean/population variance") {
     import spark.implicits._
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0))

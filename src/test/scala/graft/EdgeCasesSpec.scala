@@ -88,4 +88,21 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(a.except(a).count() == 0)
     assert(a.union(b).count() == 3)
   }
+
+  test("corrupt CSV rows are quarantined and counted, never dropped") {
+    import org.apache.spark.sql.functions._
+    val row = SparkEntry.queries("scan_csv_corrupt")(spark, TestSpark.SF001)
+      .collect()(0)
+    val (nGood, nBad, goodTotal) =
+      (row.getLong(0), row.getLong(1), row.getDouble(2))
+    val orders = graft.sources.Tables.orders(spark, TestSpark.SF001)
+    val n = orders.count()
+    val expBad = orders.filter(col("o_orderkey") % 10 === 3).count()
+    assert(nBad == expBad, "every injected bad row must be quarantined")
+    assert(nGood + nBad == n, "no row may vanish under PERMISSIVE")
+    val expTotal = orders.filter(col("o_orderkey") % 10 =!= 3)
+      .agg(graft.functions.Det.dsum(col("o_totalprice")))
+      .collect()(0).getDouble(0)
+    assert(goodTotal == expTotal, "good-row total must survive the text trip")
+  }
 }

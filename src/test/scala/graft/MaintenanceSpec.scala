@@ -83,4 +83,60 @@ class MaintenanceSpec extends AnyFunSuite {
       assert(sorted.last._4.isEmpty, s"user $user: current must be last")
     }
   }
+
+  test("snapshot_diff classifies every key class and nothing else") {
+    val baseKeys = graft.sources.Tables.orders(spark, SF001)
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSet
+    val out = SparkEntry.queries("snapshot_diff")(spark, SF001)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getString(3)))
+    val byType = out.groupBy(_._4)
+    // added = shifted ≡2 keys, old side null
+    assert(byType("added").map(_._1).toSet ==
+      baseKeys.filter(_ % 10 == 2).map(_ + 20000000L))
+    byType("added").foreach(r => assert(r._2.isEmpty && r._3.nonEmpty))
+    // removed = ≡1 keys, new side null
+    assert(byType("removed").map(_._1).toSet == baseKeys.filter(_ % 10 == 1))
+    byType("removed").foreach(r => assert(r._2.nonEmpty && r._3.isEmpty))
+    // changed = ≡0 keys with price scaled exactly 1.1
+    assert(byType("changed").map(_._1).toSet == baseKeys.filter(_ % 10 == 0))
+    byType("changed").foreach(r =>
+      assert(r._3.get == r._2.get * 1.1d, s"key ${r._1}"))
+    // unchanged rows never surface
+    assert(byType.keySet == Set("added", "removed", "changed"))
+  }
+
+  test("zorder_layout interleaves bits exactly and files own disjoint z-ranges") {
+    val out = SparkEntry.queries("zorder_layout")(spark, SF001)
+    // bit-exact Morton check against an independent Scala interleave
+    out.limit(200).collect().foreach { r =>
+      val k = r.getLong(0); val z = r.getLong(1)
+      // decode the odd (orderkey) bit positions; they must reproduce the
+      // low byte of the orderkey we have in-row
+      val b = (0 until 8).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+      assert(b == (k % 256), s"odd z bits of key $k decode to $b")
+    }
+    // physical clustering: each written file covers a z-range disjoint
+    // from every other file's (boundary keys excepted) — this is what
+    // makes file-level min/max stats prunable on either dimension
+    val key = java.nio.file.Paths.get(SF001).toAbsolutePath.normalize
+      .toString.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_zorder_$key")
+    val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length > 1, "expected a multi-file z-ordered layout")
+    val ranges = files.map { f =>
+      val stats = spark.read.parquet(f.getPath)
+        .agg(min(col("zval")), max(col("zval"))).collect()(0)
+      (stats.getLong(0), stats.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) =>
+        assert(bMin >= aMax,
+          s"file z-ranges overlap: [..,$aMax] vs [$bMin,..]")
+      case _ => ()
+    }
+  }
 }

@@ -93,4 +93,30 @@ class MultimodalSpec extends AnyFunSuite {
       assert(out(id) == ((f.toLong, sampled, want)), s"doc $id")
     }
   }
+
+  test("audio features match an independent PCM recomputation bit-for-bit") {
+    val out = SparkEntry.queries("llm_multimodal_audio")(spark, SF001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    val docIds = graft.sources.Tables.documents(spark, SF001)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(out.size == docIds.length * 4, "4 frames per document")
+    docIds.foreach { id =>
+      val k = (id % 7) + 1
+      val pcm = (0 until 256).map { t =>
+        val phase = (k * t).toDouble / 64.0
+        2.0 * (phase - math.floor(phase)) - 1.0
+      }
+      (0 until 4).foreach { f =>
+        val fr = pcm.slice(f * 64, f * 64 + 64)
+        val rms = math.sqrt(fr.foldLeft(0.0)((a, x) => a + x * x) / 64.0)
+        val zcr = fr.sliding(2).count(p => p(0) * p(1) < 0).toLong
+        val (gotRms, gotZcr) = out((id, f.toLong))
+        assert(gotRms == rms, s"doc $id frame $f rms")
+        assert(gotZcr == zcr, s"doc $id frame $f zcr")
+        assert(gotRms > 0.0 && gotRms <= 1.0 && gotZcr <= 63L)
+      }
+    }
+  }
 }

@@ -216,6 +216,42 @@ class PlanSpec extends AnyFunSuite {
       s"queries with a one-task window funnel: ${offenders.mkString(", ")}")
   }
 
+  test("agg_unpivot melts via a map-only Expand, one shuffle for the agg") {
+    val p = plan("agg_unpivot")
+    assert(p.contains("Expand"), s"unpivot should plan as Expand: ${p.take(800)}")
+    // one scan, one hash-partitioned exchange (the 4-group aggregate); a
+    // UNION-of-scans shape would read the table once per metric
+    assert(p.linesIterator.count(_.contains("Location: InMemoryFileIndex"))
+        == 1, s"unpivot must not rescan per metric: ${p.take(1200)}")
+    // formatted mode puts the partitioning on the Arguments detail line
+    assert(p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+        == 1, p.take(1200))
+  }
+
+  test("agg_sketch_hll builds sketches with a partial (map-side) phase") {
+    val p = plan("agg_sketch_hll")
+    assert(p.contains("hll_sketch_agg") || p.contains("HllSketchAgg"),
+      p.take(1200))
+    assert(p.contains("partial"),
+      s"sketch aggregation must combine map-side: ${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("snapshot_diff is one keyed full-outer join, never a nested loop") {
+    val p = plan("snapshot_diff")
+    assert(p.contains("FullOuter"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"),
+      s"diff must join on the key: ${p.take(1200)}")
+  }
+
+  test("scan_csv_corrupt audits the load in one aggregate over one scan") {
+    val p = plan("scan_csv_corrupt")
+    assert(p.linesIterator.count(_.contains("Location: InMemoryFileIndex"))
+        == 1, s"one pass over the dirty drop: ${p.take(1200)}")
+    assert(p.contains("partial"), p.take(1200))
+  }
+
   test("whole-stage codegen covers the flagship aggregate") {
     // AQE finalizes the physical plan only at execution; run the query,
     // then check the executed plan for fused codegen stages.
