@@ -22,7 +22,39 @@ import graft.sources.Tables
   */
 object Functions {
   def specs: Seq[Spec] = Seq(fnString, fnDate, fnMath, fnArray, fnMap,
-    fnJson, fnUdfScalar, fnUdtfExplode, fnRegex)
+    fnJson, fnUdfScalar, fnUdtfExplode, fnRegex, fnEncode)
+
+  /** Binary codec family — base64 / hex over UTF-8 document bytes plus a
+    * decode round-trip proof. This is the interchange surface every
+    * pipeline hits at its edges (payloads in JSON envelopes, keys in URLs,
+    * blobs in text logs); all four directions are codegen'd built-ins over
+    * the string→binary cast, map-only at any scale. Byte-level parity:
+    * both engines encode the SAME UTF-8 bytes (Spark `cast(string as
+    * binary)` ≡ DuckDB `encode()`), and RFC 4648 base64 / uppercase hex
+    * are canonical in both, so even multi-byte codepoints hash-match. */
+  private val fnEncode = Spec(
+    "fn_encode",
+    """SELECT doc_id,
+      |  base64(encode(COALESCE(text, ''))) AS b64,
+      |  hex(encode(COALESCE(text, ''))) AS hx,
+      |  decode(from_base64(base64(encode(COALESCE(text, '')))))
+      |    = COALESCE(text, '') AS rt_ok
+      |FROM documents WHERE doc_id % 25 = 0
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"),
+        coalesce(col("text"), lit("")).cast("binary").as("bytes"))
+      .select(col("doc_id"),
+        // Spark's base64 MIME-chunks long output with CRLF every 76 chars
+        // (legacy chunking); strip to the canonical unchunked RFC 4648
+        // form DuckDB emits
+        regexp_replace(base64(col("bytes")), "\r\n", "").as("b64"),
+        hex(col("bytes")).as("hx"),
+        (unbase64(base64(col("bytes"))).cast("string")
+          === col("bytes").cast("string")).as("rt_ok"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Regex function family over part names ("small ring", "red widget"):
     * extract / extract-all count / boolean match. Patterns stay inside the

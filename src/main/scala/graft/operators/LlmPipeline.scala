@@ -22,7 +22,47 @@ import graft.sources.Tables
 object LlmPipeline {
   def specs: Seq[Spec] = Seq(contamination, splitHash, repetition, chunking,
     packSequences, domainMix, piiScrub, vocab, curriculum, sampleStratified,
-    winsorize, filterFunnel, instructionFormat, oovRate)
+    winsorize, filterFunnel, instructionFormat, oovRate, bpePairs)
+
+  /** One BPE-training iteration — the pair-count step every tokenizer
+    * trainer loops on: count adjacent character pairs across the corpus,
+    * weighted by word frequency; the top pair is what BPE would merge
+    * next. The load-bearing scale trick is aggregating to the DISTINCT
+    * word table FIRST (corpus tokens → |vocab| rows, orders of magnitude
+    * smaller at 100 TB) and exploding pairs only over that; pair counts
+    * then weight by the word's frequency instead of touching the corpus
+    * again. Top-50 via TakeOrderedAndProject with a full (count DESC,
+    * pair ASC) tiebreak. substr is codepoint-based in both engines, so
+    * multi-byte text pairs agree. */
+  private val bpePairs = Spec(
+    "llm_bpe_pairs",
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |w AS (
+      |  SELECT token, COUNT(*) AS n FROM tok
+      |  WHERE length(token) >= 2 GROUP BY token),
+      |p AS (
+      |  SELECT unnest(list_transform(range(1, length(token)),
+      |    i -> substr(token, CAST(i AS INTEGER), 2))) AS pair, n
+      |  FROM w)
+      |SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt
+      |FROM p GROUP BY pair
+      |ORDER BY cnt DESC, pair LIMIT 50""".stripMargin) { (s, d) =>
+    val words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) >= 2)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+    words
+      .select(col("n"),
+        explode(transform(
+          sequence(lit(1), length(col("token")) - 1),
+          i => col("token").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("n")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(50)
+  }
 
   /** Chat-template rendering — the SFT-pipeline step that turns a
     * (prompt, response) pair into the model's instruction format. The

@@ -14,7 +14,41 @@ import graft.sources.Tables
 object Scans {
   def specs: Seq[Spec] = Seq(scanParquet, scanCsv, scanJson, scanOrc,
     sinkPartitioned, sourceStreamFile, sinkStreamForeach, sinkCompacted,
-    scanBinaryFile, scanCsvCorrupt)
+    scanBinaryFile, scanCsvCorrupt, scanSchemaEvolve)
+
+  /** Schema evolution across file generations — on any long-lived dataset
+    * the schema WILL drift (a column added mid-year), and a 100 TB reader
+    * must reconcile old and new files in one scan instead of rewriting
+    * history. Two generations are written to one table path (gen=1
+    * without `o_orderstatus`, gen=2 with it); `mergeSchema=true` unions
+    * the per-file footers into one superset schema and old rows surface
+    * the missing column as NULL. The cost model at scale: schema merge
+    * reads footers only (no data), and the partition-discovered `gen`
+    * column keeps generation filters directory-prunable. The oracle
+    * reconstructs the same union from the base table, NULL-padding the
+    * old generation. */
+  private val scanSchemaEvolve = Spec(
+    "scan_schema_evolve",
+    """SELECT o_orderkey, o_totalprice,
+      |  CAST(NULL AS VARCHAR) AS o_orderstatus, 1 AS gen
+      |FROM orders WHERE o_orderkey % 2 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice, o_orderstatus, 2 AS gen
+      |FROM orders WHERE o_orderkey % 2 = 1
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val dir = scratch(s, "evolve", d)
+    val orders = Tables.orders(s, d)
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$dir/gen=1")
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .write.mode("overwrite").parquet(s"$dir/gen=2")
+    s.read.option("mergeSchema", "true").parquet(dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+        col("gen"))
+      .orderBy(col("o_orderkey"))
+  }
 
   /** PERMISSIVE ingestion of a dirty CSV drop — the rule for any external
     * feed at 100 TB is "never let one bad row kill a billion-row load, and

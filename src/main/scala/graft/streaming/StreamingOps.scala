@@ -28,7 +28,7 @@ import graft.sources.Tables
   */
 object StreamingOps {
   def specs: Seq[Spec] = Seq(tumbling, sliding, session, watermarkLate,
-    dedup, statefulCustom, streamStream, streamStatic)
+    dedup, statefulCustom, streamStream, streamStatic, streamStreamOuter)
 
   /** Shared transforms (batch twin == streaming form). */
 
@@ -77,6 +77,26 @@ object StreamingOps {
         col("c.user_id") === col("v.user_id")
           && col("v.ts") > col("c.ts") - expr(s"INTERVAL $bandMinutes MINUTE")
           && col("v.ts") <= col("c.ts"))
+      .select(col("c.event_id").as("click_id"), col("v.event_id").as("view_id"),
+        col("c.user_id").as("user_id"),
+        unix_micros(col("c.ts")).as("click_us"),
+        unix_micros(col("v.ts")).as("view_us"))
+
+  /** LEFT OUTER form of [[clickViewPairs]] — every click survives, with
+    * null view columns when no view preceded it in the band. In streaming
+    * this is the harder contract: the unmatched side can only be emitted
+    * once the watermark proves no matching view can still arrive, so
+    * outer results are watermark-delayed and state is evicted at exactly
+    * that boundary (both-side watermarks + the time-interval condition
+    * are mandatory — StreamingSpec drives it, sentinel-advancing the
+    * watermark to flush the tail). The batch twin is a plain left join. */
+  def clickViewPairsOuter(clicks: DataFrame, views: DataFrame,
+      bandMinutes: Int = 10): DataFrame =
+    clicks.alias("c").join(views.alias("v"),
+        col("c.user_id") === col("v.user_id")
+          && col("v.ts") > col("c.ts") - expr(s"INTERVAL $bandMinutes MINUTE")
+          && col("v.ts") <= col("c.ts"),
+        "left_outer")
       .select(col("c.event_id").as("click_id"), col("v.event_id").as("view_id"),
         col("c.user_id").as("user_id"),
         unix_micros(col("c.ts")).as("click_us"),
@@ -209,6 +229,24 @@ object StreamingOps {
       |ORDER BY click_id, view_id""".stripMargin) { (s, d) =>
     val ev = Tables.events(s, d)
     clickViewPairs(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "view"))
+      .orderBy(col("click_id"), col("view_id"))
+  }
+
+  private val streamStreamOuter = Spec(
+    "join_stream_stream_outer",
+    """SELECT c.event_id AS click_id, v.event_id AS view_id,
+      |  c.user_id AS user_id,
+      |  epoch_us(c.ts) AS click_us, epoch_us(v.ts) AS view_us
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON c.user_id = v.user_id
+      | AND epoch_us(v.ts) >  epoch_us(c.ts) - 600000000
+      | AND epoch_us(v.ts) <= epoch_us(c.ts)
+      |ORDER BY click_id, view_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    clickViewPairsOuter(
         ev.filter(col("event_type") === "click"),
         ev.filter(col("event_type") === "view"))
       .orderBy(col("click_id"), col("view_id"))

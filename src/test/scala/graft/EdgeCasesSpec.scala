@@ -105,4 +105,19 @@ class EdgeCasesSpec extends AnyFunSuite {
       .collect()(0).getDouble(0)
     assert(goodTotal == expTotal, "good-row total must survive the text trip")
   }
+
+  test("schema evolution NULL-pads old-generation rows, loses none") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("scan_schema_evolve")(spark, TestSpark.SF001)
+    val n = graft.sources.Tables.orders(spark, TestSpark.SF001).count()
+    assert(out.count() == n, "merged read must cover both generations fully")
+    // old generation: the added column surfaces as NULL; new: never NULL
+    assert(out.filter(col("gen") === 1)
+      .filter(col("o_orderstatus").isNotNull).count() == 0)
+    assert(out.filter(col("gen") === 2)
+      .filter(col("o_orderstatus").isNull).count() == 0)
+    // generation membership is the write-side parity split
+    assert(out.filter(col("gen") === 1)
+      .filter(col("o_orderkey") % 2 === 1).count() == 0)
+  }
 }

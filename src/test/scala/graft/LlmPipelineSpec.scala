@@ -164,4 +164,23 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(oov.toDouble / total < 0.5,
       s"top-100 vocab covers too little: $oov/$total")
   }
+
+  test("bpe_pairs matches an independent pair count and ranks correctly") {
+    val got = SparkEntry.queries("llm_bpe_pairs")(spark, SF001)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // independent recomputation straight from the raw documents
+    val exp = collection.mutable.Map.empty[String, Long]
+    graft.sources.Tables.documents(spark, SF001)
+      .select(org.apache.spark.sql.functions.col("text"))
+      .collect().iterator.flatMap(r => Option(r.getString(0)))
+      .flatMap(_.split(" ", -1)).filter(_.length >= 2)
+      .foreach { w =>
+        (0 until w.length - 1).foreach { i =>
+          val p = w.substring(i, i + 2)
+          exp(p) = exp.getOrElse(p, 0L) + 1L
+        }
+      }
+    val expTop = exp.toSeq.sortBy { case (p, n) => (-n, p) }.take(50)
+    assert(got.toSeq == expTop)
+  }
 }

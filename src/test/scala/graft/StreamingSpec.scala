@@ -108,6 +108,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(streamed) == sortedRows(batch))
   }
 
+  test("stream-stream LEFT OUTER join: stream == batch incl. null rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = fixtureEvents(600)
+    val clicksB = evs.filter(_.event_type == "click")
+    val viewsB = evs.filter(_.event_type == "view")
+    val band = 24 * 60
+
+    val memC = MemoryStream[Ev]; memC.addData(clicksB)
+    val memV = MemoryStream[Ev]; memV.addData(viewsB)
+    val joined = StreamingOps.clickViewPairsOuter(
+      memC.toDF().withWatermark("ts", "30 minutes"),
+      memV.toDF().withWatermark("ts", "30 minutes"), band)
+    val name = s"graft_ssjo_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // Outer (null-view) rows only emit once the watermark PROVES no
+      // match can still arrive; a far-future sentinel on both inputs
+      // pushes the watermark past every real click so the tail flushes.
+      val maxTs = evs.map(_.ts.getTime).max
+      val sentinel = Ev(-999L, new Timestamp(maxTs + 7L * 24 * 3600 * 1000),
+        -999L, "x", 0.0)
+      memC.addData(sentinel); memV.addData(sentinel)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(name).collect()
+      .filter(_.getLong(0) != -999L) // drop the sentinel's own outer row
+
+    val batch = StreamingOps.clickViewPairsOuter(clicksB.toDF(),
+      viewsB.toDF(), band).collect()
+    assert(batch.exists(_.isNullAt(1)),
+      "fixture must produce at least one unmatched click or the outer " +
+        "semantics are untested")
+    assert(sortedRows(streamed) == sortedRows(batch))
+  }
+
   test("watermark drops late rows past the boundary") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
