@@ -22,7 +22,43 @@ object Analytics {
   def specs: Seq[Spec] = Seq(percentiles, pivotStatus, ntileBuckets,
     crossJoin, conditionals, subqueries, hashes, bitwise, percentRank,
     skewSalted, statsMoments, approxPercentile, histogram, retention,
-    scd2Intervals, sqlTpchQ3, gapFillDaily)
+    scd2Intervals, sqlTpchQ3, gapFillDaily, sqlTpchQ18)
+
+  /** TPC-H Q18 (large-volume customer) through the pure-SQL entry path —
+    * the second half of what sql_tpch_q3 pins: an IN subquery whose inner
+    * query is itself an aggregate with HAVING. Catalyst must (and does)
+    * plan the subquery as an aggregate feeding a left-semi join — one
+    * extra pass over lineitem, NOT a per-row re-execution (the
+    * decorrelation contract at 100 TB: the subquery runs once, its result
+    * joins by hash). Quantity sums use the §7.4 decimal convention so
+    * both the HAVING threshold decision and the output sums are exact. */
+  private val sqlTpchQ18 = Spec(
+    "sql_tpch_q18",
+    """SELECT c_custkey, o_orderkey,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+      |GROUP BY c_custkey, o_orderkey
+      |ORDER BY sum_qty DESC, o_orderkey
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("graft_q18_customer")
+    Tables.orders(s, d).createOrReplaceTempView("graft_q18_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_q18_lineitem")
+    s.sql(
+      """SELECT c_custkey, o_orderkey,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM graft_q18_customer JOIN graft_q18_orders ON c_custkey = o_custkey
+        |JOIN graft_q18_lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM graft_q18_lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+        |GROUP BY c_custkey, o_orderkey
+        |ORDER BY sum_qty DESC, o_orderkey
+        |LIMIT 20""".stripMargin)
+  }
 
   /** Time-series gap filling — densify a daily metric so downstream
     * charts/models see an unbroken calendar: per event_type, generate the

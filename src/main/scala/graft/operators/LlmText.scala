@@ -19,7 +19,45 @@ import graft.sources.Tables
   */
 object LlmText {
   def specs: Seq[Spec] = Seq(dedupExact, dedupNgram, dedupCluster, textStats,
-    langId, quality, tokenCount, fingerprint, tfidf, ngramLm, cooccur)
+    langId, quality, tokenCount, fingerprint, tfidf, ngramLm, cooccur,
+    dedupIncremental)
+
+  /** Incremental ingest dedup — the production shape of [[dedupExact]]:
+    * a NEW batch (keys ≡0 mod 5 stand in for today's crawl) is deduped
+    * against the EXISTING corpus by fingerprint anti-join, then within
+    * itself (first doc_id per fingerprint wins). The scale contract is
+    * that ingest never re-reads the corpus: at 100 TB the right side is
+    * the persisted fingerprint INDEX (md5 per doc — a few % of corpus
+    * bytes), bucketed by fingerprint so the anti-join co-partitions; a
+    * daily batch is small enough to broadcast, making the whole admission
+    * decision map-side. Fingerprints are md5 of normalized text —
+    * identical lowercase-hex in both engines. */
+  private val dedupIncremental = Spec(
+    "llm_dedup_incremental",
+    """WITH f AS (
+      |  SELECT doc_id, md5(lower(trim(text))) AS fp
+      |  FROM documents WHERE text IS NOT NULL),
+      |newb AS (SELECT doc_id, fp FROM f WHERE doc_id % 5 = 0),
+      |old AS (SELECT DISTINCT fp FROM f WHERE doc_id % 5 <> 0)
+      |SELECT doc_id, fp FROM (
+      |  SELECT n.doc_id, n.fp,
+      |    ROW_NUMBER() OVER (PARTITION BY n.fp ORDER BY n.doc_id) AS rn
+      |  FROM newb n
+      |  WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.fp = n.fp))
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val f = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), md5(lower(trim(col("text")))).as("fp"))
+    val newBatch = f.filter(col("doc_id") % 5 === 0)
+    val oldIndex = f.filter(col("doc_id") % 5 =!= 0).select(col("fp")).distinct()
+    newBatch.join(oldIndex, Seq("fp"), "left_anti")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Skip-gram co-occurrence with lift: canonical unordered word pairs
     * within a ±2 token window, scored by

@@ -252,6 +252,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial"), p.take(1200))
   }
 
+  test("sql_tpch_q18 decorrelates the HAVING subquery into a semi join") {
+    val p = plan("sql_tpch_q18")
+    assert(p.contains("LeftSemi"),
+      s"IN-subquery must plan as a semi join, not re-execute per row: " +
+        p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("llm_dedup_incremental admits via an anti join, never a re-scan loop") {
+    val p = plan("llm_dedup_incremental")
+    assert(p.contains("LeftAnti"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("whole-stage codegen covers the flagship aggregate") {
     // AQE finalizes the physical plan only at execution; run the query,
     // then check the executed plan for fused codegen stages.
