@@ -20,7 +20,58 @@ import graft.sources.Tables
 object LlmText {
   def specs: Seq[Spec] = Seq(dedupExact, dedupNgram, dedupCluster, textStats,
     langId, quality, tokenCount, fingerprint, tfidf, ngramLm, cooccur,
-    dedupIncremental)
+    dedupIncremental, lmScore)
+
+  /** Perplexity-proxy quality scoring — rank every document by how
+    * typical its word transitions are under the corpus's own bigram LM
+    * (the filter that catches boilerplate, gibberish, and wrong-language
+    * strays before training). True perplexity exponentiates a log-prob
+    * mean — libm, banned by the oracle's cross-engine float rule — so the
+    * score is the arithmetic mean of the bigram conditional probabilities
+    * P(w2|w1): same ordering intuition (low = atypical), zero
+    * transcendentals. Each p is an exact int/int double division
+    * (identical operands both engines), decimal-cast before the
+    * order-independent sum (§7.4). Plan: one explode, LM counts by two
+    * hash aggs, then the doc bigram stream joins the LM on the bigram key
+    * and re-aggregates per doc — at 100 TB the LM table is pruned to
+    * top-V and broadcast, making the scoring pass map-side. */
+  private val lmScore = Spec(
+    "llm_lm_score",
+    """WITH bg AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM (SELECT doc_id, ws,
+      |          unnest(generate_series(1, len(ws) - 1)) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+      |              FROM documents)
+      |        WHERE len(ws) >= 2)),
+      |c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM bg GROUP BY w1, w2),
+      |c1 AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c12
+      |       GROUP BY w1)
+      |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(CAST(CAST(c12.n12 AS DOUBLE) / c1.n1 AS DECIMAL(28,6)))
+      |    AS DOUBLE) / COUNT(*) AS avg_p
+      |FROM bg b
+      |JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+      |JOIN c1 ON c12.w1 = c1.w1
+      |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+    val bg = docsWords(s, d)
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(words) - 2),
+          |  i -> struct(words[i] AS w1, words[i + 1] AS w2))"""
+          .stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
+    bg.join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .withColumn("p", col("n12").cast("double") / col("n1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(graft.functions.Det.dec6(col("p"))).cast("double")
+          / count(lit(1))).as("avg_p"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Incremental ingest dedup — the production shape of [[dedupExact]]:
     * a NEW batch (keys ≡0 mod 5 stand in for today's crawl) is deduped

@@ -183,4 +183,23 @@ class LlmPipelineSpec extends AnyFunSuite {
     val expTop = exp.toSeq.sortBy { case (p, n) => (-n, p) }.take(50)
     assert(got.toSeq == expTop)
   }
+
+  test("lm_score covers every scoreable doc with a probability-mean score") {
+    val got = SparkEntry.queries("llm_lm_score")(spark, SF001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val docs = graft.sources.Tables.documents(spark, SF001)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1)))
+    docs.foreach { case (id, text) =>
+      val nWords = text.map(_.split(" ", -1).length).getOrElse(0)
+      if (nWords >= 2) {
+        val (nb, avgP) = got(id)
+        assert(nb == nWords - 1, s"doc $id bigram count")
+        // every bigram came from this corpus, so p >= 1/corpus and <= 1
+        assert(avgP > 0.0 && avgP <= 1.0, s"doc $id avg_p $avgP")
+      } else assert(!got.contains(id), s"doc $id has no bigrams to score")
+    }
+  }
 }
