@@ -61,7 +61,13 @@ object LlmText {
           |  i -> struct(words[i] AS w1, words[i + 1] AS w2))"""
           .stripMargin)).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // persist the LM table: it is vocab²-bounded (tiny next to the
+    // corpus) and referenced twice (the scoring join and the prefix
+    // rollup) — without it the bigram explode over documents runs three
+    // times. CacheManager dedups repeat invocations by plan; the entry
+    // lives for the session like win_ntile's (deliberate, ADVICE r3).
     val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+      .persist()
     val c1 = c12.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
     bg.join(c12, Seq("w1", "w2"))
       .join(c1, Seq("w1"))

@@ -17,9 +17,9 @@ object Maintenance {
     * given two versions of a table, emit what changed (added / removed /
     * changed rows), the audit step before trusting any pipeline rewrite.
     * The new snapshot is derived deterministically from the base (updates
-    * for keys ≡0 mod 10, deletes ≡1, inserts ≡2 at keys shifted +2e7, past
-    * any fixture keyspace) and the diff is ONE full-outer join on the
-    * table key. At 100 TB both snapshots share the key layout, so with
+    * for keys ≡0 mod 10, deletes ≡1, inserts ≡2 at keys shifted +1e10 —
+    * beyond the orderkey range of any TPC-H scale factor this engine
+    * would meet) and the diff is ONE full-outer join on the table key. At 100 TB both snapshots share the key layout, so with
     * bucketed/co-partitioned storage this is a zero-shuffle zip join, and
     * the output is change-proportional — never snapshot-sized. The price
     * comparison is on identical IEEE operands in both engines (×1.1 on
@@ -34,7 +34,7 @@ object Maintenance {
       |         ELSE o_totalprice END AS price
       |  FROM orders WHERE o_orderkey % 10 <> 1
       |  UNION ALL
-      |  SELECT o_orderkey + 20000000, o_totalprice FROM orders
+      |  SELECT o_orderkey + 10000000000, o_totalprice FROM orders
       |  WHERE o_orderkey % 10 = 2)
       |SELECT COALESCE(o.k, n.k) AS o_orderkey,
       |  o.price AS old_price, n.price AS new_price,
@@ -52,7 +52,7 @@ object Maintenance {
         when(col("k") % 10 === 0, col("price") * 1.1d)
           .otherwise(col("price")).as("new_price"))
       .unionAll(base.filter(col("k") % 10 === 2)
-        .select((col("k") + 20000000L).as("nk"), col("price")))
+        .select((col("k") + 10000000000L).as("nk"), col("price")))
     base.join(newSnap, col("k") === col("nk"), "full_outer")
       .filter(col("k").isNull || col("nk").isNull
         || col("price") =!= col("new_price"))

@@ -185,7 +185,7 @@ object Scans {
     * scratch consumers — the r4 review caught join_dpp/scan_binaryfile
     * re-leaking one operator over from the fix): idempotent per
     * (session, op, sfDir), file-only, safe during context teardown. */
-  private[operators] def scratch(s: org.apache.spark.sql.SparkSession,
+  private[graft] def scratch(s: org.apache.spark.sql.SparkSession,
       op: String, sfDir: String): String = {
     val abs = java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize.toString
     val key = abs.replaceAll("[^A-Za-z0-9]", "_")

@@ -73,14 +73,7 @@ object StreamingOps {
     * grows forever. */
   def clickViewPairs(clicks: DataFrame, views: DataFrame,
       bandMinutes: Int = 10): DataFrame =
-    clicks.alias("c").join(views.alias("v"),
-        col("c.user_id") === col("v.user_id")
-          && col("v.ts") > col("c.ts") - expr(s"INTERVAL $bandMinutes MINUTE")
-          && col("v.ts") <= col("c.ts"))
-      .select(col("c.event_id").as("click_id"), col("v.event_id").as("view_id"),
-        col("c.user_id").as("user_id"),
-        unix_micros(col("c.ts")).as("click_us"),
-        unix_micros(col("v.ts")).as("view_us"))
+    clickViewJoin(clicks, views, bandMinutes, "inner")
 
   /** LEFT OUTER form of [[clickViewPairs]] — every click survives, with
     * null view columns when no view preceded it in the band. In streaming
@@ -92,11 +85,17 @@ object StreamingOps {
     * watermark to flush the tail). The batch twin is a plain left join. */
   def clickViewPairsOuter(clicks: DataFrame, views: DataFrame,
       bandMinutes: Int = 10): DataFrame =
+    clickViewJoin(clicks, views, bandMinutes, "left_outer")
+
+  /** One copy of the interval condition + projection for both join types —
+    * a band or bound fix can never drift between the inner/outer forms. */
+  private def clickViewJoin(clicks: DataFrame, views: DataFrame,
+      bandMinutes: Int, joinType: String): DataFrame =
     clicks.alias("c").join(views.alias("v"),
         col("c.user_id") === col("v.user_id")
           && col("v.ts") > col("c.ts") - expr(s"INTERVAL $bandMinutes MINUTE")
           && col("v.ts") <= col("c.ts"),
-        "left_outer")
+        joinType)
       .select(col("c.event_id").as("click_id"), col("v.event_id").as("view_id"),
         col("c.user_id").as("user_id"),
         unix_micros(col("c.ts")).as("click_us"),

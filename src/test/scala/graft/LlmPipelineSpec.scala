@@ -168,15 +168,20 @@ class LlmPipelineSpec extends AnyFunSuite {
   test("bpe_pairs matches an independent pair count and ranks correctly") {
     val got = SparkEntry.queries("llm_bpe_pairs")(spark, SF001)
       .collect().map(r => r.getString(0) -> r.getLong(1))
-    // independent recomputation straight from the raw documents
+    // independent recomputation straight from the raw documents —
+    // in CODEPOINT units, matching Spark length()/substr and DuckDB
+    // length/substr (Java String.length/substring count UTF-16 code
+    // units and would diverge on any astral character)
     val exp = collection.mutable.Map.empty[String, Long]
     graft.sources.Tables.documents(spark, SF001)
       .select(org.apache.spark.sql.functions.col("text"))
       .collect().iterator.flatMap(r => Option(r.getString(0)))
-      .flatMap(_.split(" ", -1)).filter(_.length >= 2)
-      .foreach { w =>
-        (0 until w.length - 1).foreach { i =>
-          val p = w.substring(i, i + 2)
+      .flatMap(_.split(" ", -1))
+      .map(_.codePoints().toArray)
+      .filter(_.length >= 2)
+      .foreach { cps =>
+        (0 until cps.length - 1).foreach { i =>
+          val p = new String(cps, i, 2)
           exp(p) = exp.getOrElse(p, 0L) + 1L
         }
       }

@@ -95,7 +95,7 @@ class MaintenanceSpec extends AnyFunSuite {
     val byType = out.groupBy(_._4)
     // added = shifted ≡2 keys, old side null
     assert(byType("added").map(_._1).toSet ==
-      baseKeys.filter(_ % 10 == 2).map(_ + 20000000L))
+      baseKeys.filter(_ % 10 == 2).map(_ + 10000000000L))
     byType("added").foreach(r => assert(r._2.isEmpty && r._3.nonEmpty))
     // removed = ≡1 keys, new side null
     assert(byType("removed").map(_._1).toSet == baseKeys.filter(_ % 10 == 1))
@@ -121,10 +121,8 @@ class MaintenanceSpec extends AnyFunSuite {
     // physical clustering: each written file covers a z-range disjoint
     // from every other file's (boundary keys excepted) — this is what
     // makes file-level min/max stats prunable on either dimension
-    val key = java.nio.file.Paths.get(SF001).toAbsolutePath.normalize
-      .toString.replaceAll("[^A-Za-z0-9]", "_")
     val dir = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_zorder_$key")
+      graft.operators.Scans.scratch(spark, "zorder", SF001))
     val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
     assert(files.length > 1, "expected a multi-file z-ordered layout")
     val ranges = files.map { f =>
