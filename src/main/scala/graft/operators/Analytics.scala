@@ -22,7 +22,40 @@ object Analytics {
   def specs: Seq[Spec] = Seq(percentiles, pivotStatus, ntileBuckets,
     crossJoin, conditionals, subqueries, hashes, bitwise, percentRank,
     skewSalted, statsMoments, approxPercentile, histogram, retention,
-    scd2Intervals, sqlTpchQ3, gapFillDaily, sqlTpchQ18)
+    scd2Intervals, sqlTpchQ3, gapFillDaily, sqlTpchQ18, rollingDistinct)
+
+  /** Rolling 3-day distinct users — the "weekly/monthly active users"
+    * family, which is NOT a window-function sum: distinct counts cannot
+    * be composed from daily distincts. The exact distributed shape is
+    * WINDOW EXPLOSION: dedupe to (user, day), emit each pair into the ≤3
+    * window anchors it contributes to, dedupe (window, user), count per
+    * window — cost is window_length × |user-days|, all hash aggregates,
+    * no per-window rescan of the raw events. When window length × volume
+    * outgrows that, the drop-in successor is the mergeable-sketch rollup
+    * (`agg_sketch_hll`) at the price of exactness. Days are epoch-µs
+    * integer floor-divisions — identical arithmetic in both engines. */
+  private val rollingDistinct = Spec(
+    "win_rolling_distinct",
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |    epoch_us(ts) // 86400000000 AS day FROM events),
+      |wu AS (
+      |  SELECT DISTINCT user_id, day + j AS w
+      |  FROM ud CROSS JOIN (SELECT unnest([0, 1, 2]) AS j))
+      |SELECT w AS window_end_day, COUNT(*) AS n_users_3d
+      |FROM wu GROUP BY w ORDER BY w""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 2)).as("w"))
+      .distinct()
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_users_3d"))
+      .select(col("w").as("window_end_day"), col("n_users_3d"))
+      .orderBy(col("window_end_day"))
+  }
 
   /** TPC-H Q18 (large-volume customer) through the pure-SQL entry path —
     * the second half of what sql_tpch_q3 pins: an IN subquery whose inner

@@ -18,7 +18,43 @@ object Joins {
   def specs: Seq[Spec] = Seq(
     innerHash, leftOuter, rightOuter, fullOuter, leftSemi, leftAnti,
     broadcastJoin, multiway, thetaRange, asOf, bucketed, nullSafe, salted,
-    dpp)
+    dpp, fuzzy)
+
+  /** Fuzzy (edit-distance) self-match — the entity-resolution primitive
+    * behind catalog dedup and reference-data reconciliation. The naive
+    * form is an all-pairs |V|² levenshtein; the scale-safe shape used
+    * here is BLOCKING: each name emits its length±1 as candidate keys,
+    * the equi-join on the blocking key admits exactly the pairs whose
+    * lengths can be within edit distance 1 of each other per edit, and
+    * only candidates pay the (codegen'd built-in) levenshtein. Every
+    * qualifying pair meets on exactly one key (the right side's true
+    * length), so no dedup pass is needed. In production the same plan
+    * adds prefix/q-gram blocking keys — more keys, same equi-join shape;
+    * the quadratic blowup stays confined to within-block pairs. */
+  private val fuzzy = Spec(
+    "join_fuzzy",
+    """WITH n AS (SELECT DISTINCT p_name FROM part)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      |FROM n a JOIN n b ON a.p_name < b.p_name
+      |  AND abs(length(a.p_name) - length(b.p_name)) <= 1
+      |  AND levenshtein(a.p_name, b.p_name) <= 2
+      |ORDER BY name_a, name_b""".stripMargin) { (s, d) =>
+    val names = Tables.part(s, d).select(col("p_name")).distinct()
+    val a = names
+      .withColumn("blk", explode(sequence(
+        length(col("p_name")) - 1, length(col("p_name")) + 1)))
+      .select(col("p_name").as("name_a"), col("blk"))
+    val b = names.select(col("p_name").as("name_b"),
+      length(col("p_name")).as("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 2)
+      .select(col("name_a"), col("name_b"), col("dist"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
 
   /** Dynamic partition pruning: the fact side is LAID OUT partitioned by
     * the join key (customers by nation directory), the dim side carries a

@@ -72,4 +72,32 @@ class JoinsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L))
   }
+
+  test("join_fuzzy blocking finds every pair the all-pairs scan finds") {
+    // reference: an independent all-pairs edit-distance scan over the
+    // (tiny) distinct-name set, under the operator's declared contract —
+    // pairs within length gap 1 and distance 2. (A distance-2 pair CAN
+    // sit at length gap 2 — two same-direction indels; the length±1
+    // blocking key excludes those by design, in the oracle too.)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = graft.sources.Tables.part(spark, SF001)
+      .select(org.apache.spark.sql.functions.col("p_name"))
+      .distinct().collect().map(_.getString(0))
+    val exp = (for {
+      x <- names; y <- names
+      if x < y && math.abs(x.length - y.length) <= 1 && lev(x, y) <= 2
+    } yield (x, y, lev(x, y).toLong)).toSet
+    val got = SparkEntry.queries("join_fuzzy")(spark, SF001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got == exp)
+    assert(got.nonEmpty, "fixture must contain at least one fuzzy pair")
+  }
 }
