@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Spec
@@ -22,7 +23,8 @@ object Analytics {
   def specs: Seq[Spec] = Seq(percentiles, pivotStatus, ntileBuckets,
     crossJoin, conditionals, subqueries, hashes, bitwise, percentRank,
     skewSalted, statsMoments, approxPercentile, histogram, retention,
-    scd2Intervals, sqlTpchQ3, gapFillDaily, sqlTpchQ18, rollingDistinct)
+    scd2Intervals, sqlTpchQ3, gapFillDaily, sqlTpchQ18, rollingDistinct,
+    pointInTime)
 
   /** Rolling 3-day distinct users — the "weekly/monthly active users"
     * family, which is NOT a window-function sum: distinct counts cannot
@@ -186,6 +188,28 @@ object Analytics {
     * the total order so tied timestamps cannot flap the intervals.
     * Timestamps are emitted as epoch microseconds (the events-table
     * convention — DuckDB truncates the same parquet ns column to µs). */
+  /** Shared SCD-2 interval frame: per-user state transitions with
+    * [valid_from_us, valid_to_us) validity (valid_to_us NULL = current),
+    * plus the tie-breaking event_id. One definition feeds both the
+    * interval BUILD (`win_scd2_intervals`) and the point-in-time LOOKUP
+    * (`join_point_in_time`) so their interval semantics cannot drift. */
+  private def stateIntervals(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val transitions = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        lag(col("event_type"), 1).over(byUser).as("prev"))
+      .filter(col("prev").isNull || col("event_type") =!= col("prev"))
+    val byUserUs = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    transitions
+      .select(col("user_id"), col("event_type"),
+        col("ts_us").as("valid_from_us"),
+        lead(col("ts_us"), 1).over(byUserUs).as("valid_to_us"),
+        col("event_id"))
+  }
+
   private val scd2Intervals = Spec(
     "win_scd2_intervals",
     """WITH s AS (
@@ -203,24 +227,60 @@ object Analytics {
       |    THEN 1 ELSE 0 END AS BIGINT) AS is_current
       |FROM t ORDER BY user_id, valid_from_us, event_id""".stripMargin) {
     (s, d) =>
-    val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    val transitions = Tables.events(s, d)
-      .select(col("user_id"), col("event_type"), col("event_id"),
-        unix_micros(col("ts")).as("ts_us"),
-        lag(col("event_type"), 1).over(byUser).as("prev"))
-      .filter(col("prev").isNull || col("event_type") =!= col("prev"))
-    val byUserUs = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_us"), col("event_id"))
-    transitions
-      .select(col("user_id"), col("event_type"),
-        col("ts_us").as("valid_from_us"),
-        lead(col("ts_us"), 1).over(byUserUs).as("valid_to_us"),
-        when(lead(col("ts_us"), 1).over(byUserUs).isNull, 1L).otherwise(0L)
-          .as("is_current"),
+    stateIntervals(s, d)
+      .select(col("user_id"), col("event_type"), col("valid_from_us"),
+        col("valid_to_us"),
+        when(col("valid_to_us").isNull, 1L).otherwise(0L).as("is_current"),
         col("event_id"))
       .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
       .drop("event_id")
+  }
+
+  /** Point-in-time (temporal) join — the feature-store lookup that keeps
+    * training data leakage-free: each purchase event is enriched with the
+    * state interval that was valid AT ITS EVENT TIME, never a later one.
+    * The join is equi-anchored on user_id with the interval containment
+    * as a residual, so it plans as a hash join (the as-of/theta family's
+    * shape, PlanSpec-pinned) — at 100 TB both sides hash-partition by the
+    * entity key and the residual runs within partitions. Intervals
+    * half-open [from, to) with NULL = current guarantee exactly one match
+    * per event; zero-width intervals from same-microsecond transitions
+    * match nothing, on both engines, by the same < comparison. */
+  private val pointInTime = Spec(
+    "join_point_in_time",
+    """WITH s AS (
+      |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+      |    LAG(event_type) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |t AS (SELECT user_id, event_type, event_id, ts_us
+      |      FROM s WHERE prev IS NULL OR event_type <> prev),
+      |iv AS (
+      |  SELECT user_id, event_type AS state, ts_us AS valid_from_us,
+      |    LEAD(ts_us) OVER
+      |      (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us
+      |  FROM t),
+      |p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.ts_us, iv.state, iv.valid_from_us
+      |FROM p JOIN iv ON p.user_id = iv.user_id
+      |  AND iv.valid_from_us <= p.ts_us
+      |  AND (iv.valid_to_us IS NULL OR p.ts_us < iv.valid_to_us)
+      |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+    val iv = stateIntervals(s, d)
+      .select(col("user_id").as("iv_user"), col("event_type").as("state"),
+        col("valid_from_us"), col("valid_to_us"))
+    Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .join(iv,
+        col("user_id") === col("iv_user")
+          && col("valid_from_us") <= col("ts_us")
+          && (col("valid_to_us").isNull || col("ts_us") < col("valid_to_us")))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("state"),
+        col("valid_from_us"))
+      .orderBy(col("event_id"))
   }
 
   /** Fixed-width histogram of lineitem prices: bucket = floor(x / width).

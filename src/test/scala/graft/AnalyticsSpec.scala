@@ -105,4 +105,36 @@ class AnalyticsSpec extends AnyFunSuite {
     }
     assert(inflated, "fixture has no cross-day user — test is vacuous")
   }
+
+  test("join_point_in_time: every purchase gets exactly its own-time state") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("join_point_in_time")(spark, SF001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4)))
+    val purchases = graft.sources.Tables.events(spark, SF001)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    // exactly one interval per purchase — no loss, no fan-out
+    assert(out.map(_._1).toSet == purchases)
+    assert(out.length == purchases.size)
+    out.foreach { case (eid, _, tsUs, state, fromUs) =>
+      // leakage check: the matched interval STARTED at or before the event
+      assert(fromUs <= tsUs, s"event $eid matched a future interval")
+      assert(state.nonEmpty)
+    }
+    // a purchase that itself opens its interval maps to state 'purchase' —
+    // only decidable when no other event shares the user's microsecond
+    // (the scd2 tie rule), so restrict to unambiguous timestamps
+    val tsCounts = graft.sources.Tables.events(spark, SF001)
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("us"))
+      .count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    out.filter { case (_, uid, ts, _, from) =>
+      ts == from && tsCounts((uid, ts)) == 1
+    }.foreach { case (eid, _, _, state, _) =>
+      assert(state == "purchase",
+        s"event $eid starts its interval but carries state $state")
+    }
+  }
 }

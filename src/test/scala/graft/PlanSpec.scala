@@ -267,6 +267,13 @@ class PlanSpec extends AnyFunSuite {
       && !p.contains("CartesianProduct"), p.take(1200))
   }
 
+  test("join_point_in_time anchors on the entity key, never a nested loop") {
+    val p = plan("join_point_in_time")
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"),
+      s"interval containment must ride the user_id equi key: ${p.take(1200)}")
+  }
+
   test("whole-stage codegen covers the flagship aggregate") {
     // AQE finalizes the physical plan only at execution; run the query,
     // then check the executed plan for fused codegen stages.
