@@ -20,7 +20,46 @@ import graft.sources.Tables
   */
 object Windows {
   def specs: Seq[Spec] = Seq(winRank, topkPerGroup, lagLead, runningFrame,
-    rangeFrame, firstLast, cumeDist, sessionGap)
+    rangeFrame, firstLast, cumeDist, sessionGap, patternMatch)
+
+  /** Event-sequence pattern detection (the MATCH_RECOGNIZE use case on
+    * plain window functions): find every strict view→click→purchase run
+    * per user and report per-user funnel counts with the first
+    * occurrence. Two LEADs over the user-partitioned event order turn
+    * pattern detection into a per-row predicate — one window pass + one
+    * hash aggregate, no self-joins, no state machine; a length-k pattern
+    * costs k-1 LEADs in the same single pass. The window partitions by
+    * user (never global) and the (ts, event_id) order pins ties, so the
+    * match set is deterministic in both engines. */
+  private val patternMatch = Spec(
+    "win_pattern_match",
+    """WITH s AS (
+      |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+      |    LEAD(event_type, 1) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id) AS n1,
+      |    LEAD(event_type, 2) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id) AS n2
+      |  FROM events),
+      |m AS (SELECT user_id, ts_us FROM s
+      |      WHERE event_type = 'view' AND n1 = 'click'
+      |        AND n2 = 'purchase')
+      |SELECT user_id, COUNT(*) AS n_funnels,
+      |  MIN(ts_us) AS first_funnel_start_us
+      |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        lead(col("event_type"), 1).over(byUser).as("n1"),
+        lead(col("event_type"), 2).over(byUser).as("n2"))
+      .filter(col("event_type") === "view" && col("n1") === "click"
+        && col("n2") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_funnels"),
+        min(col("ts_us")).as("first_funnel_start_us"))
+      .orderBy(col("user_id"))
+  }
 
   /** Batch sessionization — the gaps-and-islands idiom: a 30-minute gap
     * (or the user's first event) starts a new session, and the session

@@ -137,4 +137,30 @@ class AnalyticsSpec extends AnyFunSuite {
         s"event $eid starts its interval but carries state $state")
     }
   }
+
+  test("win_pattern_match finds exactly the ground-truth funnel triples") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("win_pattern_match")(spark, SF001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // independent recomputation: per-user event sequence, sliding triples
+    val seqs = graft.sources.Tables.events(spark, SF001)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val exp = seqs.flatMap { case (uid, evs) =>
+      val ordered = evs.sortBy(e => (e._3, e._4))
+      val hits = ordered.sliding(3).collect {
+        case Array(a, b, c)
+            if a._2 == "view" && b._2 == "click" && c._2 == "purchase" =>
+          a._3
+      }.toSeq
+      if (hits.isEmpty) None
+      else Some(uid -> ((hits.size.toLong, hits.min)))
+    }
+    assert(got == exp)
+    assert(got.nonEmpty, "fixture must contain at least one funnel")
+  }
 }
