@@ -35,7 +35,10 @@ object Analytics {
     * no per-window rescan of the raw events. When window length × volume
     * outgrows that, the drop-in successor is the mergeable-sketch rollup
     * (`agg_sketch_hll`) at the price of exactness. Days are epoch-µs
-    * integer floor-divisions — identical arithmetic in both engines. */
+    * integer floor-divisions — identical arithmetic in both engines.
+    * Window anchors past the last observed day are clipped (a user-day
+    * would otherwise project phantom windows 1–2 days beyond the data);
+    * the first two windows legitimately cover a partial lookback. */
   private val rollingDistinct = Spec(
     "win_rolling_distinct",
     """WITH ud AS (
@@ -43,16 +46,21 @@ object Analytics {
       |    epoch_us(ts) // 86400000000 AS day FROM events),
       |wu AS (
       |  SELECT DISTINCT user_id, day + j AS w
-      |  FROM ud CROSS JOIN (SELECT unnest([0, 1, 2]) AS j))
+      |  FROM ud CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+      |  WHERE day + j <= (SELECT MAX(day) FROM ud))
       |SELECT w AS window_end_day, COUNT(*) AS n_users_3d
       |FROM wu GROUP BY w ORDER BY w""".stripMargin) { (s, d) =>
-    Tables.events(s, d)
+    val ud = Tables.events(s, d)
       .select(col("user_id"),
         expr("unix_micros(ts) div 86400000000").as("day"))
       .distinct()
-      .select(col("user_id"),
+    // 1-row global max broadcast-crossed in (the llm_domain_mix pattern)
+    val maxDay = ud.agg(max(col("day")).as("max_day"))
+    ud.select(col("user_id"),
         explode(sequence(col("day"), col("day") + 2)).as("w"))
       .distinct()
+      .crossJoin(broadcast(maxDay))
+      .filter(col("w") <= col("max_day"))
       .groupBy(col("w"))
       .agg(count(lit(1)).as("n_users_3d"))
       .select(col("w").as("window_end_day"), col("n_users_3d"))

@@ -40,7 +40,12 @@ object Joins {
       |  AND abs(length(a.p_name) - length(b.p_name)) <= 1
       |  AND levenshtein(a.p_name, b.p_name) <= 2
       |ORDER BY name_a, name_b""".stripMargin) { (s, d) =>
-    val names = Tables.part(s, d).select(col("p_name")).distinct()
+    // persist the name dictionary: both join sides consume it, and
+    // without the cache each side would re-scan part and recompute the
+    // distinct aggregate (the r4 review caught PLANS.md claiming
+    // otherwise). The dictionary is the small side by construction —
+    // at scale it is the entity table you block against, built once.
+    val names = Tables.part(s, d).select(col("p_name")).distinct().persist()
     val a = names
       .withColumn("blk", explode(sequence(
         length(col("p_name")) - 1, length(col("p_name")) + 1)))

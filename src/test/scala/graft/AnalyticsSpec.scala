@@ -104,6 +104,9 @@ class AnalyticsSpec extends AnyFunSuite {
       sum > n
     }
     assert(inflated, "fixture has no cross-day user — test is vacuous")
+    // no phantom windows past the last observed day (r4 review finding)
+    assert(got.keySet.max == ud.map(_._2).max,
+      "window anchors must clip at the last day present in the data")
   }
 
   test("join_point_in_time: every purchase gets exactly its own-time state") {
