@@ -182,4 +182,26 @@ class LlmSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(out == Set((2L, 2L), (9L, 1L)))
   }
+
+  test("incremental dedup rejects corpus dups, keeps first within batch") {
+    import spark.implicits._
+    // batch = doc_id % 5 == 0; corpus = the rest. Engineered collisions:
+    //  - id 0 duplicates corpus doc 1 (normalized)      -> rejected
+    //  - ids 5 and 10 duplicate each other, both new    -> 5 admitted only
+    //  - id 15 is genuinely new                         -> admitted
+    //  - id 20 duplicates corpus doc 3 modulo case/trim -> rejected
+    val rows = Seq(
+      0L -> "alpha beta gamma", 1L -> "alpha beta gamma",
+      2L -> "delta one", 3L -> "epsilon zeta",
+      5L -> "brand new text", 10L -> "brand new text",
+      15L -> "only here once", 20L -> "  EPSILON ZETA  ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_incdedup")
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val admitted = SparkEntry.queries("llm_dedup_incremental")(
+      spark, tmp.toString).collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(5L, 15L))
+  }
 }
