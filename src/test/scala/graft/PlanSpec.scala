@@ -267,6 +267,17 @@ class PlanSpec extends AnyFunSuite {
       && !p.contains("CartesianProduct"), p.take(1200))
   }
 
+  test("join_fuzzy reads ONE cached name dictionary, no per-side rescan") {
+    val p = plan("join_fuzzy")
+    assert(p.contains("InMemoryTableScan"),
+      s"name dictionary must come from the persisted relation: ${p.take(900)}")
+    assert(p.linesIterator.count(_.contains("Location: InMemoryFileIndex"))
+        <= 1,
+      s"both join sides must share one part scan: ${p.take(1200)}")
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"), p.take(900))
+  }
+
   test("join_point_in_time anchors on the entity key, never a nested loop") {
     val p = plan("join_point_in_time")
     assert(!p.contains("BroadcastNestedLoopJoin")
