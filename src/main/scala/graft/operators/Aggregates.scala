@@ -17,7 +17,35 @@ object Aggregates {
   def specs: Seq[Spec] = Seq(aggHashGroup, aggGlobal, aggDistinct,
     aggApproxDistinct, aggRollup, aggCube, aggGroupingSets, aggCollect,
     aggCustomTyped, aggStringConcat, aggMode, aggFiltered, aggUnpivot,
-    aggSketchHll)
+    aggSketchHll, aggGroupingId)
+
+  /** GROUPING/GROUPING_ID markers on a rollup — the disambiguation that
+    * makes subtotal reporting trustworthy: a NULL grouping column can
+    * mean "this row aggregates over all values" (subtotal) or "the data
+    * itself was NULL", and only the grouping flags tell them apart.
+    * Every BI layer on top of rollup/cube output consumes these; both
+    * engines compute the same bit per column (1 = rolled up), composed
+    * into the same integer id. Costs nothing — the flags are emitted by
+    * the same Expand+aggregate the rollup already runs. */
+  private val aggGroupingId = Spec(
+    "agg_grouping_id",
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+      |  CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping(col("o_orderstatus")).cast("long").as("g_status"),
+        grouping(col("o_orderpriority")).cast("long").as("g_prio"),
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"))
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("g_status"),
+        col("g_prio"), col("gid"), col("n"))
+      .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+  }
 
   /** Wide→long reshaping (`unpivot`/melt — the inverse of `pivot_status`):
     * four lineitem measure columns become (metric, value) rows, then one
