@@ -82,15 +82,23 @@ object Aggregates {
     * aggregated ONCE, stored, and any coarser rollup is a cheap
     * `hll_union_agg` over sketch blobs — no re-scan of the base data.
     * That mergeability is what `approx_count_distinct` (one-shot, see
-    * `agg_approx_distinct`) cannot give you. The oracle hash-checks the
-    * exact distinct count and a TRUE band flag; the Spark side computes
-    * the sketch estimate and asserts it landed within ±5 % (lgK=12 ⇒
-    * ~1.6 % relative standard error, so the band has 3σ headroom). */
+    * `agg_approx_distinct`) cannot give you.
+    *
+    * Oracle-parity discipline (ADVICE r4): the oracle emits a literal
+    * TRUE for the band flag, so the flag must be DETERMINISTIC under the
+    * estimator's documented error, not merely probable. lgK=12 ⇒ ~1.6 %
+    * relative standard error; the hash-checked band is ±25 % — ≈15σ, an
+    * error the sketch cannot produce without an actual bug — where the
+    * r4 ±5 % band was only 3σ and could flip on a fixture regeneration
+    * with no code change. The tight ±5 % accuracy assertion lives in
+    * AggregatesSpec (recomputed from the sketches directly), where a
+    * flake is visible and attributable instead of failing the driver's
+    * hash gate. */
   private val aggSketchHll = Spec(
     "agg_sketch_hll",
     """SELECT o_orderstatus,
       |  COUNT(DISTINCT o_custkey) AS exact_custs,
-      |  TRUE AS merged_within_5pct
+      |  TRUE AS merged_within_25pct
       |FROM orders GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
     val orders = Tables.orders(s, d)
@@ -108,7 +116,7 @@ object Aggregates {
     exact.join(merged, Seq("o_orderstatus"))
       .select(col("o_orderstatus"), col("exact_custs"),
         (abs(col("est_custs") - col("exact_custs"))
-          <= col("exact_custs") * 0.05).as("merged_within_5pct"))
+          <= col("exact_custs") * 0.25).as("merged_within_25pct"))
       .orderBy(col("o_orderstatus"))
   }
 

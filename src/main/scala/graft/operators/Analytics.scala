@@ -35,7 +35,11 @@ object Analytics {
     * no per-window rescan of the raw events. When window length × volume
     * outgrows that, the drop-in successor is the mergeable-sketch rollup
     * (`agg_sketch_hll`) at the price of exactness. Days are epoch-µs
-    * integer floor-divisions — identical arithmetic in both engines.
+    * FLOOR divisions on both engines: DuckDB `//` floors natively, and
+    * the Spark side subtracts `pmod` (always ≥ 0) before an exact `div`
+    * — plain `div` truncates toward zero, which diverges from `//` for
+    * pre-1970 timestamps a fixture regeneration could introduce (ADVICE
+    * r4). All-integer arithmetic, no double rounding in sight.
     * Window anchors past the last observed day are clipped (a user-day
     * would otherwise project phantom windows 1–2 days beyond the data);
     * the first two windows legitimately cover a partial lookback. */
@@ -52,7 +56,8 @@ object Analytics {
       |FROM wu GROUP BY w ORDER BY w""".stripMargin) { (s, d) =>
     val ud = Tables.events(s, d)
       .select(col("user_id"),
-        expr("unix_micros(ts) div 86400000000").as("day"))
+        expr("(unix_micros(ts) - pmod(unix_micros(ts), 86400000000))" +
+          " div 86400000000").as("day"))
       .distinct()
     // 1-row global max broadcast-crossed in (the llm_domain_mix pattern)
     val maxDay = ud.agg(max(col("day")).as("max_day"))
@@ -574,12 +579,16 @@ object Analytics {
     import s.implicits._
     val ord = Seq(col("c_acctbal").desc, col("c_custkey").asc)
     // Only the rank keys are materialized — at 100 TB the persisted
-    // footprint is two columns, not the table.
-    val ranged = Tables.customer(s, d)
-      .select(col("c_acctbal"), col("c_custkey"))
-      .repartitionByRange(s.sparkContext.defaultParallelism, ord: _*)
-      .withColumn("pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // footprint is two columns, not the table. RelationCache-routed
+    // (VERDICT r4 #7): keyed to this sfDir and releasable by evictSfDir;
+    // the memo also guarantees pass 1 (the counts collect below) and
+    // pass 2 share ONE materialization even across repeat invocations.
+    val ranged = graft.sources.RelationCache.getOrPersist(s, "ntile_ranged", d) {
+      Tables.customer(s, d)
+        .select(col("c_acctbal"), col("c_custkey"))
+        .repartitionByRange(s.sparkContext.defaultParallelism, ord: _*)
+        .withColumn("pid", spark_partition_id())
+    }
     val counts = ranged.groupBy(col("pid")).count()
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L

@@ -45,7 +45,11 @@ object Joins {
     // distinct aggregate (the r4 review caught PLANS.md claiming
     // otherwise). The dictionary is the small side by construction —
     // at scale it is the entity table you block against, built once.
-    val names = Tables.part(s, d).select(col("p_name")).distinct().persist()
+    // RelationCache-routed (VERDICT r4 #7): keyed to this sfDir,
+    // releasable by evictSfDir instead of session-lifetime ad hoc.
+    val names = graft.sources.RelationCache.getOrPersist(s, "fuzzy_dict", d) {
+      Tables.part(s, d).select(col("p_name")).distinct()
+    }
     val a = names
       .withColumn("blk", explode(sequence(
         length(col("p_name")) - 1, length(col("p_name")) + 1)))
@@ -187,7 +191,10 @@ object Joins {
     // or create their own catalog entries without clobbering.
     val sfKey = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
       .replaceAll("[^A-Za-z0-9]", "_")
-    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$sfKey"
+    // pid-tagged like Scans.scratch (ADVICE r4): a concurrent JVM on the
+    // same sfDir must never share — or clean up — this JVM's bucket files.
+    val loc = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_p${Scans.jvmTag}_bucketed_$sfKey"
     // Session hygiene (VERDICT r3 #6): the catalog entries die with the
     // session's in-memory catalog, but the bucket FILES under tmp would
     // outlive it and accumulate across sfDirs — delete them when the

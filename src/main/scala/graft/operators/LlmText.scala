@@ -64,10 +64,12 @@ object LlmText {
     // persist the LM table: it is vocab²-bounded (tiny next to the
     // corpus) and referenced twice (the scoring join and the prefix
     // rollup) — without it the bigram explode over documents runs three
-    // times. CacheManager dedups repeat invocations by plan; the entry
-    // lives for the session like win_ntile's (deliberate, ADVICE r3).
-    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
-      .persist()
+    // times. Routed through RelationCache (VERDICT r4 #7) so the entry is
+    // keyed to this sfDir and releasable by evictSfDir instead of living
+    // unaccounted for the whole session.
+    val c12 = graft.sources.RelationCache.getOrPersist(s, "lm_c12", d) {
+      bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+    }
     val c1 = c12.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
     bg.join(c12, Seq("w1", "w2"))
       .join(c1, Seq("w1"))

@@ -147,22 +147,24 @@ object LlmVector {
     * cosine verification) so tests can run it on synthetic borderline
     * corpora.
     *
-    * INVARIANT (ADVICE r3): oracle parity is probabilistic, not exact — a
-    * qualifying ≥threshold pair whose 8-plane sign buckets differ in MORE
-    * than the radius-2 multi-probe flips is silently missed. At cos ≥ 0.99
+    * INVARIANT (ADVICE r3/r4): oracle parity is probabilistic, not exact —
+    * a qualifying ≥threshold pair whose 8-plane sign buckets differ in MORE
+    * than the radius-4 multi-probe flips is silently missed. At cos ≥ 0.99
     * the angle is ≤ 8.1°, so P[a single hyperplane separates the pair] ≤
-    * 8.1/180 ≈ 0.045 and P[>2 of 8 planes do] ≈ C(8,3)·0.045³ ≈ 0.5 % — on
-    * the current fixtures zero qualifying pairs are missed (the DuckDB
-    * exact oracle hash-matches) and BorderlineParitySpec pins one synthetic
-    * borderline construction. If a fixture regeneration ever breaks this
-    * row's parity, the fix is a larger probe radius (annLsh already uses
-    * radius 4), traded against candidate volume. */
+    * 8.1/180 ≈ 0.045 and P[>4 of 8 planes do] ≈ C(8,5)·0.045⁵ ≈ 1e-5 —
+    * three orders of magnitude below the radius-2 bound this op shipped
+    * with, making an LSH miss as improbable as llm_dedup_near's banded
+    * bound, fixture regeneration included. BorderlineParitySpec pins a
+    * synthetic borderline construction AND (r5) a NULL-text corpus. The
+    * cost is 163 vs 37 probe buckets per row — still bucket-equi-join work
+    * ∝ co-bucketed pairs, never all-pairs, so the 100 TB shape is
+    * unchanged. */
   def embedNearDupPairs(vecs: DataFrame, threshold: Double): DataFrame = {
     val emb = vecs.withColumn("bucket", bucketUdf(nPlanes)(col("embedding")))
     // Multi-probe expansion on one side only: the flip matching the two
     // buckets' XOR is unique, so each qualifying pair meets exactly once.
     val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-      explode(array(probeBuckets(nPlanes, 2)
+      explode(array(probeBuckets(nPlanes, lshRadius)
         .map(f => f(col("bucket"))): _*)).as("bucket"))
     val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
       col("bucket"))

@@ -102,9 +102,13 @@ object Maintenance {
     *
     * Insert rows are excluded from the matched-side join IN BOTH the
     * engine and the oracle SQL (not just the engine): if a regenerated
-    * fixture ever grows orderkeys past the 1e7 insert-key shift, an
+    * fixture ever grows orderkeys past the insert-key shift, an
     * asymmetric join would silently turn colliding inserts into matches
-    * on one side only — the r4 review caught exactly that latent skew. */
+    * on one side only — the r4 review caught exactly that latent skew.
+    * The shift is 1e10, matching snapshot_diff: TPC-H o_orderkey tops out
+    * at 6e6·SF, so 1e10 keeps inserted keys disjoint (and o_orderkey a
+    * total order for the order-sensitive oracle compare) up to SF ≈ 1600,
+    * where the r4 value of 1e7 collided already at SF ≈ 2 (ADVICE r4). */
   private val mergeUpsert = Spec(
     "merge_upsert",
     """WITH ch AS (
@@ -113,7 +117,7 @@ object Maintenance {
       |  UNION ALL
       |  SELECT o_orderkey, 'D', NULL FROM orders WHERE o_orderkey % 10 = 1
       |  UNION ALL
-      |  SELECT o_orderkey + 10000000, 'I', o_totalprice
+      |  SELECT o_orderkey + 10000000000, 'I', o_totalprice
       |  FROM orders WHERE o_orderkey % 10 = 2)
       |SELECT * FROM (
       |  SELECT b.o_orderkey,
@@ -135,7 +139,7 @@ object Maintenance {
         .select(col("o_orderkey").as("k"), lit("D").as("op"),
           lit(null).cast("double").as("new_price")))
       .unionAll(src.filter(col("m") === 2)
-        .select((col("o_orderkey") + 10000000L).as("k"), lit("I").as("op"),
+        .select((col("o_orderkey") + 10000000000L).as("k"), lit("I").as("op"),
           col("o_totalprice").as("new_price")))
     val merged = base
       .join(broadcast(changes.filter(col("op") =!= "I")),

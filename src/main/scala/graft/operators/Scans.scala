@@ -177,19 +177,27 @@ object Scans {
     f.delete(); ()
   }
 
-  /** Scratch dir for a round-trip op, keyed by the op name AND the full
-    * (absolutized) sfDir so runs against different scale factors — or
-    * concurrent Verify/Bench JVMs — never read each other's files.
+  /** Scratch dir for a round-trip op, keyed by the op name, the full
+    * (absolutized) sfDir, AND this JVM's pid. The pid component is what
+    * makes concurrent Verify/Bench JVMs on the SAME sfDir safe (ADVICE
+    * r4): without it they share a path, and the first JVM's
+    * application-end cleanup hook would delete the other JVM's live
+    * scratch files mid-query. With it, the cleanup hook below can only
+    * ever remove directories this JVM created; a crashed JVM's leftovers
+    * are bounded by fixture size and land under the OS tmp reaper.
     * EVERY scratch dir self-registers deletion when the owning session's
     * context ends (generalizing VERDICT r3 #6 from join_bucketed to all
     * scratch consumers — the r4 review caught join_dpp/scan_binaryfile
     * re-leaking one operator over from the fix): idempotent per
     * (session, op, sfDir), file-only, safe during context teardown. */
+  private[graft] val jvmTag: Long = java.lang.ProcessHandle.current().pid()
+
   private[graft] def scratch(s: org.apache.spark.sql.SparkSession,
       op: String, sfDir: String): String = {
     val abs = java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize.toString
     val key = abs.replaceAll("[^A-Za-z0-9]", "_")
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_${op}_$key"
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_p${jvmTag}_${op}_$key"
     graft.sources.SessionHooks.onApplicationEnd(s, s"scratch-$op-$key") {
       () => rmRecursive(new java.io.File(dir))
     }

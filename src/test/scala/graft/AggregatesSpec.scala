@@ -55,7 +55,21 @@ class AggregatesSpec extends AnyFunSuite {
     exact.foreach { case (k, n) =>
       val (ex, ok) = rows(k)
       assert(ex == n, s"$k: exact_custs $ex != independent $n")
-      assert(ok, s"$k: merged-sketch estimate outside the 5% band of $n")
+      assert(ok, s"$k: merged-sketch estimate outside the 25% band of $n")
+    }
+    // The TIGHT accuracy bar lives here, not in the oracle row (ADVICE
+    // r4): recompute the merged estimate from the sketches directly and
+    // hold it to ±5 % (3σ at lgK=12) where a flake is attributable,
+    // while the hash-checked flag above only risks flipping at ~15σ.
+    val est = Tables.orders(spark, SF01)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      .groupBy(col("o_orderstatus"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(est(k) - n) <= n * 0.05,
+        s"$k: merged estimate ${est(k)} outside the 5% band of $n")
     }
     // Mergeability is the point: the union of per-priority sketches must
     // estimate the status-level cardinality, not the sum of the parts
