@@ -18,7 +18,71 @@ object Joins {
   def specs: Seq[Spec] = Seq(
     innerHash, leftOuter, rightOuter, fullOuter, leftSemi, leftAnti,
     broadcastJoin, multiway, thetaRange, asOf, bucketed, nullSafe, salted,
-    dpp, fuzzy)
+    dpp, fuzzy, bloom)
+
+  /** Scoped session-conf override: saves the previous values, runs `body`,
+    * restores (or unsets) on the way out. The caller must FORCE any plan it
+    * wants optimized under the overridden confs inside `body` (Spark
+    * optimizes lazily at first action / `executedPlan` access, and a
+    * QueryExecution caches its plans once forced) — otherwise the
+    * restored values win. Used instead of a session-wide set so one
+    * operator's tuning can never bleed into another query's plan. */
+  private[operators] def withConfs[T](s: org.apache.spark.sql.SparkSession,
+      kv: (String, String)*)(body: => T): T = {
+    val prev = kv.map { case (k, _) => k -> s.conf.getOption(k) }
+    kv.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** Runtime bloom-filter join pruning — the ROW-level sibling of
+    * `join_dpp`'s partition-level pruning, and the pruning path that
+    * matters at 100 TB when the fact is NOT laid out by the join key (the
+    * common case: lineitem is ordered by orderkey, joined here by
+    * partkey). Catalyst's InjectRuntimeFilter sees a selective predicate
+    * on the dim side of a shuffle equi-join and plants
+    * `might_contain(scalar-subquery bloom_filter_agg, xxhash64(l_partkey))`
+    * directly above the fact scan: the ~5 % of parts in one brand build a
+    * bloom filter once, and ~95 % of the 30× larger fact side is dropped
+    * BEFORE the shuffle instead of after the join. PlanSpec asserts the
+    * marker so a conf or rule regression is loud.
+    *
+    * Conf notes: injection only triggers for probable SHUFFLE joins (a
+    * broadcastable dim skips it — the broadcast already avoids shuffling
+    * the fact by key... but not scanning+shuffling fact ROWS, which the
+    * bloom still prunes; Spark's rule is conservative here), so the
+    * broadcast threshold is disabled inside the scope; the
+    * application-side floor (10 GB default — real clusters shouldn't
+    * bloom tiny scans) is lowered for fixture sizes. The plan is forced
+    * inside the scope, so nothing leaks to other queries. The filter is
+    * a pure optimization — false positives just pass rows the join drops
+    * anyway — so the oracle is the plain join. */
+  private val bloom = Spec(
+    "join_bloom",
+    """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, p.p_name
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE p.p_brand = 'Brand#19'
+      |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin) { (s, d) =>
+    withConfs(s,
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val out = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_partkey"))
+        .join(Tables.part(s, d)
+          .filter(col("p_brand") === "Brand#19")
+          .select(col("p_partkey"), col("p_name")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("p_name"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+      out.queryExecution.executedPlan // pin the bloom-injected plan in scope
+      out
+    }
+  }
 
   /** Fuzzy (edit-distance) self-match — the entity-resolution primitive
     * behind catalog dedup and reference-data reconciliation. The naive

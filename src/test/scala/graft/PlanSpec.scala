@@ -196,6 +196,13 @@ class PlanSpec extends AnyFunSuite {
       s"profiler must not rescan per column: ${p.take(1200)}")
   }
 
+  test("join_bloom plants a runtime bloom filter above the fact scan") {
+    val p = plan("join_bloom")
+    // Spark 4.x prints BloomFilterMightContain as `might_contain`
+    assert(p.contains("might_contain"),
+      s"no runtime bloom filter injected on the fact side: ${p.take(1500)}")
+  }
+
   test("join_dpp prunes fact partitions at runtime from the dim filter") {
     val p = plan("join_dpp")
     assert(p.toLowerCase.contains("dynamicpruning"),
