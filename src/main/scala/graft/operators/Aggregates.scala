@@ -17,7 +17,76 @@ object Aggregates {
   def specs: Seq[Spec] = Seq(aggHashGroup, aggGlobal, aggDistinct,
     aggApproxDistinct, aggRollup, aggCube, aggGroupingSets, aggCollect,
     aggCustomTyped, aggStringConcat, aggMode, aggFiltered, aggUnpivot,
-    aggSketchHll, aggGroupingId)
+    aggSketchHll, aggGroupingId, aggSketchQuantile)
+
+  /** Mergeable quantile sketch — the percentile partner to
+    * `agg_sketch_hll`'s mergeable cardinality. The sketch is a
+    * fixed-width bucket histogram: stage 1 counts rows per
+    * (status, priority, bucket) — the fine-grained stored artifact at
+    * scale (per day/partition in production) — and stage 2 rolls up to
+    * per-status quantiles by SUMMING bucket counts and walking the
+    * cumulative histogram, never re-scanning the base table. That
+    * mergeability is what one-shot `percentile_approx` cannot give you:
+    * a year of daily histograms re-aggregates to any coarser rollup in
+    * milliseconds.
+    *
+    * Oracle-parity discipline (the agg_sketch_hll lesson applied from
+    * the start): unlike a GK/KLL sketch, the bucket histogram is fully
+    * DETERMINISTIC — floor(price/width) bucketing, rank = ceil(q·n),
+    * estimate = upper edge of the first bucket whose cumulative count
+    * reaches the rank — so the oracle computes the IDENTICAL estimate in
+    * SQL and the row hashes exactly. No estimator tail, nothing to flip
+    * on a fixture regen. The accuracy claim (estimate within one bucket
+    * width above the true quantile) is asserted in AggregatesSpec where
+    * a failure is attributable. Bucket arithmetic is IEEE double ops
+    * (floor, ceil, ×) that both engines round identically. */
+  private val aggSketchQuantile = Spec(
+    "agg_sketch_quantile",
+    """WITH h AS (
+      |  SELECT o_orderstatus AS st, o_orderpriority AS pr,
+      |    CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS b,
+      |    COUNT(*) AS c
+      |  FROM orders GROUP BY 1, 2, 3),
+      |m AS (SELECT st, b, CAST(SUM(c) AS BIGINT) AS c FROM h GROUP BY 1, 2),
+      |t AS (SELECT st, CAST(SUM(c) AS BIGINT) AS n FROM m GROUP BY 1),
+      |cum AS (
+      |  SELECT st, b,
+      |    CAST(SUM(c) OVER (PARTITION BY st ORDER BY b) AS BIGINT) AS cum
+      |  FROM m),
+      |sel AS (
+      |  SELECT cum.st, qq.q, MIN(cum.b) AS qb
+      |  FROM cum CROSS JOIN (SELECT unnest([0.5, 0.95]) AS q) qq
+      |  JOIN t ON cum.st = t.st
+      |  WHERE cum.cum >= CAST(ceil(qq.q * t.n) AS BIGINT)
+      |  GROUP BY 1, 2)
+      |SELECT sel.st AS o_orderstatus, sel.q AS q,
+      |  (sel.qb + 1) * 1000.0 AS est_price, t.n AS n
+      |FROM sel JOIN t ON sel.st = t.st
+      |ORDER BY o_orderstatus, q""".stripMargin) { (s, d) =>
+    val width = 1000.0
+    // stage 1: fine-grained partial histograms (the stored artifact)
+    val partial = Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"),
+        floor(col("o_totalprice") / width).cast("long").as("b"))
+      .agg(count(lit(1)).as("c"))
+    // stage 2: rollup by MERGING histograms — never touches the base
+    val merged = partial
+      .groupBy(col("o_orderstatus"), col("b"))
+      .agg(sum(col("c")).as("c"))
+    val totals = merged.groupBy(col("o_orderstatus"))
+      .agg(sum(col("c")).as("n"))
+    val cum = merged.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("b"))))
+    cum.join(totals, Seq("o_orderstatus"))
+      .withColumn("q", explode(array(lit(0.5), lit(0.95))))
+      .filter(col("cum") >= ceil(col("q") * col("n")).cast("long"))
+      .groupBy(col("o_orderstatus"), col("q"), col("n"))
+      .agg(min(col("b")).as("qb"))
+      .select(col("o_orderstatus"), col("q"),
+        ((col("qb") + 1) * width).as("est_price"), col("n"))
+      .orderBy(col("o_orderstatus"), col("q"))
+  }
 
   /** GROUPING/GROUPING_ID markers on a rollup — the disambiguation that
     * makes subtotal reporting trustworthy: a NULL grouping column can

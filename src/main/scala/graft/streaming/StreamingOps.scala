@@ -28,7 +28,8 @@ import graft.sources.Tables
   */
 object StreamingOps {
   def specs: Seq[Spec] = Seq(tumbling, sliding, session, watermarkLate,
-    dedup, statefulCustom, streamStream, streamStatic, streamStreamOuter)
+    dedup, statefulCustom, streamStream, streamStatic, streamStreamOuter,
+    streamStreamFull)
 
   /** Shared transforms (batch twin == streaming form). */
 
@@ -87,6 +88,17 @@ object StreamingOps {
       bandMinutes: Int = 10): DataFrame =
     clickViewJoin(clicks, views, bandMinutes, "left_outer")
 
+  /** FULL OUTER form — completes the state-store eviction matrix: BOTH
+    * sides' unmatched rows are held in state until the watermark proves
+    * no partner can still arrive, then emitted with nulls on the other
+    * side and evicted. Left outer only exercises click-side eviction
+    * emission; full outer additionally emits on view-state eviction, the
+    * semantics Spark added for interval joins in 3.1. The batch twin is
+    * a plain full join, so the oracle stays declarative. */
+  def clickViewPairsFull(clicks: DataFrame, views: DataFrame,
+      bandMinutes: Int = 10): DataFrame =
+    clickViewJoin(clicks, views, bandMinutes, "full_outer")
+
   /** One copy of the interval condition + projection for both join types —
     * a band or bound fix can never drift between the inner/outer forms. */
   private def clickViewJoin(clicks: DataFrame, views: DataFrame,
@@ -96,8 +108,11 @@ object StreamingOps {
           && col("v.ts") > col("c.ts") - expr(s"INTERVAL $bandMinutes MINUTE")
           && col("v.ts") <= col("c.ts"),
         joinType)
+      // coalesce is an identity for inner/left (c.user_id never null on
+      // emitted rows) and supplies the view side's key on full-outer
+      // unmatched-view rows
       .select(col("c.event_id").as("click_id"), col("v.event_id").as("view_id"),
-        col("c.user_id").as("user_id"),
+        coalesce(col("c.user_id"), col("v.user_id")).as("user_id"),
         unix_micros(col("c.ts")).as("click_us"),
         unix_micros(col("v.ts")).as("view_us"))
 
@@ -249,6 +264,31 @@ object StreamingOps {
         ev.filter(col("event_type") === "click"),
         ev.filter(col("event_type") === "view"))
       .orderBy(col("click_id"), col("view_id"))
+  }
+
+  /** Full-outer interval join: both sides' unmatched rows survive with
+    * nulls. Row identity under nulls: matched rows are unique by
+    * (click_id, view_id); an unmatched row is unique by its own id and
+    * its partner column is NULL, so (click_id NULLS FIRST, view_id NULLS
+    * FIRST) — pinned explicitly on BOTH engines, whose default null
+    * ordering differs — is a total order. */
+  private val streamStreamFull = Spec(
+    "join_stream_stream_full",
+    """SELECT c.event_id AS click_id, v.event_id AS view_id,
+      |  COALESCE(c.user_id, v.user_id) AS user_id,
+      |  epoch_us(c.ts) AS click_us, epoch_us(v.ts) AS view_us
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |FULL JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON c.user_id = v.user_id
+      | AND epoch_us(v.ts) >  epoch_us(c.ts) - 600000000
+      | AND epoch_us(v.ts) <= epoch_us(c.ts)
+      |ORDER BY click_id NULLS FIRST, view_id NULLS FIRST""".stripMargin) {
+    (s, d) =>
+    val ev = Tables.events(s, d)
+    clickViewPairsFull(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "view"))
+      .orderBy(col("click_id").asc_nulls_first, col("view_id").asc_nulls_first)
   }
 
   private val streamStatic = Spec(

@@ -112,6 +112,66 @@ class AggregatesSpec extends AnyFunSuite {
     assert(run(1) == run(7), "different partitionings must agree exactly")
   }
 
+  test("agg_sketch_quantile estimate brackets the exact percentile") {
+    // The oracle row is fully deterministic (both engines walk the same
+    // bucket histogram); the ACCURACY claim lives here: the bucket upper
+    // edge must sit at or within one bucket width above the true
+    // quantile, for both q=0.5 and q=0.95 of every status group.
+    val width = 1000.0
+    val est = SparkEntry.queries("agg_sketch_quantile")(spark, SF01)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    // The histogram's contract is against the DISCRETE percentile (the
+    // rank-ceil(q·n) order statistic — the same rank rule the sketch
+    // walks), not the interpolated one: the estimate is the upper edge
+    // of the bucket CONTAINING that order statistic. Small per-group
+    // fixture cardinality makes the exact order statistic collectable.
+    val byStatus = Tables.orders(spark, SF01)
+      .select(col("o_orderstatus"), col("o_totalprice"))
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    val exact = byStatus.flatMap { case (k, vs) =>
+      Seq(0.5, 0.95).map { q =>
+        (k, q) -> vs(math.ceil(q * vs.length).toInt - 1)
+      }
+    }
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, p) =>
+      val e = est(k)
+      assert(e > p - 1e-9 && e <= p + width,
+        s"$k: bucket upper edge $e does not bracket discrete percentile $p")
+    }
+    // Mergeability is the point: per-(status,priority) histograms merged
+    // by bucket must give the same estimate as a histogram built directly
+    // per status — the rollup never needs the base table.
+    val direct = Tables.orders(spark, SF01)
+      .groupBy(col("o_orderstatus"),
+        floor(col("o_totalprice") / width).cast("long").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val fromPartials = SparkEntry.queries("agg_sketch_quantile")(spark, SF01)
+    val directCum = {
+      import org.apache.spark.sql.expressions.Window
+      val tot = direct.groupBy(col("o_orderstatus"))
+        .agg(sum(col("c")).as("n"))
+      direct.withColumn("cum", sum(col("c")).over(
+          Window.partitionBy(col("o_orderstatus")).orderBy(col("b"))))
+        .join(tot, Seq("o_orderstatus"))
+        .withColumn("q", explode(array(lit(0.5), lit(0.95))))
+        .filter(col("cum") >= ceil(col("q") * col("n")).cast("long"))
+        .groupBy(col("o_orderstatus"), col("q"))
+        .agg(min(col("b")).as("qb"))
+        .select(col("o_orderstatus"), col("q"),
+          ((col("qb") + 1) * width).as("est_price"))
+    }
+    val a = fromPartials.select("o_orderstatus", "q", "est_price")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    val b = directCum.collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(a == b, "merged-partial quantiles diverge from direct histogram")
+  }
+
   test("rollup row count = detail + per-nation subtotal + grand total") {
     val df = SparkEntry.queries("agg_rollup")(spark, SF001)
     val rows = df.collect()

@@ -146,6 +146,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(streamed) == sortedRows(batch))
   }
 
+  test("stream-stream FULL OUTER join: stream == batch, both-side eviction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = fixtureEvents(600)
+    val clicksB = evs.filter(_.event_type == "click")
+    val viewsB = evs.filter(_.event_type == "view")
+    val band = 24 * 60
+
+    val memC = MemoryStream[Ev]; memC.addData(clicksB)
+    val memV = MemoryStream[Ev]; memV.addData(viewsB)
+    val joined = StreamingOps.clickViewPairsFull(
+      memC.toDF().withWatermark("ts", "30 minutes"),
+      memV.toDF().withWatermark("ts", "30 minutes"), band)
+    val name = s"graft_ssjf_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // BOTH sides' unmatched rows only emit when the watermark proves no
+      // partner can still arrive; the sentinel flushes both state stores.
+      val maxTs = evs.map(_.ts.getTime).max
+      val sentinel = Ev(-999L, new Timestamp(maxTs + 7L * 24 * 3600 * 1000),
+        -999L, "x", 0.0)
+      memC.addData(sentinel); memV.addData(sentinel)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the sentinel pair matches itself, so one (-999,-999) row to drop
+    val streamed = spark.table(name).collect()
+      .filter(r => r.isNullAt(0) || r.getLong(0) != -999L)
+      .filter(r => r.isNullAt(1) || r.getLong(1) != -999L)
+
+    val batch = StreamingOps.clickViewPairsFull(clicksB.toDF(),
+      viewsB.toDF(), band).collect()
+    assert(batch.exists(_.isNullAt(1)),
+      "fixture must produce an unmatched click (null view side)")
+    assert(batch.exists(_.isNullAt(0)),
+      "fixture must produce an unmatched view (null click side) or " +
+        "view-state eviction emission is untested")
+    assert(sortedRows(streamed) == sortedRows(batch))
+  }
+
   test("watermark drops late rows past the boundary") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
