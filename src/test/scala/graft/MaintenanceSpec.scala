@@ -21,15 +21,16 @@ class MaintenanceSpec extends AnyFunSuite {
     // deletes: keys ≡1 (mod 10) are gone
     assert(base.keys.filter(_ % 10 == 1).forall(k => !outKeys.contains(k)))
     // updates: keys ≡0 present, action 'updated', price scaled by exactly 1.1
-    out.filter(_._1 % 10 == 0).filter(_._1 < 10000000L).foreach {
+    out.filter(_._1 % 10 == 0).filter(_._1 < 10000000000L).foreach {
       case (k, p, a) =>
         assert(a == "updated" && p == base(k) * 1.1d, s"key $k")
     }
-    // inserts: one row per ≡2 key, shifted by 1e7, original price, 'inserted'
+    // inserts: one row per ≡2 key, shifted by 1e10 (the snapshot_diff
+    // shift — collision-free to SF ≈ 1600), original price, 'inserted'
     val ins = out.filter(_._3 == "inserted")
-    val expIns = base.keys.filter(_ % 10 == 2).map(_ + 10000000L).toSet
+    val expIns = base.keys.filter(_ % 10 == 2).map(_ + 10000000000L).toSet
     assert(ins.map(_._1).toSet == expIns)
-    ins.foreach { case (k, p, _) => assert(p == base(k - 10000000L)) }
+    ins.foreach { case (k, p, _) => assert(p == base(k - 10000000000L)) }
     // everything else kept untouched
     out.filter(r => r._3 == "kept").foreach { case (k, p, _) =>
       assert(p == base(k), s"kept key $k must keep its price")
