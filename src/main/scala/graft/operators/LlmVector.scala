@@ -366,14 +366,14 @@ object LlmVector {
     * scored candidates so the sweep can measure the scan fraction). */
   def ivfTopk(s: SparkSession, emb: DataFrame, cells: Int, nProbe: Int,
       rank: Boolean = true): DataFrame = {
-    val bc = s.sparkContext.broadcast(ivfCentroids(emb, k = cells))
-    val cellU = udf((e: Seq[Float]) => topCells(bc.value, e, 1).head)
-    val probeU = udf((e: Seq[Float]) => topCells(bc.value, e, nProbe))
+    val cents = ivfCentroids(emb, k = cells)
+    import org.apache.spark.sql.graft.NearestCells
     val corpus = emb.select(col("vec_id").as("neighbor_id"),
-      col("embedding"), cellU(col("embedding")).as("cell"))
+      col("embedding"),
+      NearestCells(col("embedding"), cents, 1).getItem(0).as("cell"))
     val probes = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
-        explode(probeU(col("embedding"))).as("cell"))
+        explode(NearestCells(col("embedding"), cents, nProbe)).as("cell"))
     val cands = probes.join(corpus, Seq("cell"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .withColumn("score", cosineCol("pe", "embedding"))
@@ -514,8 +514,10 @@ object LlmVector {
   }
 
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val sh = udf((t: String) => simhash64(t.split(" ").toSeq))
-    val sigs = docs.select(col("doc_id"), sh(col("text")).as("sig"))
+    // native codegen expression, not a UDF (it was the one non-codegen
+    // node in this pipeline); LlmSpec pins it bit-equal to simhash64
+    val sigs = docs.select(col("doc_id"),
+      org.apache.spark.sql.graft.SimHash64(col("text")).as("sig"))
     val chunked = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sig"), i * 16).bitwiseAND(lit(0xffffL))): _*))

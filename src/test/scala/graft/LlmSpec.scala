@@ -57,6 +57,25 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs.length == 1 && pairs.head.getInt(2) == 0)
   }
 
+  test("SimHash64 expression is bit-equal to the reference, UDF-free") {
+    // edge tokenizations: interior double space (empty token votes),
+    // trailing space (dropped), empty doc, single word
+    val docs = Seq(baseText, baseText.replace(" the", "  the"),
+      baseText + " ", "", "word")
+    val df = docsDf(docs.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    val got = df.select(col("doc_id"),
+        org.apache.spark.sql.graft.SimHash64(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == LlmVector.simhash64(t.split(" ").toSeq),
+        s"doc $i: '$t'")
+    }
+    // signature step must stay codegen-pure: no ScalaUDF in the plan
+    val plan = SparkEntry.queries("llm_dedup_simhash")(spark, SF001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"simhash plan still contains a UDF:\n$plan")
+  }
+
   test("cosine self-similarity is exactly 1 on normalized comparison") {
     val emb = graft.sources.Tables.embeddings(spark, SF001).limit(20)
     val self = emb.select(col("vec_id"),
