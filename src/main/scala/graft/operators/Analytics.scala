@@ -24,7 +24,7 @@ object Analytics {
     crossJoin, conditionals, subqueries, hashes, bitwise, percentRank,
     skewSalted, statsMoments, approxPercentile, histogram, retention,
     scd2Intervals, sqlTpchQ3, gapFillDaily, sqlTpchQ18, rollingDistinct,
-    pointInTime)
+    pointInTime, sqlTpchQ5)
 
   /** Rolling 3-day distinct users — the "weekly/monthly active users"
     * family, which is NOT a window-function sum: distinct counts cannot
@@ -190,6 +190,55 @@ object Analytics {
          |GROUP BY l_orderkey, o_orderdate, o_orderpriority
          |ORDER BY revenue DESC, l_orderkey
          |LIMIT 10""".stripMargin)
+  }
+
+  /** TPC-H Q5 (local-supplier volume) through the pure-SQL entry path —
+    * the widest join in the suite: a SIX-table star (region → nation →
+    * {customer, supplier} → orders → lineitem) with the extra
+    * c_nationkey = s_nationkey equality that correlates the two dimension
+    * arms. The 100 TB shape Catalyst must find (and PlanSpec pins): the
+    * three true dimensions (region, nation, supplier at TPC-H's fixed /
+    * 10k-per-SF cardinalities) broadcast, so the lineitem fact flows
+    * through broadcast hash joins and the only shuffles are the
+    * orders⋈customer arm and the final 5-row aggregate — the fact table
+    * is scanned once and never re-partitioned by a dimension key.
+    * Revenue uses the §7.4 decimal convention, making the per-nation
+    * sums (and the revenue-descending order) hash-exact; n_name
+    * tiebreak pins the order should two nations ever tie. */
+  private val sqlTpchQ5 = Spec(
+    "sql_tpch_q5",
+    s"""SELECT n_name, CAST(SUM(${Sql.revenue}) AS DOUBLE) AS revenue
+       |FROM customer JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |  AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("graft_q5_customer")
+    Tables.orders(s, d).createOrReplaceTempView("graft_q5_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_q5_lineitem")
+    Tables.supplier(s, d).createOrReplaceTempView("graft_q5_supplier")
+    Tables.nation(s, d).createOrReplaceTempView("graft_q5_nation")
+    Tables.region(s, d).createOrReplaceTempView("graft_q5_region")
+    s.sql(
+      s"""SELECT n_name, CAST(SUM(${Sql.revenue}) AS DOUBLE) AS revenue
+         |FROM graft_q5_customer
+         |JOIN graft_q5_orders ON c_custkey = o_custkey
+         |JOIN graft_q5_lineitem ON l_orderkey = o_orderkey
+         |JOIN graft_q5_supplier ON l_suppkey = s_suppkey
+         |  AND c_nationkey = s_nationkey
+         |JOIN graft_q5_nation ON s_nationkey = n_nationkey
+         |JOIN graft_q5_region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin)
   }
 
   /** Slowly-changing-dimension (type 2) build from an event log: per

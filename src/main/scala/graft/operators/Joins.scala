@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.Spec
 import graft.functions.{Det, Sql}
@@ -18,7 +19,7 @@ object Joins {
   def specs: Seq[Spec] = Seq(
     innerHash, leftOuter, rightOuter, fullOuter, leftSemi, leftAnti,
     broadcastJoin, multiway, thetaRange, asOf, bucketed, nullSafe, salted,
-    dpp, fuzzy, bloom)
+    dpp, fuzzy, bloom, rangeBin)
 
   /** Scoped session-conf override: saves the previous values, runs `body`,
     * restores (or unsets) on the way out. The caller must FORCE any plan it
@@ -82,6 +83,56 @@ object Joins {
       out.queryExecution.executedPlan // pin the bloom-injected plan in scope
       out
     }
+  }
+
+  /** Binned range join — the scalable plan for a PURE interval predicate
+    * with no equi key to anchor on (the gap join_theta_range deliberately
+    * sidesteps by anchoring on user_id): which lineitems shipped within
+    * 30 days of each watched order's date, across unrelated orders.
+    * Naively that is an O(n·m) nested-loop theta join. The binned shape:
+    * pick a bin width ≥ the interval length (32 days ≥ 30), map each
+    * interval to the ≤ 2 bins it can overlap (explode — bounded fan-out
+    * by the width choice), map each point to its single bin, equi-join
+    * on the bin, and re-check the exact interval as a residual. Every
+    * qualifying (point, interval) pair meets in exactly one bin — the
+    * point's — so no dedup pass is needed. This is the range-join
+    * strategy the big engines ship (Databricks' RANGE_JOIN hint, KDB
+    * window joins): at 100 TB both sides shuffle by bin (time-local,
+    * naturally balanced for time-series data) instead of one side
+    * looping over the other; bin arithmetic is integer day division.
+    * The residual compares the raw timestamps, so correctness never
+    * depends on the binning; PlanSpec asserts the equi-join shape (no
+    * nested loop). Oracle: the plain theta join. */
+  private val rangeBin = Spec(
+    "join_range_bin",
+    s"""SELECT o_orderkey, COUNT(*) AS n_shipped,
+       |  ${Sql.dsum("l_extendedprice", "sum_price")}
+       |FROM orders JOIN lineitem
+       |  ON l_shipdate >= o_orderdate
+       |  AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+       |WHERE o_orderkey % 499 = 0
+       |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val binDays = 32L
+    val day = (c: Column) => // NTZ-safe epoch-day (fixture dates are midnights)
+      datediff(c.cast("date"), lit("1970-01-01").cast("date")).cast("long")
+    val ivals = Tables.orders(s, d)
+      .filter(pmod(col("o_orderkey"), lit(499)) === 0)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        day(col("o_orderdate")).as("sd"))
+      .select(col("o_orderkey"), col("o_orderdate"),
+        explode(array_distinct(array(
+          (col("sd") / binDays).cast("long"),
+          ((col("sd") + 29L) / binDays).cast("long")))).as("bin"))
+    val pts = Tables.lineitem(s, d)
+      .select(col("l_extendedprice"), col("l_shipdate"),
+        (day(col("l_shipdate")) / binDays).cast("long").as("bin"))
+    pts.join(ivals, pts("bin") === ivals("bin")
+        && col("l_shipdate") >= col("o_orderdate")
+        && col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_shipped"),
+        Det.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("o_orderkey"))
   }
 
   /** Fuzzy (edit-distance) self-match — the entity-resolution primitive

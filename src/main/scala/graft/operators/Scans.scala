@@ -172,7 +172,7 @@ object Scans {
 
   /** Shared recursive delete for scratch/bucket cleanup (one definition —
     * the r4 review found three drifting copies). */
-  private[operators] def rmRecursive(f: java.io.File): Unit = {
+  private[graft] def rmRecursive(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmRecursive))
     f.delete(); ()
   }

@@ -29,7 +29,7 @@ import graft.sources.Tables
 object StreamingOps {
   def specs: Seq[Spec] = Seq(tumbling, sliding, session, watermarkLate,
     dedup, statefulCustom, streamStream, streamStatic, streamStreamOuter,
-    streamStreamFull)
+    streamStreamFull, incrementalRestart)
 
   /** Shared transforms (batch twin == streaming form). */
 
@@ -298,6 +298,51 @@ object StreamingOps {
       |ORDER BY event_id""".stripMargin) { (s, d) =>
     enrichWithCustomer(Tables.events(s, d), Tables.customer(s, d))
       .orderBy(col("event_id"))
+  }
+
+  /** Incremental batch processing with restart — Trigger.AvailableNow +
+    * a checkpoint + the exactly-once parquet file sink: the production
+    * shape of every periodic ingest job (run on a schedule, process ONLY
+    * files that arrived since the last run, stop). Two separate query
+    * incarnations run here against the same checkpoint: the first sees
+    * half the corpus, the second — a genuine restart, new query object —
+    * sees the directory with both halves but processes only the unseen
+    * files (the file source's seen-files log lives in the checkpoint;
+    * the file sink's transaction log makes the output exactly-once even
+    * if a run dies mid-write). The read-back equals one batch pass over
+    * everything — that equivalence is the whole contract, and it is what
+    * lets a 100 TB corpus be ingested as years of small runs that never
+    * re-read history (the streaming sibling of llm_dedup_incremental's
+    * admission pattern). Stateless transform ⇒ append mode; no
+    * arithmetic beyond projection, so the oracle hash-checks values
+    * bit-for-bit. */
+  private val incrementalRestart = Spec(
+    "stream_incremental_restart",
+    """SELECT event_id, user_id, value FROM events
+      |WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.streaming.Trigger
+    val base = graft.operators.Scans.scratch(s, "increstart", d)
+    graft.operators.Scans.rmRecursive(new java.io.File(base)) // idempotent re-run
+    val inDir = s"$base/in"; val chk = s"$base/chk"; val outDir = s"$base/out"
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    def runOnce(): Unit = {
+      val q = s.readStream.schema(ev.schema).parquet(inDir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    ev.filter(pmod(col("event_id"), lit(2)) === 0)
+      .write.mode("append").parquet(inDir)
+    runOnce()
+    ev.filter(pmod(col("event_id"), lit(2)) === 1)
+      .write.mode("append").parquet(inDir)
+    runOnce()
+    s.read.parquet(outDir).orderBy(col("event_id"))
   }
 }
 

@@ -292,6 +292,22 @@ class PlanSpec extends AnyFunSuite {
       s"interval containment must ride the user_id equi key: ${p.take(1200)}")
   }
 
+  test("join_range_bin plans a hash equi-join on the bin, never a nested loop") {
+    val p = plan("join_range_bin")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"pure interval predicate fell back to a nested loop:\n${p.take(900)}")
+    assert(p.contains("Join"), p.take(600))
+  }
+
+  test("sql_tpch_q5 broadcasts the dimension arms; lineitem scanned once") {
+    val p = plan("sql_tpch_q5")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    // one lineitem scan: count InMemoryFileIndex locations naming lineitem
+    val lineitemScans = p.linesIterator
+      .count(l => l.contains("Location:") && l.contains("lineitem"))
+    assert(lineitemScans == 1, s"lineitem scanned $lineitemScans times")
+  }
+
   test("whole-stage codegen covers the flagship aggregate") {
     // AQE finalizes the physical plan only at execution; run the query,
     // then check the executed plan for fused codegen stages.

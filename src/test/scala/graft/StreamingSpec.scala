@@ -279,4 +279,29 @@ class StreamingSpec extends AnyFunSuite {
       .collect()
     assert(sortedRows(streamedFinal.toArray) == sortedRows(batch))
   }
+
+  test("incremental restart: a third run with no new files emits nothing") {
+    import org.apache.spark.sql.streaming.Trigger
+    // run the registered query (two AvailableNow incarnations), then
+    // restart a THIRD incarnation on the same checkpoint with no new
+    // input: the seen-files log must admit zero rows — the idempotence
+    // a scheduled re-run relies on.
+    val out1 = SparkEntry.queries("stream_incremental_restart")(spark, SF001)
+      .collect()
+    val base = graft.operators.Scans.scratch(spark, "increstart", SF001)
+    val ev = graft.sources.Tables.events(spark, SF001)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val q = spark.readStream.schema(ev.schema).parquet(s"$base/in")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .writeStream.format("parquet")
+      .option("path", s"$base/out").option("checkpointLocation", s"$base/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out3 = spark.read.parquet(s"$base/out").collect()
+    assert(out3.length == out1.length,
+      s"restart with no new files re-emitted rows: ${out3.length} vs ${out1.length}")
+    // and the two-run result is exactly-once: event_ids are unique
+    assert(out1.map(_.getLong(0)).distinct.length == out1.length)
+  }
 }
