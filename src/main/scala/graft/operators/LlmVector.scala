@@ -160,7 +160,8 @@ object LlmVector {
     * ∝ co-bucketed pairs, never all-pairs, so the 100 TB shape is
     * unchanged. */
   def embedNearDupPairs(vecs: DataFrame, threshold: Double): DataFrame = {
-    val emb = vecs.withColumn("bucket", bucketUdf(nPlanes)(col("embedding")))
+    val emb = vecs.withColumn("bucket",
+      org.apache.spark.sql.graft.HyperplaneBucket(col("embedding"), nPlanes, 0))
     // Multi-probe expansion on one side only: the flip matching the two
     // buckets' XOR is unique, so each qualifying pair meets exactly once.
     val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
@@ -191,24 +192,6 @@ object LlmVector {
   private val nPlanes = 8
   private val lshRadius = 4
 
-  /** Random-hyperplane sign bucket of an embedding over `planes`
-    * hyperplanes; `table` selects an independent hyperplane set so several
-    * hash tables can be unioned (UDF: this op is declared non-SQL;
-    * ScalaTest checks recall vs the brute-force baseline). */
-  private def bucketUdf(planes: Int, table: Int = 0) = udf { (emb: Seq[Float]) =>
-    var sig = 0
-    var p = 0
-    while (p < planes) {
-      var dot = 0.0
-      var i = 0
-      val plane = table * planes + p
-      while (i < emb.length) { dot += hyperplaneSign(plane, i) * emb(i); i += 1 }
-      if (dot > 0) sig |= (1 << p)
-      p += 1
-    }
-    sig
-  }
-
   /** Multi-probe bucket set: the probe's own bucket plus every bucket
     * within `radius` sign-bit flips — the standard trick to recover recall
     * without rescanning the corpus. Each candidate bucket is the XOR with
@@ -228,7 +211,8 @@ object LlmVector {
   def lshTopk(emb: DataFrame, planes: Int, radius: Int,
       tables: Int = 1, rank: Boolean = true): DataFrame = {
     val tb = (0 until tables).map(t => struct(lit(t).as("t"),
-      bucketUdf(planes, t)(col("embedding")).as("b")))
+      org.apache.spark.sql.graft.HyperplaneBucket(col("embedding"), planes, t)
+        .as("b")))
     val bucketed = emb
       .select(col("vec_id"), col("embedding"), explode(array(tb: _*)).as("tb"))
       .select(col("vec_id"), col("embedding"),

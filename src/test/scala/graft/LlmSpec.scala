@@ -98,6 +98,11 @@ class LlmSpec extends AnyFunSuite {
     // floor of 0.8 is safe to pin.
     assert(recall >= 0.8, s"LSH recall collapsed: $recall")
     assert(ann.nonEmpty)
+    // bucketing is a native expression since r5: no ScalaUDF in the plan
+    // (the only UDF left registry-wide is the mandated fn_udf_scalar demo)
+    val plan = SparkEntry.queries("llm_ann_lsh")(spark, SF001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"LSH plan still contains a UDF:\n$plan")
   }
 
   test("our hyperplane LSH recall is in family with mllib's BucketedRandomProjectionLSH") {
