@@ -17,7 +17,7 @@ object Aggregates {
   def specs: Seq[Spec] = Seq(aggHashGroup, aggGlobal, aggDistinct,
     aggApproxDistinct, aggRollup, aggCube, aggGroupingSets, aggCollect,
     aggCustomTyped, aggStringConcat, aggMode, aggFiltered, aggUnpivot,
-    aggSketchHll, aggGroupingId, aggSketchQuantile)
+    aggSketchHll, aggGroupingId, aggSketchQuantile, aggBitmapDistinct)
 
   /** Mergeable quantile sketch — the percentile partner to
     * `agg_sketch_hll`'s mergeable cardinality. The sketch is a
@@ -186,6 +186,49 @@ object Aggregates {
       .select(col("o_orderstatus"), col("exact_custs"),
         (abs(col("est_custs") - col("exact_custs"))
           <= col("exact_custs") * 0.25).as("merged_within_25pct"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Exact mergeable distinct counts via bucketed bitmaps — the third
+    * member of the mergeable-artifact family (agg_sketch_hll ≈ distinct,
+    * agg_sketch_quantile = quantiles): key space is cut into 63-wide
+    * buckets (63, not 64: bit 63 is the sign bit, and DuckDB's checked
+    * signed shift rejects 1 << 63 — bits 0..62 keep both engines in
+    * range), each (group, bucket) partial is ONE long with bit
+    * (key mod 63) set per present key, partials merge with bitwise OR
+    * (idempotent — re-merging overlapping artifacts cannot double-count,
+    * unlike additive counts), and the final count is a popcount sum.
+    * This is the bitmap-index pattern the OLAP stores ship for EXACT
+    * distinct rollups over dense integer keys (user ids, enum codes):
+    * per-day artifacts OR-merge into any coarser rollup without
+    * re-scanning history, at 1 bit per possible key vs 8+ bytes per
+    * present key for a collected set. Dense keys ⇒ ~|range|/8 bytes per
+    * group; for sparse/huge key spaces the HLL sibling is the trade.
+    * Everything is integer div/mod/shift/popcount — both engines compute
+    * identical bits, so the oracle hash-checks the exact counts. */
+  private val aggBitmapDistinct = Spec(
+    "agg_bitmap_distinct",
+    """WITH p AS (
+      |  SELECT o_orderstatus AS st, o_orderpriority AS pr,
+      |    o_custkey // 63 AS b,
+      |    bit_or(CAST(1 AS BIGINT) << CAST(o_custkey % 63 AS INT)) AS m
+      |  FROM orders GROUP BY 1, 2, 3),
+      |m AS (SELECT st, b, bit_or(m) AS m FROM p GROUP BY 1, 2)
+      |SELECT st AS o_orderstatus,
+      |  CAST(SUM(bit_count(m)) AS BIGINT) AS n_custs
+      |FROM m GROUP BY st ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    // stage 1: fine-grained partial bitmaps (the stored artifact at scale)
+    val partial = Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"),
+        (col("o_custkey") / 63L).cast("long").as("b"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT)," +
+        " CAST(pmod(o_custkey, 63) AS INT)))").as("m"))
+    // stage 2: rollup by OR-merging bitmaps — never touches the base
+    partial
+      .groupBy(col("o_orderstatus"), col("b"))
+      .agg(expr("bit_or(m)").as("m"))
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(bit_count(col("m")).cast("long")).as("n_custs"))
       .orderBy(col("o_orderstatus"))
   }
 

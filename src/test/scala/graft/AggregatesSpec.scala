@@ -181,4 +181,29 @@ class AggregatesSpec extends AnyFunSuite {
     assert(grand == 1)
     assert(rows.length == detail + nation + grand)
   }
+
+  test("agg_bitmap_distinct equals exact countDistinct; OR-merge idempotent") {
+    val got = SparkEntry.queries("agg_bitmap_distinct")(spark, SF001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.sources.Tables.orders(spark, SF001)
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exact, s"bitmap=$got exact=$exact")
+    // idempotence: re-merging the SAME partial artifacts (the double-
+    // delivery case additive counts get wrong) changes nothing
+    val orders = graft.sources.Tables.orders(spark, SF001)
+    val partial = orders
+      .groupBy(col("o_orderstatus"),
+        (col("o_custkey") / 63L).cast("long").as("b"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT)," +
+        " CAST(pmod(o_custkey, 63) AS INT)))").as("m"))
+    val doubled = partial.unionAll(partial)
+      .groupBy(col("o_orderstatus"), col("b"))
+      .agg(expr("bit_or(m)").as("m"))
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(bit_count(col("m")).cast("long")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(doubled == exact, "OR-merge must be idempotent under re-delivery")
+  }
 }
