@@ -19,7 +19,7 @@ object Joins {
   def specs: Seq[Spec] = Seq(
     innerHash, leftOuter, rightOuter, fullOuter, leftSemi, leftAnti,
     broadcastJoin, multiway, thetaRange, asOf, bucketed, nullSafe, salted,
-    dpp, fuzzy, bloom, rangeBin)
+    dpp, fuzzy, bloom, rangeBin, skewAqe)
 
   /** Scoped session-conf override: saves the previous values, runs `body`,
     * restores (or unsets) on the way out. The caller must FORCE any plan it
@@ -232,6 +232,99 @@ object Joins {
     * acceptable because the dim side is orders of magnitude smaller than
     * the fact side (here: orders vs lineitem), the same asymmetry the
     * technique assumes at 100 TB. */
+  /** AQE skew-join — the RUNTIME answer to the skew `join_salted` solves
+    * by hand: a deliberately skewed key (every lineitem row mapped onto 3
+    * hot keys) sort-merge-joins a 3-row dim, and Adaptive Query Execution
+    * splits the oversized shuffle partitions into parallel sub-joins
+    * AFTER seeing the real partition sizes (`skew=true` on the join node
+    * — PlanSpec asserts it). At 100 TB this is the difference between 999
+    * idle executors waiting on one hot partition and the hot partition
+    * being subdivided to the cluster; salting remains the fallback when
+    * the skew is in a BROADCAST-ineligible aggregation key rather than a
+    * join side AQE can split. Thresholds are scoped low so fixture-size
+    * partitions qualify as skewed; the result (an aggregate over the
+    * joined rows) is unaffected by how AQE slices the work, which is
+    * exactly the point — the oracle checks the plain join. */
+  /** The skewed join, EXECUTED under the scoped AQE-skew confs (AQE
+    * decides skew splits at runtime from real partition sizes, so unlike
+    * join_bloom's optimize-time injection the confs must cover the
+    * ACTION, not just planning — the result is collected in scope).
+    * Returns the 3 result rows, the executed plan string (carrying the
+    * skew markers for JoinsSpec), and the schema. Key mapping: 8 of
+    * every 10 orderkeys land on hot key 0, the rest keep their mod-10
+    * class — an 8×-median hot partition AQE must subdivide. */
+  def skewAqeRun(s: org.apache.spark.sql.SparkSession, d: String)
+      : (Array[org.apache.spark.sql.Row], String,
+         org.apache.spark.sql.types.StructType) =
+    withConfs(s,
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val hotOf = (k: Column) =>
+        when(pmod(k, lit(10L)) < 8, 0L).otherwise(pmod(k, lit(10L)))
+      val fact = Tables.lineitem(s, d)
+        .select(hotOf(col("l_orderkey")).as("hot"), col("l_extendedprice"))
+        // AQE splits a skewed partition at MAPPER boundaries; the tiny
+        // fixture file scans as ONE map task, which is unsplittable by
+        // definition. Round-robin to 16 mappers first — the multi-mapper
+        // shuffle geometry any real cluster has.
+        .repartition(16)
+      // The dim side must be PATTERN-PURE: OptimizeSkewedJoin only
+      // matches SMJ(Sort(ShuffleStage), Sort(ShuffleStage)), and a
+      // distinct/aggregate fused between the Sort and the stage blocks
+      // the rewrite (a real-world gotcha worth pinning: put the dim's
+      // dedup BEFORE its shuffle, or the skew split silently never
+      // happens). Enumerate the 3 hot keys on the driver — a dim-key
+      // enumeration, the shape a broadcast-ineligible keyed dim has.
+      import s.implicits._
+      val hotKeys = Tables.orders(s, d)
+        .select(hotOf(col("o_orderkey")).as("hot2"))
+        .distinct().collect().map(_.getLong(0)).sorted.toSeq
+      val dim = hotKeys.map(k => (k, k.toString)).toDF("hot2", "status")
+      // aggregate on status ALONE: hash(hot) would satisfy a grouping
+      // that includes hot, gluing the aggregate into the join stage and
+      // giving the skew split a downstream distribution to violate;
+      // grouping by the (join-key-independent, as far as Catalyst knows)
+      // status column puts a fresh exchange above the join, the shape a
+      // real skewed fact-dim join has
+      val out = fact.join(dim, col("hot") === col("hot2"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          Det.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("status"))
+      val rows = out.collect() // the skew-aware execution happens HERE
+      val planStr = out.queryExecution.executedPlan match {
+        // unwrap: the adaptive root's toString prints only itself
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case p => p.toString
+      }
+      (rows, planStr, out.schema)
+    }
+
+  private val skewAqe = Spec(
+    "join_skew_aqe",
+    s"""SELECT status, COUNT(*) AS n,
+       |  ${Sql.dsum("l_extendedprice", "sum_price")}
+       |FROM (SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0
+       |             ELSE l_orderkey % 10 END AS hot, l_extendedprice
+       |      FROM lineitem)
+       |JOIN (SELECT hot2, CAST(hot2 AS VARCHAR) AS status FROM (
+       |        SELECT DISTINCT CASE WHEN o_orderkey % 10 < 8 THEN 0
+       |               ELSE o_orderkey % 10 END AS hot2 FROM orders)) d2
+       |  ON hot = hot2
+       |GROUP BY status
+       |ORDER BY status""".stripMargin) { (s, d) =>
+    val (rows, _, schema) = skewAqeRun(s, d)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      .orderBy(col("status"))
+  }
+
   private val salted = Spec(
     "join_salted",
     s"""SELECT o_orderstatus, COUNT(*) AS n,

@@ -308,6 +308,14 @@ class PlanSpec extends AnyFunSuite {
     assert(lineitemScans == 1, s"lineitem scanned $lineitemScans times")
   }
 
+  test("join_skew_aqe: AQE splits the hot partition (skew markers present)") {
+    // runtime decision — must inspect the EXECUTED plan from the scoped run
+    val (rows, plan, _) = graft.operators.Joins.skewAqeRun(spark, SF001)
+    assert(rows.length == 3, s"expected 3 hot-key groups, got ${rows.length}")
+    assert(plan.contains("skew=true") || plan.contains("skewed"),
+      s"AQE did not mark the skew join:\n${plan.take(1200)}")
+  }
+
   test("whole-stage codegen covers the flagship aggregate") {
     // AQE finalizes the physical plan only at execution; run the query,
     // then check the executed plan for fused codegen stages.
