@@ -14,7 +14,62 @@ import graft.sources.Tables
 object Scans {
   def specs: Seq[Spec] = Seq(scanParquet, scanCsv, scanJson, scanOrc,
     sinkPartitioned, sourceStreamFile, sinkStreamForeach, sinkCompacted,
-    scanBinaryFile, scanCsvCorrupt, scanSchemaEvolve)
+    scanBinaryFile, scanCsvCorrupt, scanSchemaEvolve, scanManifestPruned)
+
+  /** Manifest-driven file pruning — the metadata layer every table format
+    * (Iceberg manifests, Delta stats, Hive+stats) puts between the query
+    * and the files, built here from vanilla Spark parts. The table is
+    * written range-clustered by the key (16 files, each owning a narrow
+    * key range); the MANIFEST — one row per file with (path, min, max,
+    * rows), i.e. exactly what a format's commit protocol records — is
+    * computed distributedly from `_metadata.file_path` in one grouped
+    * pass. Planning a predicate = scanning the MANIFEST (O(#files)
+    * metadata rows, collected to the driver like any format's planning
+    * step), then reading ONLY the overlapping files by explicit path,
+    * with the predicate re-applied as the residual. At 100 TB the
+    * manifest is millions of rows where the data is billions — the
+    * asymmetry that makes a selective query touch 3 files instead of
+    * 30 000. ScansSpec-side proof lives in the spec itself: the pruned
+    * path list must be a strict subset of the files. Oracle: the plain
+    * filter over the base table — pruning must be invisible to results
+    * by construction (the residual guards the boundary files). */
+  private val scanManifestPruned = Spec(
+    "scan_manifest_pruned",
+    """WITH m AS (SELECT MAX(o_orderkey) // 4 AS lo,
+      |  MAX(o_orderkey) // 4 + MAX(o_orderkey) // 8 AS hi FROM orders)
+      |SELECT o_orderkey, o_totalprice FROM orders, m
+      |WHERE o_orderkey >= lo AND o_orderkey < hi
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val dir = scratch(s, "manifest", d)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .repartitionByRange(16, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.mode("overwrite").parquet(dir)
+    // the manifest: what a table format's commit log would carry
+    val manifest = s.read.parquet(dir)
+      .select(col("_metadata.file_path").as("path"), col("o_orderkey"))
+      .groupBy(col("path"))
+      .agg(min(col("o_orderkey")).as("k_min"),
+        max(col("o_orderkey")).as("k_max"), count(lit(1)).as("rows"))
+    // slice = [max/4, max/4 + max/8) — scale-independent, oracle mirrors
+    // the same integer arithmetic (keys are positive: div == floor-div)
+    val maxKey = Tables.orders(s, d)
+      .agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+    val (lo, hi) = (maxKey / 4, maxKey / 4 + maxKey / 8)
+    // planning: metadata-only, O(#files)
+    val picked = manifest
+      .filter(col("k_min") < hi && col("k_max") >= lo)
+      .select(col("path")).collect().map(_.getString(0))
+    val total = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    require(picked.nonEmpty && picked.length < total,
+      s"manifest pruning must skip files: picked ${picked.length}/$total")
+    // execution: only the overlapping files, residual re-applied
+    s.read.parquet(picked: _*)
+      .filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
+      .orderBy(col("o_orderkey"))
+  }
 
   /** Schema evolution across file generations — on any long-lived dataset
     * the schema WILL drift (a column added mid-year), and a 100 TB reader

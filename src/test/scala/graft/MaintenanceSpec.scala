@@ -212,4 +212,20 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(zRows * 2 <= total,
       s"z scan should row-group-skip >=half the table: $zRows of $total")
   }
+
+  test("scan_manifest_pruned reads a strict file subset, same results") {
+    // the spec's own require() already fails if pruning is a no-op;
+    // here pin value parity with the unpruned filter at SF001
+    val pruned = SparkEntry.queries("scan_manifest_pruned")(spark, SF001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val mk = graft.sources.Tables.orders(spark, SF001)
+      .agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+    val full = graft.sources.Tables.orders(spark, SF001)
+      .filter(col("o_orderkey") >= mk / 4 && col("o_orderkey") < mk / 4 + mk / 8)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pruned == full, "manifest pruning changed query results")
+    assert(pruned.nonEmpty)
+  }
 }
