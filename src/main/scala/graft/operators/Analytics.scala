@@ -24,7 +24,7 @@ object Analytics {
     crossJoin, conditionals, subqueries, hashes, bitwise, percentRank,
     skewSalted, statsMoments, approxPercentile, histogram, retention,
     scd2Intervals, sqlTpchQ3, gapFillDaily, sqlTpchQ18, rollingDistinct,
-    pointInTime, sqlTpchQ5)
+    pointInTime, sqlTpchQ5, sqlTpchQ1, sqlTpchQ17)
 
   /** Rolling 3-day distinct users — the "weekly/monthly active users"
     * family, which is NOT a window-function sum: distinct counts cannot
@@ -239,6 +239,82 @@ object Analytics {
          |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
          |GROUP BY n_name
          |ORDER BY revenue DESC, n_name""".stripMargin)
+  }
+
+  /** TPC-H Q1 (pricing summary) through the pure-SQL path — THE canonical
+    * one-pass scan+aggregate every engine is measured by: eight
+    * aggregates over a date-filtered fact, grouped by two low-cardinality
+    * flags. The 100 TB shape is a single scan with the date predicate
+    * pushed to parquet and a two-phase hash aggregate (4-ish groups —
+    * map-side partials do almost all the work; the shuffle moves a few
+    * dozen rows). Measures follow §7.4: plain sums in DECIMAL(18,2);
+    * the computed disc_price/charge rows are per-row double products
+    * (identical IEEE op order in both engines) rounded once at scale 6;
+    * averages are exact decimal sums over exact counts, divided once in
+    * double. */
+  private val sqlTpchQ1 = Spec(
+    "sql_tpch_q1",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_q1_lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM graft_q1_lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  /** TPC-H Q17 (small-quantity-order revenue) through the pure-SQL path —
+    * the CORRELATED SCALAR subquery pattern: each (brand-filtered)
+    * lineitem compares its quantity against 0.2 × the average quantity
+    * OF ITS OWN PART. Naively that is a per-row re-execution of an
+    * aggregate over the fact; the decorrelation contract (PlanSpec pins
+    * no nested-loop join) is ONE grouped aggregate over lineitem joined
+    * back by partkey — at 100 TB, two scans and a hash join instead of
+    * |rows| aggregate executions. The threshold is an exact decimal
+    * average divided once in double, multiplied by 0.2 in double —
+    * identical IEEE ops in both engines, so the boundary comparison
+    * (and therefore the row set) is bit-stable. */
+  private val sqlTpchQ17 = Spec(
+    "sql_tpch_q17",
+    """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+      |    AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#19'
+      |  AND l_quantity < (
+      |    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+      |      AS DOUBLE) / COUNT(*))
+      |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin) {
+    (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_q17_lineitem")
+    Tables.part(s, d).createOrReplaceTempView("graft_q17_part")
+    s.sql(
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+        |FROM graft_q17_lineitem JOIN graft_q17_part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#19'
+        |  AND l_quantity < (
+        |    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+        |      AS DOUBLE) / COUNT(*))
+        |    FROM graft_q17_lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)
   }
 
   /** Slowly-changing-dimension (type 2) build from an event log: per

@@ -308,6 +308,16 @@ class PlanSpec extends AnyFunSuite {
     assert(lineitemScans == 1, s"lineitem scanned $lineitemScans times")
   }
 
+  test("sql_tpch_q17 decorrelates the scalar subquery: one grouped agg + join") {
+    val p = plan("sql_tpch_q17")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"correlated scalar subquery re-executed per row:\n${p.take(900)}")
+    // two lineitem scans: the fact pass and the per-part average pass
+    val lineitemScans = p.linesIterator
+      .count(l => l.contains("Location:") && l.contains("lineitem"))
+    assert(lineitemScans == 2, s"lineitem scanned $lineitemScans times (want 2)")
+  }
+
   test("join_skew_aqe: AQE splits the hot partition (skew markers present)") {
     // runtime decision — must inspect the EXECUTED plan from the scoped run
     val (rows, plan, _) = graft.operators.Joins.skewAqeRun(spark, SF001)

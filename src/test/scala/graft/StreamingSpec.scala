@@ -280,6 +280,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(streamedFinal.toArray) == sortedRows(batch))
   }
 
+  test("watermark eviction BOUNDS join state: late batches don't grow it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The 100 TB streaming claim is that state is bounded by the
+    // watermark + interval condition, not by stream length. Feed the
+    // same join several ADVANCING batches and assert the state-store
+    // row count after the last batch is bounded by what one band's
+    // worth of events can hold — i.e. eviction actually ran.
+    val evs = fixtureEvents(600).sortBy(_.ts.getTime)
+    val clicksB = evs.filter(_.event_type == "click")
+    val viewsB = evs.filter(_.event_type == "view")
+    val memC = MemoryStream[Ev]; val memV = MemoryStream[Ev]
+    val joined = StreamingOps.clickViewPairs(
+      memC.toDF().withWatermark("ts", "10 minutes"),
+      memV.toDF().withWatermark("ts", "10 minutes"), 10)
+    val name = s"graft_state_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // 4 time-ordered batches: each advances the watermark past the
+      // previous batch's events, so earlier state must be evicted
+      val quarters = (clicksB.grouped(math.max(1, clicksB.size / 4 + 1)) zip
+        viewsB.grouped(math.max(1, viewsB.size / 4 + 1))).toSeq
+      quarters.foreach { case (cs, vs) =>
+        memC.addData(cs); memV.addData(vs)
+        q.processAllAvailable()
+      }
+      val progress = q.lastProgress
+      val stateRows = progress.stateOperators.head.numRowsTotal
+      val lastBatch = quarters.last._1.size + quarters.last._2.size
+      // bound: last batch + one band/watermark margin of stragglers;
+      // without eviction state would hold ~all 4 batches
+      val total = clicksB.size + viewsB.size
+      assert(stateRows < total,
+        s"state holds $stateRows rows >= the whole input $total: no eviction")
+      assert(stateRows <= lastBatch * 3,
+        s"state $stateRows not bounded near one batch ($lastBatch)")
+    } finally q.stop()
+  }
+
   test("incremental restart: a third run with no new files emits nothing") {
     import org.apache.spark.sql.streaming.Trigger
     // run the registered query (two AvailableNow incarnations), then
