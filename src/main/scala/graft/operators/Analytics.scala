@@ -24,7 +24,8 @@ object Analytics {
     crossJoin, conditionals, subqueries, hashes, bitwise, percentRank,
     skewSalted, statsMoments, approxPercentile, histogram, retention,
     scd2Intervals, sqlTpchQ3, gapFillDaily, sqlTpchQ18, rollingDistinct,
-    pointInTime, sqlTpchQ5, sqlTpchQ1, sqlTpchQ17)
+    pointInTime, sqlTpchQ5, sqlTpchQ1, sqlTpchQ17, sqlTpchQ6, sqlTpchQ10,
+    sqlTpchQ14)
 
   /** Rolling 3-day distinct users — the "weekly/monthly active users"
     * family, which is NOT a window-function sum: distinct counts cannot
@@ -315,6 +316,101 @@ object Analytics {
         |    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
         |      AS DOUBLE) / COUNT(*))
         |    FROM graft_q17_lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)
+  }
+
+  /** TPC-H Q6 (forecasting revenue change) — the pure filter+global-agg
+    * probe: three pushable predicates, no join, no grouping. The entire
+    * query is one parquet scan whose date/discount/quantity filters reach
+    * the reader (PushedFilters) and one two-phase global aggregate — at
+    * 100 TB the cost is the scan, and the scan is as cheap as the
+    * pushdown makes it. Revenue = price × discount per row in double
+    * (identical IEEE ops both engines), decimal-accumulated at scale 6. */
+  private val sqlTpchQ6 = Spec(
+    "sql_tpch_q6",
+    """SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+      |    AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_q6_lineitem")
+    s.sql(
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM graft_q6_lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin)
+  }
+
+  /** TPC-H Q10 (returned-item reporting) — the top-customers join: a
+    * quarter of orders joins returned lineitems, customers, and the
+    * nation dim, aggregates revenue per customer, and keeps the top 20.
+    * Plan shape at scale: nation broadcasts, the quarter filter guts
+    * orders before the fact join, and ORDER BY+LIMIT fuses to a top-k
+    * (TakeOrderedAndProject) instead of a global sort. Revenue uses the
+    * §7.4 decimal convention; c_custkey tiebreak pins the order. */
+  private val sqlTpchQ10 = Spec(
+    "sql_tpch_q10",
+    s"""SELECT c_custkey, c_name,
+       |  CAST(SUM(${Sql.revenue}) AS DOUBLE) AS revenue,
+       |  c_acctbal, n_name
+       |FROM customer JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+       |  AND l_returnflag = 'R'
+       |GROUP BY c_custkey, c_name, c_acctbal, n_name
+       |ORDER BY revenue DESC, c_custkey
+       |LIMIT 20""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("graft_q10_customer")
+    Tables.orders(s, d).createOrReplaceTempView("graft_q10_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_q10_lineitem")
+    Tables.nation(s, d).createOrReplaceTempView("graft_q10_nation")
+    s.sql(
+      s"""SELECT c_custkey, c_name,
+         |  CAST(SUM(${Sql.revenue}) AS DOUBLE) AS revenue,
+         |  c_acctbal, n_name
+         |FROM graft_q10_customer JOIN graft_q10_orders ON c_custkey = o_custkey
+         |JOIN graft_q10_lineitem ON l_orderkey = o_orderkey
+         |JOIN graft_q10_nation ON c_nationkey = n_nationkey
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+         |  AND l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin)
+  }
+
+  /** TPC-H Q14 (promotion effect) — conditional aggregation over a join:
+    * the promo share of one month's revenue, computed as two
+    * differently-filtered sums over ONE scan+join pass (the agg_filtered
+    * pattern inside a join). The part dim broadcasts; the ratio divides
+    * two exact decimal sums once, in double, identically on both
+    * engines. */
+  private val sqlTpchQ14 = Spec(
+    "sql_tpch_q14",
+    s"""SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+       |    THEN ${Sql.revenue} ELSE CAST(0 AS DECIMAL(18,2)) END)
+       |    AS DOUBLE)
+       |  / CAST(SUM(${Sql.revenue}) AS DOUBLE) AS DOUBLE) AS promo_revenue
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin) {
+    (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_q14_lineitem")
+    Tables.part(s, d).createOrReplaceTempView("graft_q14_part")
+    s.sql(
+      s"""SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+         |    THEN ${Sql.revenue} ELSE CAST(0 AS DECIMAL(18,2)) END)
+         |    AS DOUBLE)
+         |  / CAST(SUM(${Sql.revenue}) AS DOUBLE) AS DOUBLE) AS promo_revenue
+         |FROM graft_q14_lineitem JOIN graft_q14_part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)
   }
 
   /** Slowly-changing-dimension (type 2) build from an event log: per
