@@ -22,7 +22,37 @@ import graft.sources.Tables
   */
 object Functions {
   def specs: Seq[Spec] = Seq(fnString, fnDate, fnMath, fnArray, fnMap,
-    fnJson, fnUdfScalar, fnUdtfExplode, fnRegex, fnEncode)
+    fnJson, fnUdfScalar, fnUdtfExplode, fnRegex, fnEncode, fnVariant)
+
+  /** Spark 4 VariantType — the OPEN semi-structured path that replaces
+    * schema-on-read JSON strings: `parse_json` builds the binary variant
+    * ONCE at ingest (at 100 TB, that one parse amortizes every later
+    * field access — `variant_get` reads the binary encoding, it never
+    * re-parses text, which is the whole economic argument for the type),
+    * then typed extraction, existence probing via try_variant_get, and a
+    * schema round-trip through schema_of_variant. The extraction paths
+    * ($.k typed long, a missing $.missing as NULL) are mirrored in
+    * DuckDB's JSON operators — same values, so the row hash checks the
+    * whole pipeline even though the binary encodings differ. */
+  private val fnVariant = Spec(
+    "fn_variant",
+    """SELECT event_id,
+      |  CAST(props->>'k' AS BIGINT) AS k_typed,
+      |  props->>'missing' AS missing_str,
+      |  props->>'k' IS NOT NULL AS has_k,
+      |  'OBJECT<k: BIGINT>' AS v_schema
+      |FROM events
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val v = parse_json(col("props"))
+    Tables.events(s, d)
+      .select(col("event_id"), v.as("v"))
+      .select(col("event_id"),
+        variant_get(col("v"), "$.k", "bigint").as("k_typed"),
+        try_variant_get(col("v"), "$.missing", "string").as("missing_str"),
+        try_variant_get(col("v"), "$.k", "bigint").isNotNull.as("has_k"),
+        schema_of_variant(col("v")).as("v_schema"))
+      .orderBy(col("event_id"))
+  }
 
   /** Binary codec family — base64 / hex over UTF-8 document bytes plus a
     * decode round-trip proof. This is the interchange surface every
