@@ -90,10 +90,15 @@ object Joins {
     * sidesteps by anchoring on user_id): which lineitems shipped within
     * 30 days of each watched order's date, across unrelated orders.
     * Naively that is an O(n·m) nested-loop theta join. The binned shape:
-    * pick a bin width ≥ the interval length (32 days ≥ 30), map each
+    * pick a bin width ≥ the interval length (32 days > 30), map each
     * interval to the ≤ 2 bins it can overlap (explode — bounded fan-out
     * by the width choice), map each point to its single bin, equi-join
-    * on the bin, and re-check the exact interval as a residual. Every
+    * on the bin, and re-check the exact interval as a residual. The bin
+    * cover spans days sd..sd+30 (not +29): with midnight dates the
+    * interval's last POINT day is sd+29, but if a regenerated fixture
+    * ever carried time-of-day, `< o_orderdate + 30 days` can reach into
+    * day sd+30 — covering it costs nothing (31 ≤ 32 still means ≤ 2
+    * bins) and makes correctness independent of the midnight invariant. Every
     * qualifying (point, interval) pair meets in exactly one bin — the
     * point's — so no dedup pass is needed. This is the range-join
     * strategy the big engines ship (Databricks' RANGE_JOIN hint, KDB
@@ -122,7 +127,7 @@ object Joins {
       .select(col("o_orderkey"), col("o_orderdate"),
         explode(array_distinct(array(
           (col("sd") / binDays).cast("long"),
-          ((col("sd") + 29L) / binDays).cast("long")))).as("bin"))
+          ((col("sd") + 30L) / binDays).cast("long")))).as("bin"))
     val pts = Tables.lineitem(s, d)
       .select(col("l_extendedprice"), col("l_shipdate"),
         (day(col("l_shipdate")) / binDays).cast("long").as("bin"))

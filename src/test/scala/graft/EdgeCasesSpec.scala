@@ -120,4 +120,17 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(out.filter(col("gen") === 1)
       .filter(col("o_orderkey") % 2 === 1).count() == 0)
   }
+
+  test("fn_variant's fixture-shape assumption holds (fails HERE, not at the gate)") {
+    // The oracle emits the literal 'OBJECT<k: BIGINT>' for
+    // schema_of_variant, which is only right while EVERY props value is
+    // a {"k": <int>} object. Pin that invariant where a fixture
+    // regeneration fails loudly and attributably instead of as a silent
+    // driver hash mismatch.
+    val shapes = graft.sources.Tables.events(spark, SF001)
+      .select(schema_of_variant(parse_json(col("props"))).as("sh"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    assert(shapes == Seq("OBJECT<k: BIGINT>"),
+      s"props shape drifted: $shapes — update fn_variant's oracle literal")
+  }
 }
