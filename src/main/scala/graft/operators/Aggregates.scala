@@ -220,7 +220,7 @@ object Aggregates {
     // stage 1: fine-grained partial bitmaps (the stored artifact at scale)
     val partial = Tables.orders(s, d)
       .groupBy(col("o_orderstatus"), col("o_orderpriority"),
-        (col("o_custkey") / 63L).cast("long").as("b"))
+        expr("o_custkey div 63").as("b"))
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT)," +
         " CAST(pmod(o_custkey, 63) AS INT)))").as("m"))
     // stage 2: rollup by OR-merging bitmaps — never touches the base

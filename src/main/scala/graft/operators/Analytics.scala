@@ -243,9 +243,10 @@ object Analytics {
   }
 
   /** TPC-H Q1 (pricing summary) through the pure-SQL path — THE canonical
-    * one-pass scan+aggregate every engine is measured by: eight
-    * aggregates over a date-filtered fact, grouped by two low-cardinality
-    * flags. The 100 TB shape is a single scan with the date predicate
+    * one-pass scan+aggregate every engine is measured by: seven
+    * aggregates over a date-filtered fact (canonical Q1's avg_price is
+    * deliberately omitted — it is sum_base/count, derivable from two
+    * emitted columns), grouped by two low-cardinality flags. The 100 TB shape is a single scan with the date predicate
     * pushed to parquet and a two-phase hash aggregate (4-ish groups —
     * map-side partials do almost all the work; the shuffle moves a few
     * dozen rows). Measures follow §7.4: plain sums in DECIMAL(18,2);

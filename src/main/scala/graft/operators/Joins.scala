@@ -126,11 +126,12 @@ object Joins {
         day(col("o_orderdate")).as("sd"))
       .select(col("o_orderkey"), col("o_orderdate"),
         explode(array_distinct(array(
-          (col("sd") / binDays).cast("long"),
-          ((col("sd") + 30L) / binDays).cast("long")))).as("bin"))
+          expr(s"sd div $binDays"),
+          expr(s"(sd + 30) div $binDays")))).as("bin"))
     val pts = Tables.lineitem(s, d)
       .select(col("l_extendedprice"), col("l_shipdate"),
-        (day(col("l_shipdate")) / binDays).cast("long").as("bin"))
+        expr(s"datediff(CAST(l_shipdate AS DATE), DATE'1970-01-01')" +
+          s" div $binDays").as("bin"))
     pts.join(ivals, pts("bin") === ivals("bin")
         && col("l_shipdate") >= col("o_orderdate")
         && col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))

@@ -263,12 +263,19 @@ object HyperplaneBucket {
   * the plan, like a broadcast for the ~25 KB quantizers used here; a
   * MB-scale codebook would go back to an explicit broadcast variable).
   * Returns array<int> so n=1 (corpus assignment, `.getItem(0)`) and
-  * n=nProbe (probe fan-out, `explode`) share one surface. */
+  * n=nProbe (probe fan-out, `explode`) share one surface.
+  *
+  * The codebook is held as IndexedSeq-of-IndexedSeq, NOT Array-of-Array:
+  * case-class equality over Array is referential, which would make two
+  * logically identical expressions never `semanticEquals` — silently
+  * defeating plan canonicalization and subexpression reuse (ADVICE r5).
+  * The kernel still runs on primitive arrays (converted once, lazily). */
 case class NearestCells(child: Expression,
-    cents: Array[Array[Double]], n: Int)
+    cents: IndexedSeq[IndexedSeq[Double]], n: Int)
     extends UnaryExpression with ExpectsInputTypes {
 
-  private lazy val impl = new NearestCellsImpl(cents, n)
+  private lazy val impl =
+    new NearestCellsImpl(cents.map(_.toArray).toArray, n)
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -289,8 +296,8 @@ case class NearestCells(child: Expression,
 
 object NearestCells {
   def apply(c: Column, cents: Array[Array[Double]], n: Int): Column =
-    ExpressionUtils.column(
-      NearestCells(ExpressionUtils.expression(c), cents, n))
+    ExpressionUtils.column(NearestCells(ExpressionUtils.expression(c),
+      cents.map(_.toIndexedSeq).toIndexedSeq, n))
 }
 
 /** Session-extension injection (`spark.sql.extensions=org.apache.spark.sql

@@ -195,7 +195,7 @@ class AggregatesSpec extends AnyFunSuite {
     val orders = graft.sources.Tables.orders(spark, SF001)
     val partial = orders
       .groupBy(col("o_orderstatus"),
-        (col("o_custkey") / 63L).cast("long").as("b"))
+        expr("o_custkey div 63").as("b"))
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT)," +
         " CAST(pmod(o_custkey, 63) AS INT)))").as("m"))
     val doubled = partial.unionAll(partial)
