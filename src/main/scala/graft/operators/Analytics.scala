@@ -25,7 +25,7 @@ object Analytics {
     skewSalted, statsMoments, approxPercentile, histogram, retention,
     scd2Intervals, sqlTpchQ3, gapFillDaily, sqlTpchQ18, rollingDistinct,
     pointInTime, sqlTpchQ5, sqlTpchQ1, sqlTpchQ17, sqlTpchQ6, sqlTpchQ10,
-    sqlTpchQ14)
+    sqlTpchQ14, sqlTpchQ4, sqlTpchQ21, sqlTpchQ22)
 
   /** Rolling 3-day distinct users — the "weekly/monthly active users"
     * family, which is NOT a window-function sum: distinct counts cannot
@@ -412,6 +412,129 @@ object Analytics {
          |FROM graft_q14_lineitem JOIN graft_q14_part ON l_partkey = p_partkey
          |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
          |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)
+  }
+
+  /** TPC-H Q4 (order-priority checking) — the EXISTS→LEFT-SEMI
+    * decorrelation shape (VERDICT r5 gap #3): count orders in a quarter
+    * that have AT LEAST ONE late lineitem. Catalyst must rewrite the
+    * correlated EXISTS into a semi join on l_orderkey (PlanSpec pins it)
+    * — at 100 TB that is one shuffle-dedup'd probe of lineitem instead
+    * of |orders| sub-executions, and the semi join short-circuits on the
+    * first match per key. Adapted to the fixture schema: lineitem has no
+    * l_commitdate/l_receiptdate, so "late" is shipped >60 days after the
+    * order date (correlating l_shipdate with o_orderdate — a SLIGHTLY
+    * harder decorrelation than canonical Q4, since the subquery
+    * references an outer column inside an arithmetic predicate, not just
+    * the equi-key). The SQL text is generated ONCE, parameterized by
+    * table names, so the Spark plan and the DuckDB oracle can never
+    * drift. */
+  private def q4Sql(orders: String, lineitem: String): String =
+    s"""SELECT o_orderpriority, COUNT(*) AS order_count
+       |FROM $orders
+       |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+       |  AND EXISTS (SELECT 1 FROM $lineitem
+       |              WHERE l_orderkey = o_orderkey
+       |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  private val sqlTpchQ4 = Spec(
+    "sql_tpch_q4",
+    q4Sql("orders", "lineitem")) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("graft_q4_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_q4_lineitem")
+    s.sql(q4Sql("graft_q4_orders", "graft_q4_lineitem"))
+  }
+
+  /** TPC-H Q21 (suppliers who kept waiting) — the hardest decorrelation
+    * in the suite (VERDICT r5 gap #3): a correlated EXISTS and a
+    * correlated NOT EXISTS against the SAME table, on the same
+    * correlation key, in one query. Catalyst must produce ONE left-semi
+    * and ONE left-anti probe of lineitem (PlanSpec pins both, and pins
+    * that no nested loop appears): the multi-supplier requirement
+    * (l2: some OTHER supplier on the order) is the semi; the
+    * only-late-supplier requirement (l3: no OTHER supplier was late) is
+    * the anti. At 100 TB all three lineitem legs shuffle once on
+    * l_orderkey and meet in hash joins — the naive form re-scans
+    * lineitem twice per outer row. Adapted: "late" is a self-contained
+    * ship-after-cutoff predicate (fixtures lack l_receiptdate/
+    * l_commitdate), which preserves the canonical property that the
+    * subqueries correlate ONLY on l_orderkey; the nation dim joins in
+    * broadcast, and every supplier stays grouped by name. */
+  private def q21Sql(supplier: String, lineitem: String, orders: String,
+      nation: String): String =
+    s"""SELECT s_name, n_name, COUNT(*) AS numwait
+       |FROM $supplier
+       |JOIN $lineitem l1 ON s_suppkey = l1.l_suppkey
+       |JOIN $orders ON o_orderkey = l1.l_orderkey
+       |JOIN $nation ON s_nationkey = n_nationkey
+       |WHERE o_orderstatus = 'F'
+       |  AND l1.l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+       |  AND EXISTS (SELECT 1 FROM $lineitem l2
+       |              WHERE l2.l_orderkey = l1.l_orderkey
+       |                AND l2.l_suppkey <> l1.l_suppkey)
+       |  AND NOT EXISTS (SELECT 1 FROM $lineitem l3
+       |              WHERE l3.l_orderkey = l1.l_orderkey
+       |                AND l3.l_suppkey <> l1.l_suppkey
+       |                AND l3.l_shipdate >= TIMESTAMP '1999-01-01 00:00:00')
+       |GROUP BY s_name, n_name
+       |ORDER BY numwait DESC, s_name
+       |LIMIT 100""".stripMargin
+
+  private val sqlTpchQ21 = Spec(
+    "sql_tpch_q21",
+    q21Sql("supplier", "lineitem", "orders", "nation")) { (s, d) =>
+    Tables.supplier(s, d).createOrReplaceTempView("graft_q21_supplier")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_q21_lineitem")
+    Tables.orders(s, d).createOrReplaceTempView("graft_q21_orders")
+    Tables.nation(s, d).createOrReplaceTempView("graft_q21_nation")
+    s.sql(q21Sql("graft_q21_supplier", "graft_q21_lineitem",
+      "graft_q21_orders", "graft_q21_nation"))
+  }
+
+  /** TPC-H Q22 (global sales opportunity) — scalar subquery + anti-join
+    * (VERDICT r5 gap #3): rich-but-inactive customers, where "rich" is
+    * above the average balance of a FILTERED customer subset (an
+    * uncorrelated scalar subquery Catalyst evaluates once and folds into
+    * the filter as a literal-like broadcast) and "inactive" is a
+    * correlated NOT EXISTS against orders (→ left-anti hash join,
+    * PlanSpec pins it). Two fixture adaptations, both shape-preserving:
+    * (a) there is no c_phone, so the 2-char country code becomes
+    * c_nationkey mod 7 with the same IN-list membership test; (b) every
+    * fixture customer has SOME order (the canonical anti-join would be
+    * empty), so inactivity is "no order since 2000-08-01" — the
+    * correlated predicate gains a pushable date filter, which at 100 TB
+    * means the anti probe builds from a date-pruned slice of orders, not
+    * the full table. The average is the §7.4 exact-decimal-sum / count
+    * convention, so the threshold comparison is bit-stable. */
+  private def q22Sql(customer: String, orders: String): String =
+    s"""SELECT cntrycode, COUNT(*) AS numcust,
+       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+       |    AS totacctbal
+       |FROM (
+       |  SELECT CAST(c_nationkey % 7 AS BIGINT) AS cntrycode,
+       |    c_acctbal, c_custkey
+       |  FROM $customer
+       |  WHERE c_nationkey % 7 IN (1, 2, 3, 4, 5)
+       |    AND c_acctbal > (
+       |      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+       |          / COUNT(*)
+       |      FROM $customer
+       |      WHERE c_acctbal > 0.0 AND c_nationkey % 7 IN (1, 2, 3, 4, 5))
+       |) pc
+       |WHERE NOT EXISTS (SELECT 1 FROM $orders
+       |                  WHERE o_custkey = pc.c_custkey
+       |                    AND o_orderdate >= TIMESTAMP '2000-08-01 00:00:00')
+       |GROUP BY cntrycode
+       |ORDER BY cntrycode""".stripMargin
+
+  private val sqlTpchQ22 = Spec(
+    "sql_tpch_q22",
+    q22Sql("customer", "orders")) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("graft_q22_customer")
+    Tables.orders(s, d).createOrReplaceTempView("graft_q22_orders")
+    s.sql(q22Sql("graft_q22_customer", "graft_q22_orders"))
   }
 
   /** Slowly-changing-dimension (type 2) build from an event log: per

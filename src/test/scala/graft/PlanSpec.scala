@@ -267,6 +267,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
+  test("sql_tpch_q4 decorrelates EXISTS into a semi join on l_orderkey") {
+    val p = plan("sql_tpch_q4")
+    assert(p.contains("LeftSemi"),
+      s"correlated EXISTS must plan as one semi probe: ${p.take(1200)}")
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("sql_tpch_q21 plans ONE semi + ONE anti probe of lineitem") {
+    val p = plan("sql_tpch_q21")
+    assert(p.contains("LeftSemi"),
+      s"multi-supplier EXISTS must be a semi join: ${p.take(1500)}")
+    assert(p.contains("LeftAnti"),
+      s"only-late NOT EXISTS must be an anti join: ${p.take(1500)}")
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("sql_tpch_q22 folds the scalar avg and anti-joins date-pruned orders") {
+    val p = plan("sql_tpch_q22")
+    assert(p.contains("LeftAnti"),
+      s"NOT EXISTS must be an anti join: ${p.take(1500)}")
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"),
+      s"threshold must be a once-evaluated scalar subquery: ${p.take(1500)}")
+    // the inactivity date filter must reach the orders scan that builds
+    // the anti probe — at 100 TB that prunes years of partitions
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"anti probe must build from a date-pruned orders slice: " +
+        p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("llm_dedup_incremental admits via an anti join, never a re-scan loop") {
     val p = plan("llm_dedup_incremental")
     assert(p.contains("LeftAnti"), p.take(1200))
