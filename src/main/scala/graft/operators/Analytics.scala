@@ -25,7 +25,8 @@ object Analytics {
     skewSalted, statsMoments, approxPercentile, histogram, retention,
     scd2Intervals, sqlTpchQ3, gapFillDaily, sqlTpchQ18, rollingDistinct,
     pointInTime, sqlTpchQ5, sqlTpchQ1, sqlTpchQ17, sqlTpchQ6, sqlTpchQ10,
-    sqlTpchQ14, sqlTpchQ4, sqlTpchQ21, sqlTpchQ22)
+    sqlTpchQ14, sqlTpchQ4, sqlTpchQ21, sqlTpchQ22, sqlTpchQ7, sqlTpchQ8,
+    sqlTpchQ12, sqlTpchQ13, sqlTpchQ15, sqlTpchQ19)
 
   /** Rolling 3-day distinct users — the "weekly/monthly active users"
     * family, which is NOT a window-function sum: distinct counts cannot
@@ -535,6 +536,229 @@ object Analytics {
     Tables.customer(s, d).createOrReplaceTempView("graft_q22_customer")
     Tables.orders(s, d).createOrReplaceTempView("graft_q22_orders")
     s.sql(q22Sql("graft_q22_customer", "graft_q22_orders"))
+  }
+
+  /** TPC-H Q7 (volume shipping) — bidirectional nation-pair flows: the
+    * same dimension table (nation) joined TWICE under different roles
+    * (supplier's nation, customer's nation) with a symmetric pair
+    * predicate, grouped by flow direction and ship year. The 100 TB
+    * shape: both nation legs broadcast (a dim joined twice is broadcast
+    * twice, never shuffled), lineitem — the only big table — is scanned
+    * once with the ship-date range pushed down, and the orders⋈customer
+    * arm hash-joins on its keys. Revenue follows §7.4 decimals; the year
+    * is EXTRACTed and cast to BIGINT in the shared text (Spark year() is
+    * INT, DuckDB's is BIGINT — pinning the type in SQL keeps the schema
+    * compare exact). */
+  private def q7Sql(supplier: String, lineitem: String, orders: String,
+      customer: String, nation: String): String =
+    s"""SELECT supp_nation, cust_nation, l_year,
+       |  CAST(SUM(volume) AS DOUBLE) AS revenue
+       |FROM (
+       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |    CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+       |    ${Sql.revenue} AS volume
+       |  FROM $supplier
+       |  JOIN $lineitem ON s_suppkey = l_suppkey
+       |  JOIN $orders ON o_orderkey = l_orderkey
+       |  JOIN $customer ON c_custkey = o_custkey
+       |  JOIN $nation n1 ON s_nationkey = n1.n_nationkey
+       |  JOIN $nation n2 ON c_nationkey = n2.n_nationkey
+       |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+       |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+       |) shipping
+       |GROUP BY supp_nation, cust_nation, l_year
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  private val sqlTpchQ7 = Spec(
+    "sql_tpch_q7",
+    q7Sql("supplier", "lineitem", "orders", "customer", "nation")) {
+    (s, d) =>
+    Tables.supplier(s, d).createOrReplaceTempView("graft_q7_supplier")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_q7_lineitem")
+    Tables.orders(s, d).createOrReplaceTempView("graft_q7_orders")
+    Tables.customer(s, d).createOrReplaceTempView("graft_q7_customer")
+    Tables.nation(s, d).createOrReplaceTempView("graft_q7_nation")
+    s.sql(q7Sql("graft_q7_supplier", "graft_q7_lineitem", "graft_q7_orders",
+      "graft_q7_customer", "graft_q7_nation"))
+  }
+
+  /** TPC-H Q8 (national market share) — the conditional-share pattern
+    * over the WIDEST join in the suite (7 tables: part, supplier,
+    * lineitem, orders, customer, nation×2, region): one nation's share
+    * of a region's order volume for one part type, per order year. Both
+    * the numerator (CASE-gated) and denominator are exact decimal sums
+    * over the SAME joined rows — one scan, one aggregate, one double
+    * division per year at the very end (§7.4). The 100 TB shape mirrors
+    * Q5's star: every dimension arm (part, supplier, customer⋈nation⋈
+    * region, nation) reduces or broadcasts before touching lineitem, and
+    * the fact never shuffles on a dimension key. */
+  private def q8Sql(part: String, supplier: String, lineitem: String,
+      orders: String, customer: String, nation: String,
+      region: String): String =
+    s"""SELECT o_year,
+       |  CAST(SUM(CASE WHEN nation = 'NATION_1' THEN volume
+       |             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       |    / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+       |FROM (
+       |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       |    ${Sql.revenue} AS volume,
+       |    n2.n_name AS nation
+       |  FROM $part
+       |  JOIN $lineitem ON p_partkey = l_partkey
+       |  JOIN $supplier ON s_suppkey = l_suppkey
+       |  JOIN $orders ON l_orderkey = o_orderkey
+       |  JOIN $customer ON o_custkey = c_custkey
+       |  JOIN $nation n1 ON c_nationkey = n1.n_nationkey
+       |  JOIN $region ON n1.n_regionkey = r_regionkey
+       |  JOIN $nation n2 ON s_nationkey = n2.n_nationkey
+       |  WHERE r_name = 'EUROPE'
+       |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |    AND p_type = 'STANDARD'
+       |) all_nations
+       |GROUP BY o_year
+       |ORDER BY o_year""".stripMargin
+
+  private val sqlTpchQ8 = Spec(
+    "sql_tpch_q8",
+    q8Sql("part", "supplier", "lineitem", "orders", "customer", "nation",
+      "region")) { (s, d) =>
+    Tables.part(s, d).createOrReplaceTempView("graft_q8_part")
+    Tables.supplier(s, d).createOrReplaceTempView("graft_q8_supplier")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_q8_lineitem")
+    Tables.orders(s, d).createOrReplaceTempView("graft_q8_orders")
+    Tables.customer(s, d).createOrReplaceTempView("graft_q8_customer")
+    Tables.nation(s, d).createOrReplaceTempView("graft_q8_nation")
+    Tables.region(s, d).createOrReplaceTempView("graft_q8_region")
+    s.sql(q8Sql("graft_q8_part", "graft_q8_supplier", "graft_q8_lineitem",
+      "graft_q8_orders", "graft_q8_customer", "graft_q8_nation",
+      "graft_q8_region"))
+  }
+
+  /** TPC-H Q12 (shipping-mode priority) — fact⋈fact join with
+    * conditional counts: per line status, how many HIGH-priority vs
+    * other orders shipped late in a year. Adapted to the fixture schema
+    * (no l_shipmode/l_commitdate/l_receiptdate): the grouping column is
+    * l_linestatus and "late" is shipped >60 days after the order date.
+    * The shape under test is the big-big join (orders⋈lineitem both
+    * shuffle on orderkey — no broadcast side at 100 TB) feeding a
+    * two-phase conditional aggregate; counts are SUM(CASE) cast BIGINT
+    * in the shared text (DuckDB SUM(int) is HUGEINT). */
+  private def q12Sql(orders: String, lineitem: String): String =
+    s"""SELECT l_linestatus,
+       |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+       |FROM $orders
+       |JOIN $lineitem ON o_orderkey = l_orderkey
+       |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+       |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY l_linestatus
+       |ORDER BY l_linestatus""".stripMargin
+
+  private val sqlTpchQ12 = Spec(
+    "sql_tpch_q12",
+    q12Sql("orders", "lineitem")) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("graft_q12_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_q12_lineitem")
+    s.sql(q12Sql("graft_q12_orders", "graft_q12_lineitem"))
+  }
+
+  /** TPC-H Q13 (customer distribution) — the outer-join histogram: LEFT
+    * OUTER customer⋈orders with a join-side filter (the filter lives in
+    * the ON clause, NOT the WHERE — moving it would silently turn the
+    * outer join inner and drop the zero-order customers the query
+    * exists to count), then a two-level aggregate: orders per customer,
+    * customers per order-count. Adapted: the canonical o_comment NOT
+    * LIKE filter becomes o_orderpriority <> '1-URGENT' (fixtures carry
+    * no comment column). 100 TB shape: both aggregates are two-phase
+    * hash aggs; the second one's input is |customers| rows, already
+    * tiny relative to the fact. */
+  private def q13Sql(customer: String, orders: String): String =
+    s"""SELECT c_count, COUNT(*) AS custdist
+       |FROM (
+       |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+       |  FROM $customer
+       |  LEFT OUTER JOIN $orders ON c_custkey = o_custkey
+       |    AND o_orderpriority <> '1-URGENT'
+       |  GROUP BY c_custkey
+       |) c_orders
+       |GROUP BY c_count
+       |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  private val sqlTpchQ13 = Spec(
+    "sql_tpch_q13",
+    q13Sql("customer", "orders")) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("graft_q13_customer")
+    Tables.orders(s, d).createOrReplaceTempView("graft_q13_orders")
+    s.sql(q13Sql("graft_q13_customer", "graft_q13_orders"))
+  }
+
+  /** TPC-H Q15 (top supplier) — a derived revenue view used TWICE in one
+    * query: once as the join input, once under an uncorrelated scalar
+    * MAX subquery that selects the winner(s). The winner comparison is
+    * decimal = decimal — EXACT, so ties select all tied suppliers
+    * deterministically and the oracle agrees bit-for-bit; the revenue is
+    * cast to double only on output (§7.4). Spark inlines the WITH view
+    * into both uses (two lineitem scans, like canonical Q15's VIEW) —
+    * the 100 TB operational note in PLANS.md: a production run persists
+    * the quarter's revenue aggregate first; the aggregate is
+    * |suppliers|-sized, so even twice it is two pushed-down scans of one
+    * quarter, never of the full fact. */
+  private def q15Sql(supplier: String, lineitem: String): String =
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey AS supplier_no,
+       |    SUM(${Sql.revenue}) AS total_revenue_dec
+       |  FROM $lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name,
+       |  CAST(total_revenue_dec AS DOUBLE) AS total_revenue
+       |FROM $supplier
+       |JOIN revenue ON s_suppkey = supplier_no
+       |WHERE total_revenue_dec = (SELECT MAX(total_revenue_dec)
+       |                           FROM revenue)
+       |ORDER BY s_suppkey""".stripMargin
+
+  private val sqlTpchQ15 = Spec(
+    "sql_tpch_q15",
+    q15Sql("supplier", "lineitem")) { (s, d) =>
+    Tables.supplier(s, d).createOrReplaceTempView("graft_q15_supplier")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_q15_lineitem")
+    s.sql(q15Sql("graft_q15_supplier", "graft_q15_lineitem"))
+  }
+
+  /** TPC-H Q19 (discounted revenue) — the DISJUNCTIVE join predicate:
+    * three OR-ed branches, each mixing part-side (brand, size) and
+    * lineitem-side (quantity) conditions. The optimizer test is predicate
+    * factoring: the join itself must stay a plain hash join on
+    * p_partkey = l_partkey with the OR residual evaluated post-join —
+    * naive planning degrades to a nested loop over the disjunction
+    * (PlanSpec pins that no BNLJ/cartesian appears). Adapted to fixture
+    * columns: brand/size/quantity carry the three branches (no
+    * l_shipmode/l_shipinstruct); revenue per §7.4. */
+  private def q19Sql(lineitem: String, part: String): String =
+    s"""SELECT CAST(SUM(${Sql.revenue}) AS DOUBLE) AS revenue
+       |FROM $lineitem
+       |JOIN $part ON p_partkey = l_partkey
+       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       |       AND l_quantity >= 1 AND l_quantity <= 20)
+       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+       |       AND l_quantity >= 10 AND l_quantity <= 40)
+       |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50
+       |       AND l_quantity >= 20 AND l_quantity <= 60)""".stripMargin
+
+  private val sqlTpchQ19 = Spec(
+    "sql_tpch_q19",
+    q19Sql("lineitem", "part")) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_q19_lineitem")
+    Tables.part(s, d).createOrReplaceTempView("graft_q19_part")
+    s.sql(q19Sql("graft_q19_lineitem", "graft_q19_part"))
   }
 
   /** Slowly-changing-dimension (type 2) build from an event log: per

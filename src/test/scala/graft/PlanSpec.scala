@@ -300,6 +300,48 @@ class PlanSpec extends AnyFunSuite {
       && !p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("sql_tpch_q7 broadcasts both nation roles; lineitem scanned once") {
+    val p = plan("sql_tpch_q7")
+    assert(p.contains("BroadcastHashJoin"),
+      s"dims must broadcast: ${p.take(1200)}")
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"),
+      s"the OR nation-pair predicate must stay a post-join residual, " +
+        s"not degrade the joins: ${p.take(1500)}")
+  }
+
+  test("sql_tpch_q8 keeps the 7-table star on hash joins") {
+    val p = plan("sql_tpch_q8")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("sql_tpch_q13 keeps the ON-clause filter inside the outer join") {
+    val p = plan("sql_tpch_q13")
+    assert(p.contains("LeftOuter"),
+      s"zero-order customers must survive: ${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("sql_tpch_q15 evaluates the max-revenue threshold as a scalar subquery") {
+    val p = plan("sql_tpch_q15")
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"),
+      p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("sql_tpch_q19 keeps the equi hash join under the OR disjunction") {
+    val p = plan("sql_tpch_q19")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"join must anchor on p_partkey = l_partkey: ${p.take(1200)}")
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"),
+      s"disjunctive predicate must be a residual, not the join: " +
+        p.take(1500))
+  }
+
   test("llm_dedup_incremental admits via an anti join, never a re-scan loop") {
     val p = plan("llm_dedup_incremental")
     assert(p.contains("LeftAnti"), p.take(1200))
