@@ -26,7 +26,8 @@ object Analytics {
     scd2Intervals, sqlTpchQ3, gapFillDaily, sqlTpchQ18, rollingDistinct,
     pointInTime, sqlTpchQ5, sqlTpchQ1, sqlTpchQ17, sqlTpchQ6, sqlTpchQ10,
     sqlTpchQ14, sqlTpchQ4, sqlTpchQ21, sqlTpchQ22, sqlTpchQ7, sqlTpchQ8,
-    sqlTpchQ12, sqlTpchQ13, sqlTpchQ15, sqlTpchQ19)
+    sqlTpchQ12, sqlTpchQ13, sqlTpchQ15, sqlTpchQ19, sqlTpchQ2, sqlTpchQ9,
+    sqlTpchQ11, sqlTpchQ16, sqlTpchQ20)
 
   /** Rolling 3-day distinct users — the "weekly/monthly active users"
     * family, which is NOT a window-function sum: distinct counts cannot
@@ -759,6 +760,230 @@ object Analytics {
     Tables.lineitem(s, d).createOrReplaceTempView("graft_q19_lineitem")
     Tables.part(s, d).createOrReplaceTempView("graft_q19_part")
     s.sql(q19Sql("graft_q19_lineitem", "graft_q19_part"))
+  }
+
+  /** The fixture schema carries no `partsupp` table, so the five
+    * partsupp-dependent TPC-H queries (Q2/Q9/Q11/Q16/Q20) run against a
+    * DERIVED part-supplier relation: the distinct (l_partkey, l_suppkey)
+    * pairs observed in lineitem, with MIN(l_extendedprice) as the supply
+    * cost (MIN over doubles is order-independent — exact in both
+    * engines, unlike a double SUM) and the exact-decimal total supplied
+    * quantity as the availability stand-in. ONE definition feeds all
+    * five queries so their partsupp semantics cannot drift; each query
+    * keeps its canonical SHAPE (the thing under test — correlated MIN,
+    * HAVING-scalar, NOT-IN, nested-IN-with-correlated-scalar) and swaps
+    * only the unavailable columns. At 100 TB the ps aggregate is the
+    * |part×supplier-pairs| rollup a warehouse materializes once — every
+    * plan below treats it as a first-class relation, never re-derives it
+    * per row. */
+  private def psCte(lineitem: String): String =
+    s"""ps AS (
+       |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+       |    MIN(l_extendedprice) AS ps_supplycost,
+       |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+       |      AS ps_total_qty
+       |  FROM $lineitem
+       |  GROUP BY l_partkey, l_suppkey)""".stripMargin
+
+  /** TPC-H Q2 (minimum-cost supplier) — the correlated-MIN-over-a-join
+    * shape: for each qualifying part, keep only the supplier(s) whose
+    * cost equals the minimum across ALL of that part's suppliers in the
+    * region — a scalar subquery that itself joins four tables and
+    * correlates on p_partkey. Catalyst must decorrelate it into one
+    * grouped MIN over the region-filtered ps⋈supplier⋈nation⋈region
+    * join, hash-joined back on partkey (PlanSpec pins no nested loop):
+    * the naive plan re-runs the 4-way join per part. MIN-of-double
+    * equality is exact, so ties keep all tied suppliers in both
+    * engines. */
+  private def q2Sql(lineitem: String, part: String, supplier: String,
+      nation: String, region: String): String =
+    s"""WITH ${psCte(lineitem)}
+       |SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+       |FROM $part
+       |JOIN ps ON p_partkey = ps_partkey
+       |JOIN $supplier ON s_suppkey = ps_suppkey
+       |JOIN $nation ON s_nationkey = n_nationkey
+       |JOIN $region ON n_regionkey = r_regionkey
+       |WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
+       |  AND r_name = 'EUROPE'
+       |  AND ps_supplycost = (
+       |    SELECT MIN(ps2.ps_supplycost)
+       |    FROM ps ps2
+       |    JOIN $supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+       |    JOIN $nation n2 ON s2.s_nationkey = n2.n_nationkey
+       |    JOIN $region r2 ON n2.n_regionkey = r2.r_regionkey
+       |    WHERE p_partkey = ps2.ps_partkey AND r2.r_name = 'EUROPE')
+       |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+       |LIMIT 100""".stripMargin
+
+  private val sqlTpchQ2 = Spec(
+    "sql_tpch_q2",
+    q2Sql("lineitem", "part", "supplier", "nation", "region")) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_q2_lineitem")
+    Tables.part(s, d).createOrReplaceTempView("graft_q2_part")
+    Tables.supplier(s, d).createOrReplaceTempView("graft_q2_supplier")
+    Tables.nation(s, d).createOrReplaceTempView("graft_q2_nation")
+    Tables.region(s, d).createOrReplaceTempView("graft_q2_region")
+    s.sql(q2Sql("graft_q2_lineitem", "graft_q2_part", "graft_q2_supplier",
+      "graft_q2_nation", "graft_q2_region"))
+  }
+
+  /** TPC-H Q9 (product-type profit) — profit = revenue minus supply
+    * cost × quantity, per supplier nation per order year, over parts
+    * matching a name word (`p_name LIKE '%red%'` — the fixture p_names
+    * are word pairs, so the canonical filter survives adaptation). The
+    * whole amount expression stays in DECIMAL end-to-end (§7.4): the
+    * revenue product, the cost×quantity product, and their difference
+    * are all exact, summed exactly, cast to double once. 100 TB shape:
+    * lineitem joins ps on the composite (partkey, suppkey) key — the
+    * one fact⋈derived-fact shuffle in the suite — while part filters
+    * and nation broadcasts. */
+  private def q9Sql(lineitem: String, part: String, supplier: String,
+      orders: String, nation: String): String =
+    s"""WITH ${psCte(lineitem)}
+       |SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+       |FROM (
+       |  SELECT n_name AS nation,
+       |    CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       |    ${Sql.revenue}
+       |      - CAST(ps_supplycost AS DECIMAL(18,2))
+       |        * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+       |  FROM $part
+       |  JOIN $lineitem ON p_partkey = l_partkey
+       |  JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+       |  JOIN $supplier ON s_suppkey = l_suppkey
+       |  JOIN $orders ON o_orderkey = l_orderkey
+       |  JOIN $nation ON s_nationkey = n_nationkey
+       |  WHERE p_name LIKE '%red%'
+       |) profit
+       |GROUP BY nation, o_year
+       |ORDER BY nation, o_year DESC""".stripMargin
+
+  private val sqlTpchQ9 = Spec(
+    "sql_tpch_q9",
+    q9Sql("lineitem", "part", "supplier", "orders", "nation")) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_q9_lineitem")
+    Tables.part(s, d).createOrReplaceTempView("graft_q9_part")
+    Tables.supplier(s, d).createOrReplaceTempView("graft_q9_supplier")
+    Tables.orders(s, d).createOrReplaceTempView("graft_q9_orders")
+    Tables.nation(s, d).createOrReplaceTempView("graft_q9_nation")
+    s.sql(q9Sql("graft_q9_lineitem", "graft_q9_part", "graft_q9_supplier",
+      "graft_q9_orders", "graft_q9_nation"))
+  }
+
+  /** TPC-H Q11 (important stock identification) — the HAVING-scalar
+    * shape: per-part value within one nation, kept only when the part's
+    * value exceeds a FRACTION of the nation's total — the same
+    * aggregate expression appearing once grouped and once global, with
+    * the global one under a scalar subquery. Both sides are exact
+    * decimal sums and the fraction (0.001) multiplies a decimal by a
+    * decimal literal, so the threshold compare is bit-stable in both
+    * engines. 100 TB: Catalyst evaluates the scalar once (a reused
+    * nation-filtered ps join, broadcast back), never per group. */
+  private def q11Sql(lineitem: String, supplier: String,
+      nation: String): String =
+    s"""WITH ${psCte(lineitem)}
+       |SELECT ps_partkey,
+       |  CAST(SUM(CAST(ps_supplycost AS DECIMAL(18,2)) * ps_total_qty)
+       |    AS DOUBLE) AS part_value
+       |FROM ps
+       |JOIN $supplier ON ps_suppkey = s_suppkey
+       |JOIN $nation ON s_nationkey = n_nationkey
+       |WHERE n_name = 'NATION_1'
+       |GROUP BY ps_partkey
+       |HAVING SUM(CAST(ps_supplycost AS DECIMAL(18,2)) * ps_total_qty) > (
+       |  SELECT SUM(CAST(ps_supplycost AS DECIMAL(18,2)) * ps_total_qty)
+       |      * CAST(0.001 AS DECIMAL(4,3))
+       |  FROM ps
+       |  JOIN $supplier ON ps_suppkey = s_suppkey
+       |  JOIN $nation ON s_nationkey = n_nationkey
+       |  WHERE n_name = 'NATION_1')
+       |ORDER BY part_value DESC, ps_partkey""".stripMargin
+
+  private val sqlTpchQ11 = Spec(
+    "sql_tpch_q11",
+    q11Sql("lineitem", "supplier", "nation")) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_q11_lineitem")
+    Tables.supplier(s, d).createOrReplaceTempView("graft_q11_supplier")
+    Tables.nation(s, d).createOrReplaceTempView("graft_q11_nation")
+    s.sql(q11Sql("graft_q11_lineitem", "graft_q11_supplier",
+      "graft_q11_nation"))
+  }
+
+  /** TPC-H Q16 (parts/supplier relationship) — COUNT(DISTINCT) per
+    * wide group under a NOT-IN exclusion subquery. The NOT IN plans as
+    * a null-aware anti join — s_suppkey is non-nullable here, so it
+    * degenerates to the plain anti probe (PlanSpec pins no nested
+    * loop); the exclusion set ("complaint" suppliers, adapted to
+    * negative account balance — fixtures carry no s_comment) builds
+    * once and broadcasts. The distinct-count is the expensive half at
+    * 100 TB: a two-phase aggregate whose first phase dedups
+    * (group, suppkey) pairs — never a collect-to-driver set. */
+  private def q16Sql(lineitem: String, part: String,
+      supplier: String): String =
+    s"""WITH ${psCte(lineitem)}
+       |SELECT p_brand, p_type, p_size,
+       |  COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+       |FROM ps
+       |JOIN $part ON p_partkey = ps_partkey
+       |WHERE p_brand <> 'Brand#45'
+       |  AND p_type NOT LIKE 'MEDIUM%'
+       |  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+       |  AND ps_suppkey NOT IN (
+       |    SELECT s_suppkey FROM $supplier WHERE s_acctbal < 0.0)
+       |GROUP BY p_brand, p_type, p_size
+       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  private val sqlTpchQ16 = Spec(
+    "sql_tpch_q16",
+    q16Sql("lineitem", "part", "supplier")) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_q16_lineitem")
+    Tables.part(s, d).createOrReplaceTempView("graft_q16_part")
+    Tables.supplier(s, d).createOrReplaceTempView("graft_q16_supplier")
+    s.sql(q16Sql("graft_q16_lineitem", "graft_q16_part",
+      "graft_q16_supplier"))
+  }
+
+  /** TPC-H Q20 (potential part promotion) — the deepest nesting in the
+    * suite: an IN subquery containing another IN subquery AND a
+    * correlated scalar aggregate (half the year's supplied quantity for
+    * THAT part-supplier pair). Catalyst must turn the outer IN into a
+    * semi join, the inner IN into a semi join, and decorrelate the
+    * scalar into a grouped aggregate joined on the composite key —
+    * three rewrites stacked (PlanSpec pins semi + no nested loop).
+    * Availability is the derived ps_total_qty; "half the year's flow"
+    * is an exact decimal sum × decimal 0.5, so the comparison is
+    * bit-stable. An empty correlated group yields NULL > — false — in
+    * both engines. */
+  private def q20Sql(lineitem: String, part: String, supplier: String,
+      nation: String): String =
+    s"""WITH ${psCte(lineitem)}
+       |SELECT s_name, s_acctbal
+       |FROM $supplier
+       |JOIN $nation ON s_nationkey = n_nationkey
+       |WHERE n_name = 'NATION_1'
+       |  AND s_suppkey IN (
+       |    SELECT ps_suppkey FROM ps
+       |    WHERE ps_partkey IN (
+       |        SELECT p_partkey FROM $part WHERE p_brand = 'Brand#12')
+       |      AND ps_total_qty > (
+       |        SELECT CAST(0.5 AS DECIMAL(2,1))
+       |            * SUM(CAST(l_quantity AS DECIMAL(18,2)))
+       |        FROM $lineitem
+       |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+       |          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
+       |ORDER BY s_name""".stripMargin
+
+  private val sqlTpchQ20 = Spec(
+    "sql_tpch_q20",
+    q20Sql("lineitem", "part", "supplier", "nation")) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_q20_lineitem")
+    Tables.part(s, d).createOrReplaceTempView("graft_q20_part")
+    Tables.supplier(s, d).createOrReplaceTempView("graft_q20_supplier")
+    Tables.nation(s, d).createOrReplaceTempView("graft_q20_nation")
+    s.sql(q20Sql("graft_q20_lineitem", "graft_q20_part",
+      "graft_q20_supplier", "graft_q20_nation"))
   }
 
   /** Slowly-changing-dimension (type 2) build from an event log: per

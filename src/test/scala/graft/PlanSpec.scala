@@ -342,6 +342,45 @@ class PlanSpec extends AnyFunSuite {
         p.take(1500))
   }
 
+  test("sql_tpch_q2 decorrelates the min-cost subquery; no nested loop") {
+    val p = plan("sql_tpch_q2")
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"),
+      s"correlated MIN must become an aggregate + hash join: " +
+        p.take(1500))
+  }
+
+  test("sql_tpch_q9 joins the derived ps relation on the composite key") {
+    val p = plan("sql_tpch_q9")
+    assert(p.contains("BroadcastHashJoin"),
+      s"nation/supplier dims must broadcast: ${p.take(1200)}")
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("sql_tpch_q11 evaluates the nation-total threshold once") {
+    val p = plan("sql_tpch_q11")
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"),
+      s"HAVING threshold must be a scalar subquery, not per-group: " +
+        p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("sql_tpch_q16 plans NOT IN as an anti probe of the exclusion set") {
+    val p = plan("sql_tpch_q16")
+    assert(p.contains("LeftAnti"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("sql_tpch_q20 stacks semi joins + a decorrelated scalar, no loop") {
+    val p = plan("sql_tpch_q20")
+    assert(p.contains("LeftSemi"),
+      s"both IN subqueries must be semi joins: ${p.take(1500)}")
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("llm_dedup_incremental admits via an anti join, never a re-scan loop") {
     val p = plan("llm_dedup_incremental")
     assert(p.contains("LeftAnti"), p.take(1200))
