@@ -320,6 +320,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("chained stateful: stream-stream join then windowed agg, ONE query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Two state stores in one streaming query: the interval join's
+    // symmetric hash state feeding a tumbling window's agg state. The
+    // parity target is the batch twin; the streaming subtlety is that
+    // append-mode window results only emit once the PROPAGATED watermark
+    // (source watermark minus the join's interval allowance) passes the
+    // window end — so the tail is flushed with two successively-later
+    // sentinel batches (one to flush the join, one more to push the agg
+    // watermark past every real window), then filtered back out.
+    val evs = fixtureEvents(600)
+    val clicksB = evs.filter(_.event_type == "click")
+    val viewsB = evs.filter(_.event_type == "view")
+    val band = 24 * 60 // densify like the join parity test
+    val maxTsMs = evs.map(_.ts.getTime).max
+    val cutoffUs = maxTsMs * 1000L
+    def sentinel(id: Long, days: Long, tpe: String) =
+      Ev(id, new Timestamp(maxTsMs + days * 86400000L), 999999L, tpe, 0.0)
+
+    val memC = MemoryStream[Ev]; memC.addData(clicksB)
+    val memV = MemoryStream[Ev]; memV.addData(viewsB)
+    val chained = StreamingOps.joinThenWindow(
+      memC.toDF().withWatermark("ts", "30 minutes"),
+      memV.toDF().withWatermark("ts", "30 minutes"), band)
+    val name = s"graft_chain_${System.nanoTime()}"
+    val q = chained.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      Seq(40L, 80L).zipWithIndex.foreach { case (days, i) =>
+        memC.addData(sentinel(-1L - i, days, "click"))
+        memV.addData(sentinel(-100L - i, days, "view"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table(name)
+      .filter(col("ws_us") <= cutoffUs).collect()
+    val batch = StreamingOps.joinThenWindow(clicksB.toDF(), viewsB.toDF(),
+      band).collect()
+    assert(batch.nonEmpty, "densified join must produce pairs")
+    assert(sortedRows(streamed) == sortedRows(batch),
+      s"chained stream (${streamed.length} windows) != batch twin " +
+        s"(${batch.length})")
+  }
+
   test("incremental restart: a third run with no new files emits nothing") {
     import org.apache.spark.sql.streaming.Trigger
     // run the registered query (two AvailableNow incarnations), then
