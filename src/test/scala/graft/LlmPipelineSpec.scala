@@ -189,6 +189,36 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(got.toSeq == expTop)
   }
 
+  test("bpe_train: sentinel safe, starts at bpe_pairs' top, counts decay") {
+    import org.apache.spark.sql.functions.col
+    // (a) the U+001F sentinel the segmentation relies on must be absent
+    // from the corpus — if a regenerated fixture ever contained it, the
+    // boundary-anchored replace could merge across token edges
+    val dirty = graft.sources.Tables.documents(spark, SF001)
+      .filter(col("text").contains("\u001f")).count()
+    assert(dirty == 0, "corpus contains the U+001F sentinel")
+    val merges = SparkEntry.queries("llm_bpe_train")(spark, SF001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(merges.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    // (b) iteration 1 counts ALL adjacent character pairs — exactly what
+    // llm_bpe_pairs ranks — so the first merge must be its top-1 (same
+    // (cnt DESC, pair ASC) tiebreak, modulo the '+' join)
+    val top = SparkEntry.queries("llm_bpe_pairs")(spark, SF001)
+      .collect().head
+    assert(merges.head._2 == top.getString(0).toSeq.mkString("+")
+      || merges.head._2.replace("+", "") == top.getString(0),
+      s"first merge ${merges.head._2} != bpe_pairs top ${top.getString(0)}")
+    assert(merges.head._3 == top.getLong(1))
+    // (c) greedy BPE merge counts never increase: a pair born from a
+    // merge is a subsequence-restriction of a pre-merge pair, so its
+    // count is bounded by the previous maximum
+    merges.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3, s"merge count grew: $a -> $b")
+    }
+    // (d) the 4 merges are distinct new vocabulary entries
+    assert(merges.map(_._2).distinct.length == 4)
+  }
+
   test("lm_score covers every scoreable doc with a probability-mean score") {
     val got = SparkEntry.queries("llm_lm_score")(spark, SF001)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
