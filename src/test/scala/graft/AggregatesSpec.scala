@@ -182,6 +182,49 @@ class AggregatesSpec extends AnyFunSuite {
     assert(rows.length == detail + nation + grand)
   }
 
+  test("agg_sketch_cms: est >= exact for EVERY key; partials merge by sum") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, SF001)
+    val tok = docs.select(explode(split(col("text"), " ")).as("token"))
+    def bucket(t: String, r: String) =
+      s"((instr('0123456789abcdef', substr(md5(CAST($r AS STRING) || ':' " +
+        s"|| $t), 1, 1)) - 1) * 16 + " +
+        s"(instr('0123456789abcdef', substr(md5(CAST($r AS STRING) || ':' " +
+        s"|| $t), 2, 1)) - 1)) % 64"
+    def cmsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("token"), explode(array((0 to 3).map(lit(_)): _*)).as("r"))
+      .select(col("r"), expr(bucket("token", "r")).as("b"))
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+    val whole = cmsOf(tok).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // one-sided bound for EVERY key, not just the queried top-10: each
+    // counter holds the key's own count plus >= 0 collision mass
+    val exact = tok.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .withColumn("r", explode(array((0 to 3).map(lit(_)): _*)))
+      .select(col("token"), col("n"), col("r"),
+        expr(bucket("token", "r")).as("b"))
+      .collect()
+    val est = exact.groupBy(_.getString(0)).map { case (t, rows) =>
+      t -> (rows.head.getLong(1),
+        rows.map(r => whole((r.getInt(2), r.getInt(3)))).min)
+    }
+    est.foreach { case (t, (ex, es)) =>
+      assert(es >= ex, s"token $t: estimate $es < exact $ex")
+    }
+    // mergeability: sketches of two disjoint half-corpora SUM to the
+    // whole-corpus sketch — the re-aggregation property daily artifacts
+    // rely on (contrast bitmap's OR-idempotence: adding is NOT
+    // idempotent, which is why CMS partials must be disjoint shards)
+    val h1 = cmsOf(docs.filter(col("doc_id") % 2 === 0)
+      .select(explode(split(col("text"), " ")).as("token")))
+    val h2 = cmsOf(docs.filter(col("doc_id") % 2 === 1)
+      .select(explode(split(col("text"), " ")).as("token")))
+    val merged = h1.unionAll(h2)
+      .groupBy(col("r"), col("b")).agg(sum(col("c")).as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(merged == whole, "sum-merged half sketches != whole sketch")
+  }
+
   test("agg_bitmap_distinct equals exact countDistinct; OR-merge idempotent") {
     val got = SparkEntry.queries("agg_bitmap_distinct")(spark, SF001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
