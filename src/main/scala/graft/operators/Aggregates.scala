@@ -265,13 +265,15 @@ object Aggregates {
     "agg_sketch_cms",
     s"""WITH tok AS (
        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       |w AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
        |sl AS $CmsSalts,
        |hx AS (
-       |  SELECT token, r, ${cmsBucket("token", "r")} AS b
-       |  FROM tok CROSS JOIN sl),
-       |cms AS (SELECT r, b, COUNT(*) AS c FROM hx GROUP BY r, b),
+       |  SELECT token, n, r, ${cmsBucket("token", "r")} AS b
+       |  FROM w CROSS JOIN sl),
+       |cms AS (SELECT r, b, CAST(SUM(n) AS BIGINT) AS c
+       |        FROM hx GROUP BY r, b),
        |ex AS (
-       |  SELECT token, COUNT(*) AS exact_cnt FROM tok GROUP BY token
+       |  SELECT token, n AS exact_cnt FROM w
        |  ORDER BY exact_cnt DESC, token LIMIT 10),
        |est AS (
        |  SELECT ex.token, MIN(c) AS est_cnt
@@ -283,15 +285,20 @@ object Aggregates {
        |  est.est_cnt - ex.exact_cnt AS overest
        |FROM ex JOIN est ON ex.token = est.token
        |ORDER BY exact_cnt DESC, ex.token""".stripMargin) { (s, d) =>
-    val tok = Tables.documents(s, d)
+    // aggregate to the distinct-vocab rollup FIRST (the bpePairs trick):
+    // md5 runs once per (distinct token × salt), not per corpus
+    // occurrence — at 100 TB that is |vocab|×4 hashes instead of
+    // |corpus|×4, and the counter update becomes a weighted sum
+    val w = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
     val salts = explode(array((0 to 3).map(lit(_)): _*)).as("r")
     // the sketch: d×w additive counters (the stored/mergeable artifact)
-    val cms = tok.select(col("token"), salts)
-      .select(col("r"), expr(cmsBucket("token", "r")).as("b"))
-      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+    val cms = w.select(col("token"), col("n"), salts)
+      .select(col("n"), col("r"), expr(cmsBucket("token", "r")).as("b"))
+      .groupBy(col("r"), col("b")).agg(sum(col("n")).as("c"))
     // exact top-10 (deterministic tiebreak) to interrogate the sketch
-    val ex = tok.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+    val ex = w.select(col("token"), col("n").as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("token").asc).limit(10)
     // point lookups: min over the key's d counters — broadcast both tiny
     // sides (10 keys × 4 salts probing a 256-row grid)
