@@ -785,6 +785,25 @@ object Analytics {
        |  FROM $lineitem
        |  GROUP BY l_partkey, l_suppkey)""".stripMargin
 
+  /** The materialized form of [[psCte]] — built ONCE per (session,
+    * sfDir) and persisted via RelationCache, then shared by all five
+    * partsupp-adapted queries exactly the way a warehouse shares a
+    * materialized rollup: the first consumer pays the lineitem-wide
+    * aggregate, every later plan starts from an InMemoryTableScan of
+    * the |part×supplier-pairs| relation. The DuckDB oracle inlines the
+    * identical CTE instead (it has no session cache), so the two sides
+    * stay one definition: psCte IS the SQL text, and this is its
+    * DataFrame twin, column for column. */
+  private def psRelation(s: SparkSession, d: String): DataFrame =
+    graft.sources.RelationCache.getOrPersist(s, "tpch_ps", d) {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey"))
+        .agg(min(col("l_extendedprice")).as("ps_supplycost"),
+          sum(col("l_quantity").cast(Det.D2)).cast(Det.D2)
+            .as("ps_total_qty"))
+    }
+
   /** TPC-H Q2 (minimum-cost supplier) — the correlated-MIN-over-a-join
     * shape: for each qualifying part, keep only the supplier(s) whose
     * cost equals the minimum across ALL of that part's suppliers in the
@@ -795,12 +814,11 @@ object Analytics {
     * the naive plan re-runs the 4-way join per part. MIN-of-double
     * equality is exact, so ties keep all tied suppliers in both
     * engines. */
-  private def q2Sql(lineitem: String, part: String, supplier: String,
-      nation: String, region: String): String =
-    s"""WITH ${psCte(lineitem)}
-       |SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+  private def q2Sql(pre: String, ps: String, part: String,
+      supplier: String, nation: String, region: String): String =
+    s"""${pre}SELECT s_acctbal, s_name, n_name, p_partkey, p_name
        |FROM $part
-       |JOIN ps ON p_partkey = ps_partkey
+       |JOIN $ps ON p_partkey = ps_partkey
        |JOIN $supplier ON s_suppkey = ps_suppkey
        |JOIN $nation ON s_nationkey = n_nationkey
        |JOIN $region ON n_regionkey = r_regionkey
@@ -808,7 +826,7 @@ object Analytics {
        |  AND r_name = 'EUROPE'
        |  AND ps_supplycost = (
        |    SELECT MIN(ps2.ps_supplycost)
-       |    FROM ps ps2
+       |    FROM $ps ps2
        |    JOIN $supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
        |    JOIN $nation n2 ON s2.s_nationkey = n2.n_nationkey
        |    JOIN $region r2 ON n2.n_regionkey = r2.r_regionkey
@@ -818,13 +836,14 @@ object Analytics {
 
   private val sqlTpchQ2 = Spec(
     "sql_tpch_q2",
-    q2Sql("lineitem", "part", "supplier", "nation", "region")) { (s, d) =>
-    Tables.lineitem(s, d).createOrReplaceTempView("graft_q2_lineitem")
+    q2Sql(s"WITH ${psCte("lineitem")}\n", "ps", "part", "supplier",
+      "nation", "region")) { (s, d) =>
+    psRelation(s, d).createOrReplaceTempView("graft_q2_ps")
     Tables.part(s, d).createOrReplaceTempView("graft_q2_part")
     Tables.supplier(s, d).createOrReplaceTempView("graft_q2_supplier")
     Tables.nation(s, d).createOrReplaceTempView("graft_q2_nation")
     Tables.region(s, d).createOrReplaceTempView("graft_q2_region")
-    s.sql(q2Sql("graft_q2_lineitem", "graft_q2_part", "graft_q2_supplier",
+    s.sql(q2Sql("", "graft_q2_ps", "graft_q2_part", "graft_q2_supplier",
       "graft_q2_nation", "graft_q2_region"))
   }
 
@@ -838,10 +857,10 @@ object Analytics {
     * lineitem joins ps on the composite (partkey, suppkey) key — the
     * one fact⋈derived-fact shuffle in the suite — while part filters
     * and nation broadcasts. */
-  private def q9Sql(lineitem: String, part: String, supplier: String,
-      orders: String, nation: String): String =
-    s"""WITH ${psCte(lineitem)}
-       |SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+  private def q9Sql(pre: String, ps: String, lineitem: String,
+      part: String, supplier: String, orders: String,
+      nation: String): String =
+    s"""${pre}SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
        |FROM (
        |  SELECT n_name AS nation,
        |    CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
@@ -850,7 +869,7 @@ object Analytics {
        |        * CAST(l_quantity AS DECIMAL(18,2)) AS amount
        |  FROM $part
        |  JOIN $lineitem ON p_partkey = l_partkey
-       |  JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+       |  JOIN $ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
        |  JOIN $supplier ON s_suppkey = l_suppkey
        |  JOIN $orders ON o_orderkey = l_orderkey
        |  JOIN $nation ON s_nationkey = n_nationkey
@@ -861,14 +880,16 @@ object Analytics {
 
   private val sqlTpchQ9 = Spec(
     "sql_tpch_q9",
-    q9Sql("lineitem", "part", "supplier", "orders", "nation")) { (s, d) =>
+    q9Sql(s"WITH ${psCte("lineitem")}\n", "ps", "lineitem", "part",
+      "supplier", "orders", "nation")) { (s, d) =>
+    psRelation(s, d).createOrReplaceTempView("graft_q9_ps")
     Tables.lineitem(s, d).createOrReplaceTempView("graft_q9_lineitem")
     Tables.part(s, d).createOrReplaceTempView("graft_q9_part")
     Tables.supplier(s, d).createOrReplaceTempView("graft_q9_supplier")
     Tables.orders(s, d).createOrReplaceTempView("graft_q9_orders")
     Tables.nation(s, d).createOrReplaceTempView("graft_q9_nation")
-    s.sql(q9Sql("graft_q9_lineitem", "graft_q9_part", "graft_q9_supplier",
-      "graft_q9_orders", "graft_q9_nation"))
+    s.sql(q9Sql("", "graft_q9_ps", "graft_q9_lineitem", "graft_q9_part",
+      "graft_q9_supplier", "graft_q9_orders", "graft_q9_nation"))
   }
 
   /** TPC-H Q11 (important stock identification) — the HAVING-scalar
@@ -880,13 +901,12 @@ object Analytics {
     * decimal literal, so the threshold compare is bit-stable in both
     * engines. 100 TB: Catalyst evaluates the scalar once (a reused
     * nation-filtered ps join, broadcast back), never per group. */
-  private def q11Sql(lineitem: String, supplier: String,
+  private def q11Sql(pre: String, ps: String, supplier: String,
       nation: String): String =
-    s"""WITH ${psCte(lineitem)}
-       |SELECT ps_partkey,
+    s"""${pre}SELECT ps_partkey,
        |  CAST(SUM(CAST(ps_supplycost AS DECIMAL(18,2)) * ps_total_qty)
        |    AS DOUBLE) AS part_value
-       |FROM ps
+       |FROM $ps
        |JOIN $supplier ON ps_suppkey = s_suppkey
        |JOIN $nation ON s_nationkey = n_nationkey
        |WHERE n_name = 'NATION_1'
@@ -894,7 +914,7 @@ object Analytics {
        |HAVING SUM(CAST(ps_supplycost AS DECIMAL(18,2)) * ps_total_qty) > (
        |  SELECT SUM(CAST(ps_supplycost AS DECIMAL(18,2)) * ps_total_qty)
        |      * CAST(0.001 AS DECIMAL(4,3))
-       |  FROM ps
+       |  FROM $ps
        |  JOIN $supplier ON ps_suppkey = s_suppkey
        |  JOIN $nation ON s_nationkey = n_nationkey
        |  WHERE n_name = 'NATION_1')
@@ -902,11 +922,12 @@ object Analytics {
 
   private val sqlTpchQ11 = Spec(
     "sql_tpch_q11",
-    q11Sql("lineitem", "supplier", "nation")) { (s, d) =>
-    Tables.lineitem(s, d).createOrReplaceTempView("graft_q11_lineitem")
+    q11Sql(s"WITH ${psCte("lineitem")}\n", "ps", "supplier", "nation")) {
+    (s, d) =>
+    psRelation(s, d).createOrReplaceTempView("graft_q11_ps")
     Tables.supplier(s, d).createOrReplaceTempView("graft_q11_supplier")
     Tables.nation(s, d).createOrReplaceTempView("graft_q11_nation")
-    s.sql(q11Sql("graft_q11_lineitem", "graft_q11_supplier",
+    s.sql(q11Sql("", "graft_q11_ps", "graft_q11_supplier",
       "graft_q11_nation"))
   }
 
@@ -919,12 +940,11 @@ object Analytics {
     * once and broadcasts. The distinct-count is the expensive half at
     * 100 TB: a two-phase aggregate whose first phase dedups
     * (group, suppkey) pairs — never a collect-to-driver set. */
-  private def q16Sql(lineitem: String, part: String,
+  private def q16Sql(pre: String, ps: String, part: String,
       supplier: String): String =
-    s"""WITH ${psCte(lineitem)}
-       |SELECT p_brand, p_type, p_size,
+    s"""${pre}SELECT p_brand, p_type, p_size,
        |  COUNT(DISTINCT ps_suppkey) AS supplier_cnt
-       |FROM ps
+       |FROM $ps
        |JOIN $part ON p_partkey = ps_partkey
        |WHERE p_brand <> 'Brand#45'
        |  AND p_type NOT LIKE 'MEDIUM%'
@@ -936,11 +956,12 @@ object Analytics {
 
   private val sqlTpchQ16 = Spec(
     "sql_tpch_q16",
-    q16Sql("lineitem", "part", "supplier")) { (s, d) =>
-    Tables.lineitem(s, d).createOrReplaceTempView("graft_q16_lineitem")
+    q16Sql(s"WITH ${psCte("lineitem")}\n", "ps", "part", "supplier")) {
+    (s, d) =>
+    psRelation(s, d).createOrReplaceTempView("graft_q16_ps")
     Tables.part(s, d).createOrReplaceTempView("graft_q16_part")
     Tables.supplier(s, d).createOrReplaceTempView("graft_q16_supplier")
-    s.sql(q16Sql("graft_q16_lineitem", "graft_q16_part",
+    s.sql(q16Sql("", "graft_q16_ps", "graft_q16_part",
       "graft_q16_supplier"))
   }
 
@@ -955,15 +976,14 @@ object Analytics {
     * is an exact decimal sum × decimal 0.5, so the comparison is
     * bit-stable. An empty correlated group yields NULL > — false — in
     * both engines. */
-  private def q20Sql(lineitem: String, part: String, supplier: String,
-      nation: String): String =
-    s"""WITH ${psCte(lineitem)}
-       |SELECT s_name, s_acctbal
+  private def q20Sql(pre: String, ps: String, lineitem: String,
+      part: String, supplier: String, nation: String): String =
+    s"""${pre}SELECT s_name, s_acctbal
        |FROM $supplier
        |JOIN $nation ON s_nationkey = n_nationkey
        |WHERE n_name = 'NATION_1'
        |  AND s_suppkey IN (
-       |    SELECT ps_suppkey FROM ps
+       |    SELECT ps_suppkey FROM $ps
        |    WHERE ps_partkey IN (
        |        SELECT p_partkey FROM $part WHERE p_brand = 'Brand#12')
        |      AND ps_total_qty > (
@@ -977,13 +997,15 @@ object Analytics {
 
   private val sqlTpchQ20 = Spec(
     "sql_tpch_q20",
-    q20Sql("lineitem", "part", "supplier", "nation")) { (s, d) =>
+    q20Sql(s"WITH ${psCte("lineitem")}\n", "ps", "lineitem", "part",
+      "supplier", "nation")) { (s, d) =>
+    psRelation(s, d).createOrReplaceTempView("graft_q20_ps")
     Tables.lineitem(s, d).createOrReplaceTempView("graft_q20_lineitem")
     Tables.part(s, d).createOrReplaceTempView("graft_q20_part")
     Tables.supplier(s, d).createOrReplaceTempView("graft_q20_supplier")
     Tables.nation(s, d).createOrReplaceTempView("graft_q20_nation")
-    s.sql(q20Sql("graft_q20_lineitem", "graft_q20_part",
-      "graft_q20_supplier", "graft_q20_nation"))
+    s.sql(q20Sql("", "graft_q20_ps", "graft_q20_lineitem",
+      "graft_q20_part", "graft_q20_supplier", "graft_q20_nation"))
   }
 
   /** Slowly-changing-dimension (type 2) build from an event log: per
