@@ -342,6 +342,23 @@ class PlanSpec extends AnyFunSuite {
         p.take(1500))
   }
 
+  test("stream_join_then_window folds to join + two-phase agg in batch") {
+    val p = plan("stream_join_then_window")
+    assert(p.contains("HashAggregate"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"),
+      s"the interval condition must ride an equi join on user_id: " +
+        p.take(1500))
+  }
+
+  test("stream_rocksdb_state batch twin is one two-phase window aggregate") {
+    val p = plan("stream_rocksdb_state")
+    assert(p.linesIterator.count(_.contains("partial_")) >= 1,
+      s"map-side partial aggregation expected: ${p.take(1200)}")
+    assert(p.linesIterator.count(_.contains("Location: InMemoryFileIndex"))
+        == 1, s"one pass over events: ${p.take(1200)}")
+  }
+
   test("sql_tpch_q2 decorrelates the min-cost subquery; no nested loop") {
     val p = plan("sql_tpch_q2")
     assert(!p.contains("BroadcastNestedLoopJoin")
