@@ -144,7 +144,8 @@ object LlmPipeline {
         lit(sep)).as("seg"))
       .persist()
     val merges = scala.collection.mutable.ListBuffer[(Long, String, Long)]()
-    for (it <- 1 to KBpe) {
+    var exhausted = false
+    for (it <- 1 to KBpe if !exhausted) {
       val withArr = seg.select(col("n"),
         split(expr(s"trim(BOTH '$sep' FROM seg)"), sep2).as("a"))
       val top = withArr
@@ -155,19 +156,28 @@ object LlmPipeline {
               element_at(col("a"), i + 1)))).as("pair"))
         .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair").asc)
-        .limit(1).head() // ONE row per iteration crosses the driver
-      val pair = top.getString(0); val cnt = top.getLong(1)
-      merges += ((it.toLong, pair.replace(sep, "+"), cnt))
-      if (it < KBpe) {
-        val Array(a, b) = pair.split(sep)
-        val next = seg.withColumn("seg",
-          org.apache.spark.sql.functions.replace(col("seg"),
-            lit(sep + a + sep2 + b + sep), lit(sep + a + b + sep)))
-          .persist()
-        next.count() // materialize before dropping the parent
+        .limit(1).collect() // ONE row per iteration crosses the driver
+      if (top.isEmpty) {
+        // degenerate corpus exhausted before KBpe merges: stop emitting.
+        // The oracle agrees by construction — an empty m_i makes every
+        // later s_j/m_j CTE a cross join with an empty relation, so its
+        // UNION ALL arms beyond i contribute zero rows too.
+        exhausted = true
         seg.unpersist()
-        seg = next
-      } else seg.unpersist()
+      } else {
+        val pair = top.head.getString(0); val cnt = top.head.getLong(1)
+        merges += ((it.toLong, pair.replace(sep, "+"), cnt))
+        if (it < KBpe) {
+          val Array(a, b) = pair.split(sep)
+          val next = seg.withColumn("seg",
+            org.apache.spark.sql.functions.replace(col("seg"),
+              lit(sep + a + sep2 + b + sep), lit(sep + a + b + sep)))
+            .persist()
+          next.count() // materialize before dropping the parent
+          seg.unpersist()
+          seg = next
+        } else seg.unpersist()
+      }
     }
     merges.toSeq.toDF("it", "pair", "cnt").orderBy(col("it"))
   }
