@@ -190,7 +190,18 @@ object LlmVector {
   }
 
   private val nPlanes = 8
-  private val lshRadius = 4
+  private val lshRadius = 4 // dedup_embed's radius: P[miss] ≈ 1e-5 bound
+
+  /** llm_ann_lsh's own config, re-chosen by the round-6 AnnTune sweep:
+    * 4 independent hash tables at multi-probe radius 2 strictly
+    * dominate the r5 single-table radius-4 default (recall@5 0.88 at a
+    * 60 % scan vs 0.86 at 63 %) — on near-orthogonal fixture geometry,
+    * independent tables diversify better than deeper probing of one
+    * table. dedup_embed keeps its OWN radius-4 single-table config
+    * above: its miss-probability argument is per-pair, not top-k, and
+    * is not transferable. */
+  private val annLshRadius = 2
+  private val annLshTables = 4
 
   /** Multi-probe bucket set: the probe's own bucket plus every bucket
     * within `radius` sign-bit flips — the standard trick to recover recall
@@ -260,16 +271,18 @@ object LlmVector {
     * construction; the bench reports recall@5 (`ann_recall`) next to the
     * exact baseline and LlmSpec asserts the ≥ 0.8 floor.
     *
-    * Shipped config (chosen by the AnnTune sweep): 8 planes, multi-probe
-    * radius 4, one table — measured recall@5 0.86 at a 63 % scan fraction
-    * on sf0.1 (0.80 / 62 % on sf0.01). The fixture geometry is
+    * Shipped config (re-chosen by the round-6 AnnTune sweep): 8 planes,
+    * multi-probe radius 2, FOUR independent hash tables — measured
+    * recall@5 0.88 at a 60 % scan fraction on sf0.1, strictly dominating
+    * the r5 single-table radius-4 config (0.86 at 63 %): on this
+    * geometry table diversity beats probe depth. The fixture geometry is
     * near-orthogonal (top-5 neighbors at cosine ≈ 0.37 over a ≈ 0
     * background), which is LSH's worst case — the scan fraction needed for
     * a given recall falls fast as real embedding corpora cluster. On this
     * geometry the data-adaptive IVF below holds a strictly better
     * recall/scan frontier (0.92 at 49 %). */
   private val annLsh = Spec.noOracle("llm_ann_lsh") { (s, d) =>
-    lshTopk(Tables.embeddings(s, d), nPlanes, lshRadius)
+    lshTopk(Tables.embeddings(s, d), nPlanes, annLshRadius, annLshTables)
   }
 
   // ---------------------------------------------------------------- IVF ANN
