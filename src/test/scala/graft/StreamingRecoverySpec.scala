@@ -228,6 +228,67 @@ class StreamingRecoverySpec extends AnyFunSuite {
     }
   }
 
+  /** The round-6 chained-stateful query (stream-stream join → windowed
+    * agg) under RocksDB — BOTH state stores on the production provider
+    * in one query. This is the configuration a 100 TB pipeline actually
+    * runs; parity against the batch twin plus the provider witness on
+    * every state operator make it a proof, not an assumption. Same
+    * sentinel-flush protocol as the memory-store parity test in
+    * StreamingSpec. */
+  test("chained join->window runs both state stores on RocksDB") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val evs = graft.sources.Tables.events(spark, SF001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .limit(600).collect()
+      .map(r => Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4))).toSeq
+    val clicksB = evs.filter(_.event_type == "click")
+    val viewsB = evs.filter(_.event_type == "view")
+    val band = 24 * 60
+    val maxTsMs = evs.map(_.ts.getTime).max
+    val cutoffUs = maxTsMs * 1000L
+    def sentinel(id: Long, days: Long, tpe: String) =
+      Ev(id, new java.sql.Timestamp(maxTsMs + days * 86400000L),
+        999999L, tpe, 0.0)
+    withRocksDb {
+      val memC = MemoryStream[Ev]; memC.addData(clicksB)
+      val memV = MemoryStream[Ev]; memV.addData(viewsB)
+      val chained = graft.streaming.StreamingOps.joinThenWindow(
+        memC.toDF().withWatermark("ts", "30 minutes"),
+        memV.toDF().withWatermark("ts", "30 minutes"), band)
+      val name = s"graft_rockchain_${System.nanoTime()}"
+      val q = chained.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        Seq(40L, 80L).zipWithIndex.foreach { case (days, i) =>
+          memC.addData(sentinel(-1L - i, days, "click"))
+          memV.addData(sentinel(-100L - i, days, "view"))
+          q.processAllAvailable()
+        }
+        val ops = q.lastProgress.stateOperators
+        assert(ops.length >= 2,
+          s"expected join + window state operators, got ${ops.length}")
+        ops.foreach { so =>
+          assert(so.customMetrics.asScala.keys
+              .exists(_.toLowerCase.contains("rocksdb")),
+            s"state operator '${so.operatorName}' not served by RocksDB")
+        }
+      } finally q.stop()
+      val streamed = spark.table(name).filter(col("ws_us") <= cutoffUs)
+        .collect().map(_.toString).sorted.toSeq
+      val batch = graft.streaming.StreamingOps.joinThenWindow(
+        clicksB.toDF(), viewsB.toDF(), band)
+        .collect().map(_.toString).sorted.toSeq
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        "RocksDB-backed chained query != batch twin")
+    }
+  }
+
   /** The r3 state-bound eviction proof, re-run under RocksDB: watermark
     * eviction is provider-independent (it lives above the store API), but
     * that is exactly the kind of claim that deserves a witness — a
