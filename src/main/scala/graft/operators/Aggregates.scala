@@ -255,11 +255,21 @@ object Aggregates {
     * billions of rows. */
   private val CmsSalts = "(SELECT unnest([0, 1, 2, 3]) AS r)"
 
-  private def cmsBucket(tok: String, r: String): String =
-    s"((instr('0123456789abcdef', substr(md5(CAST($r AS STRING) || ':' " +
-      s"|| $tok), 1, 1)) - 1) * 16 + " +
-      s"(instr('0123456789abcdef', substr(md5(CAST($r AS STRING) || ':' " +
-      s"|| $tok), 2, 1)) - 1)) % 64"
+  /** 2-hex-char md5 prefix for (salt r, token) — the ONE hash text shared
+    * by the sketch build, the point lookups, the oracle SQL, and
+    * AggregatesSpec (`private[graft]` so the test references it instead
+    * of carrying a copy that would silently validate a stale hash if
+    * this changed — ADVICE r6). Split from [[cmsBucketFromHex]] so the
+    * hash is materialized as a column and md5 runs once per
+    * (token, salt), not once per extracted hex digit (ADVICE r6). */
+  private[graft] def cmsHex(tok: String, r: String): String =
+    s"substr(md5(CAST($r AS STRING) || ':' || $tok), 1, 2)"
+
+  /** Bucket 0..63 from a [[cmsHex]] column: hexdigit₁ · 16 + hexdigit₂,
+    * mod 64 — instr arithmetic only, identical text in both engines. */
+  private[graft] def cmsBucketFromHex(hx: String): String =
+    s"((instr('0123456789abcdef', substr($hx, 1, 1)) - 1) * 16 + " +
+      s"(instr('0123456789abcdef', substr($hx, 2, 1)) - 1)) % 64"
 
   private val aggSketchCms = Spec(
     "agg_sketch_cms",
@@ -268,19 +278,23 @@ object Aggregates {
        |w AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
        |sl AS $CmsSalts,
        |hx AS (
-       |  SELECT token, n, r, ${cmsBucket("token", "r")} AS b
+       |  SELECT token, n, r, ${cmsHex("token", "r")} AS hx
        |  FROM w CROSS JOIN sl),
+       |hb AS (
+       |  SELECT token, n, r, ${cmsBucketFromHex("hx")} AS b FROM hx),
        |cms AS (SELECT r, b, CAST(SUM(n) AS BIGINT) AS c
-       |        FROM hx GROUP BY r, b),
+       |        FROM hb GROUP BY r, b),
        |ex AS (
        |  SELECT token, n AS exact_cnt FROM w
        |  ORDER BY exact_cnt DESC, token LIMIT 10),
+       |probe AS (
+       |  SELECT ex.token, sl.r, ${cmsHex("ex.token", "sl.r")} AS hx
+       |  FROM ex CROSS JOIN sl),
+       |pb AS (SELECT token, r, ${cmsBucketFromHex("hx")} AS b FROM probe),
        |est AS (
-       |  SELECT ex.token, MIN(c) AS est_cnt
-       |  FROM ex CROSS JOIN sl
-       |  JOIN cms ON cms.r = sl.r
-       |    AND cms.b = ${cmsBucket("ex.token", "sl.r")}
-       |  GROUP BY ex.token)
+       |  SELECT pb.token, MIN(c) AS est_cnt
+       |  FROM pb JOIN cms ON cms.r = pb.r AND cms.b = pb.b
+       |  GROUP BY pb.token)
        |SELECT ex.token, ex.exact_cnt, est.est_cnt,
        |  est.est_cnt - ex.exact_cnt AS overest
        |FROM ex JOIN est ON ex.token = est.token
@@ -295,7 +309,8 @@ object Aggregates {
     val salts = explode(array((0 to 3).map(lit(_)): _*)).as("r")
     // the sketch: d×w additive counters (the stored/mergeable artifact)
     val cms = w.select(col("token"), col("n"), salts)
-      .select(col("n"), col("r"), expr(cmsBucket("token", "r")).as("b"))
+      .withColumn("hx", expr(cmsHex("token", "r")))
+      .select(col("n"), col("r"), expr(cmsBucketFromHex("hx")).as("b"))
       .groupBy(col("r"), col("b")).agg(sum(col("n")).as("c"))
     // exact top-10 (deterministic tiebreak) to interrogate the sketch
     val ex = w.select(col("token"), col("n").as("exact_cnt"))
@@ -304,8 +319,9 @@ object Aggregates {
     // sides (10 keys × 4 salts probing a 256-row grid)
     val est = ex.crossJoin(broadcast(
         s.range(0, 4).select(col("id").cast("int").as("r"))))
+      .withColumn("hx", expr(cmsHex("token", "r")))
       .select(col("token"), col("r"),
-        expr(cmsBucket("token", "r")).as("b"))
+        expr(cmsBucketFromHex("hx")).as("b"))
       .join(broadcast(cms), Seq("r", "b"))
       .groupBy(col("token")).agg(min(col("c")).as("est_cnt"))
     ex.join(est, Seq("token"))

@@ -186,11 +186,11 @@ class AggregatesSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables.documents(spark, SF001)
     val tok = docs.select(explode(split(col("text"), " ")).as("token"))
+    // reference the PRODUCTION hash/bucket text (ADVICE r6: a local copy
+    // would keep validating a stale sketch if the production hash changed)
     def bucket(t: String, r: String) =
-      s"((instr('0123456789abcdef', substr(md5(CAST($r AS STRING) || ':' " +
-        s"|| $t), 1, 1)) - 1) * 16 + " +
-        s"(instr('0123456789abcdef', substr(md5(CAST($r AS STRING) || ':' " +
-        s"|| $t), 2, 1)) - 1)) % 64"
+      graft.operators.Aggregates.cmsBucketFromHex(
+        graft.operators.Aggregates.cmsHex(t, r))
     def cmsOf(df: org.apache.spark.sql.DataFrame) = df
       .select(col("token"), explode(array((0 to 3).map(lit(_)): _*)).as("r"))
       .select(col("r"), expr(bucket("token", "r")).as("b"))

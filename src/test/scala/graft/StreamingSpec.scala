@@ -24,16 +24,6 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
 class StreamingSpec extends AnyFunSuite {
   import TestSpark._
 
-  private def fixtureEvents(n: Int): Seq[Ev] = {
-    import graft.sources.Tables
-    Tables.events(spark, SF001)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        col("value"))
-      .limit(n).collect()
-      .map(r => Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2),
-        r.getString(3), r.getDouble(4))).toSeq
-  }
-
   /** Run a streaming transform over a one-batch MemoryStream replay and
     * collect the complete/append result. */
   private def runStream(rows: Seq[Ev], mode: OutputMode)(
@@ -307,63 +297,50 @@ class StreamingSpec extends AnyFunSuite {
         memC.addData(cs); memV.addData(vs)
         q.processAllAvailable()
       }
-      val progress = q.lastProgress
-      val stateRows = progress.stateOperators.head.numRowsTotal
-      val lastBatch = quarters.last._1.size + quarters.last._2.size
-      // bound: last batch + one band/watermark margin of stragglers;
-      // without eviction state would hold ~all 4 batches
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      // Bound derived from the inputs + the query's reported watermark
+      // (see intervalJoinRetainable) — without eviction state would hold
+      // ~all 4 batches, far above it.
+      val bound = ChainedStream.intervalJoinRetainable(q, clicksB, viewsB, 10)
       val total = clicksB.size + viewsB.size
+      assert(bound < total, s"degenerate fixture: bound $bound >= $total")
       assert(stateRows < total,
         s"state holds $stateRows rows >= the whole input $total: no eviction")
-      assert(stateRows <= lastBatch * 3,
-        s"state $stateRows not bounded near one batch ($lastBatch)")
+      assert(stateRows <= bound,
+        s"state $stateRows exceeds the watermark-derived bound $bound")
     } finally q.stop()
   }
 
   test("chained stateful: stream-stream join then windowed agg, ONE query") {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
     // Two state stores in one streaming query: the interval join's
-    // symmetric hash state feeding a tumbling window's agg state. The
-    // parity target is the batch twin; the streaming subtlety is that
-    // append-mode window results only emit once the PROPAGATED watermark
-    // (source watermark minus the join's interval allowance) passes the
-    // window end — so the tail is flushed with two successively-later
-    // sentinel batches (one to flush the join, one more to push the agg
-    // watermark past every real window), then filtered back out.
-    val evs = fixtureEvents(600)
-    val clicksB = evs.filter(_.event_type == "click")
-    val viewsB = evs.filter(_.event_type == "view")
-    val band = 24 * 60 // densify like the join parity test
-    val maxTsMs = evs.map(_.ts.getTime).max
-    val cutoffUs = maxTsMs * 1000L
-    def sentinel(id: Long, days: Long, tpe: String) =
-      Ev(id, new Timestamp(maxTsMs + days * 86400000L), 999999L, tpe, 0.0)
+    // symmetric hash state feeding a tumbling window's agg state.
+    // Protocol (sentinel flush, batch-twin parity) lives in ChainedStream
+    // — ONE definition shared with the RocksDB and restart forms in
+    // StreamingRecoverySpec.
+    val o = ChainedStream.runChainedParity(fixtureEvents(600))
+    assert(o.batch.nonEmpty, "densified join must produce pairs")
+    assert(o.streamed == o.batch,
+      s"chained stream (${o.streamed.length} windows) != batch twin " +
+        s"(${o.batch.length})")
+  }
 
-    val memC = MemoryStream[Ev]; memC.addData(clicksB)
-    val memV = MemoryStream[Ev]; memV.addData(viewsB)
-    val chained = StreamingOps.joinThenWindow(
-      memC.toDF().withWatermark("ts", "30 minutes"),
-      memV.toDF().withWatermark("ts", "30 minutes"), band)
-    val name = s"graft_chain_${System.nanoTime()}"
-    val q = chained.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).start()
-    try {
-      q.processAllAvailable()
-      Seq(40L, 80L).zipWithIndex.foreach { case (days, i) =>
-        memC.addData(sentinel(-1L - i, days, "click"))
-        memV.addData(sentinel(-100L - i, days, "view"))
-        q.processAllAvailable()
-      }
-    } finally q.stop()
-    val streamed = spark.table(name)
-      .filter(col("ws_us") <= cutoffUs).collect()
-    val batch = StreamingOps.joinThenWindow(clicksB.toDF(), viewsB.toDF(),
-      band).collect()
-    assert(batch.nonEmpty, "densified join must produce pairs")
-    assert(sortedRows(streamed) == sortedRows(batch),
-      s"chained stream (${streamed.length} windows) != batch twin " +
-        s"(${batch.length})")
+  test("chained join->window state survives a checkpoint restart") {
+    // VERDICT r7 #2, provider-default form: half the input, STOP, a new
+    // query incarnation resumes from the checkpoint, rest of the input.
+    // Committed offsets mean the first half is never re-read, so parity
+    // with the batch twin proves join AND window state crossed the
+    // incarnation boundary (the RocksDB + changelog form is in
+    // StreamingRecoverySpec).
+    val o = ChainedStream.runChainedParity(fixtureEvents(600), restart = true)
+    assert(o.batch.nonEmpty, "densified join must produce pairs")
+    assert(o.streamed == o.batch,
+      "restarted chained stream != batch twin: state lost or re-emitted " +
+        s"across the incarnation boundary (${o.streamed.length} vs " +
+        s"${o.batch.length} windows)")
+    assert(o.emittedBeforeRestart < o.streamed.size,
+      s"all ${o.streamed.size} windows emitted before the restart " +
+        s"(emittedBeforeRestart=${o.emittedBeforeRestart}) — the stop " +
+        "boundary did not split the work, so this proved nothing")
   }
 
   test("incremental restart: a third run with no new files emits nothing") {

@@ -18,4 +18,17 @@ object TestSpark {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** The first n fixture events as typed rows — the one extraction shared
+    * by every streaming parity test (StreamingSpec, StreamingRecoverySpec,
+    * ChainedStream), so the column list can't drift between suites. */
+  def fixtureEvents(n: Int): Seq[Ev] = {
+    import org.apache.spark.sql.functions.col
+    graft.sources.Tables.events(spark, SF001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .limit(n).collect()
+      .map(r => Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4))).toSeq
+  }
 }
