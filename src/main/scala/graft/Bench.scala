@@ -37,6 +37,33 @@ object Bench {
     // lets in-flight stage-completed events drain before the snapshot.
     Thread.sleep(1000)
     val shuffleAtStart = shuffleBytes.get
+    // Deterministic billing for the two SHARED substrates (VERDICT r7
+    // #4): the ngram near-dup pairs and the TPC-H ps rollup are each
+    // materialized once per session and reused by several queries, and
+    // when the first consumer paid the bill inside the timed loop, WHICH
+    // query looked slow depended on Map iteration order — r6→r7 showed
+    // 6–13× phantom per-query swings on identical code. Force both
+    // BEFORE the loop (inside the shuffle window, so shuffle_mb stays
+    // comparable), report each as its own field, and add both to the
+    // headline total so it still covers all work done.
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime()
+      try { body; (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] materialization failed: ${e.getMessage}")
+        -1.0
+      }
+    }
+    val matPs = timed(graft.operators.Analytics.psRelation(spark, sfDir)
+      .count())
+    val matPairsWall =
+      timed(graft.operators.LlmText.ngramPairs(spark, sfDir).count())
+    // prefer the operator's own measurement (excludes the count() re-scan
+    // of the already-persisted result); fall back to wall time
+    val matPairs = {
+      val m = graft.operators.LlmText.lastPairsMaterializeSec
+      if (m >= 0) m else matPairsWall
+    }
     // Failures are reported as -1 s (the harness protocol's failure
     // marker, BASELINE.md), never as a plausible-looking duration.
     val results = SparkEntry.queries.map { case (name, fn) =>
@@ -54,7 +81,8 @@ object Bench {
     // Failed queries are reported as their -1 marker per-query but must
     // not be summed into the headline total (that would UNDERSTATE it,
     // flattering the <=2x gate).
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.values.filter(_ >= 0).sum +
+      Seq(matPs, matPairs).filter(_ >= 0).sum
     // Shuffle delta for the timed section only, snapshotted before the
     // untimed recall diagnostics below add their own shuffle traffic.
     Thread.sleep(1000)
@@ -103,13 +131,12 @@ object Bench {
     }
     val omitted = entries.length - kept.length
     val qs = kept.mkString("{", ",", "}")
-    // One-time shared ngram-pairs materialization (bills to the first
-    // dedup-family consumer in the timed loop): reported as its own field
-    // so the inflated headline query is attributable from this line alone,
-    // without the stderr WARN (VERDICT r3 #2). -1 ⇒ never ran.
-    val matPairs = graft.operators.LlmText.lastPairsMaterializeSec
+    // One-time shared materializations, pre-paid before the timed loop
+    // and reported as their own fields (included in "value"): per-query
+    // numbers are steady-state, round-over-round compares stop seeing
+    // billing drift. -1 ⇒ the materialization failed (stderr has why).
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${entries.length},"omitted":$omitted,"materialize_pairs":${fmt(matPairs)},"ann_recall":${fmt(annRecall)},"ivf_recall":${fmt(ivfRecall)},"shuffle_mb":${fmt(benchShuffleBytes / 1e6)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${entries.length},"omitted":$omitted,"materialize_pairs":${fmt(matPairs)},"materialize_ps":${fmt(matPs)},"ann_recall":${fmt(annRecall)},"ivf_recall":${fmt(ivfRecall)},"shuffle_mb":${fmt(benchShuffleBytes / 1e6)},"sf":"$sfDir"}"""
     // Full per-query map to stderr (driver ignores stderr): the stdout
     // line's budget keeps only the slowest ~60, and noise analysis
     // (BASELINE.md "noise floor") wants every query from both runs.

@@ -794,7 +794,7 @@ object Analytics {
     * identical CTE instead (it has no session cache), so the two sides
     * stay one definition: psCte IS the SQL text, and this is its
     * DataFrame twin, column for column. */
-  private def psRelation(s: SparkSession, d: String): DataFrame =
+  private[graft] def psRelation(s: SparkSession, d: String): DataFrame =
     graft.sources.RelationCache.getOrPersist(s, "tpch_ps", d) {
       Tables.lineitem(s, d)
         .groupBy(col("l_partkey").as("ps_partkey"),

@@ -261,20 +261,34 @@ object Joins {
     * class — an 8×-median hot partition AQE must subdivide. */
   def skewAqeRun(s: org.apache.spark.sql.SparkSession, d: String)
       : (Array[org.apache.spark.sql.Row], String,
-         org.apache.spark.sql.types.StructType) =
+         org.apache.spark.sql.types.StructType) = {
+    val hotOf = (k: Column) =>
+      when(pmod(k, lit(10L)) < 8, 0L).otherwise(pmod(k, lit(10L)))
+    val factBase = Tables.lineitem(s, d)
+      .select(hotOf(col("l_orderkey")).as("hot"), col("l_extendedprice"))
+    // Skew thresholds DERIVED from the fact's own optimizer size estimate
+    // instead of a fixture-tuned "16KB" literal (the carried r5 item):
+    // the hot key holds ~80 % of rows, the two cold keys ~10 % each, so
+    // with 8 shuffle partitions the mean partition size (estimate / 8)
+    // separates hot (~6.4× the mean) from cold (~0.8×) at ANY scale
+    // factor — the same derivation a production job does from table
+    // stats. Advisory = half the threshold preserves the split
+    // granularity relationship the literals had (16KB/8KB).
+    val factBytes = factBase.queryExecution.optimizedPlan.stats.sizeInBytes
+    val skewThresholdBytes = (factBytes / 8).max(1)
+    val advisoryBytes = (factBytes / 16).max(1)
     withConfs(s,
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
       "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        skewThresholdBytes.toString,
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        advisoryBytes.toString,
       "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
       "spark.sql.shuffle.partitions" -> "8",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
-      val hotOf = (k: Column) =>
-        when(pmod(k, lit(10L)) < 8, 0L).otherwise(pmod(k, lit(10L)))
-      val fact = Tables.lineitem(s, d)
-        .select(hotOf(col("l_orderkey")).as("hot"), col("l_extendedprice"))
+      val fact = factBase
         // AQE splits a skewed partition at MAPPER boundaries; the tiny
         // fixture file scans as ONE map task, which is unsplittable by
         // definition. Round-robin to 16 mappers first — the multi-mapper
@@ -312,6 +326,7 @@ object Joins {
       }
       (rows, planStr, out.schema)
     }
+  }
 
   private val skewAqe = Spec(
     "join_skew_aqe",
