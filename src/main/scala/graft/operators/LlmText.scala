@@ -481,6 +481,14 @@ object LlmText {
     * fit anywhere. Refusing to return on non-convergence is deliberate:
     * a silently partial clustering corrupts downstream dedup.
     * Exposed for tests. */
+  /** Which branch the last [[clusterPairs]] call took —
+    * "driver_union_find" or "distributed_propagation". The gate decision
+    * is invisible in the output (both strategies produce the identical
+    * canonical assignment, which is the point), so tests that claim to
+    * exercise the distributed LIVE path assert this witness instead of
+    * trusting the edge count (VERDICT r7 #6). */
+  @volatile private[graft] var lastClusterStrategy: String = ""
+
   def clusterPairs(s: SparkSession, pairs: DataFrame,
       driverMaxEdges: Long = 5000000L): DataFrame = {
     import s.implicits._
@@ -490,6 +498,9 @@ object LlmText {
     val edgeRows = pairs.select(col("doc_a"), col("doc_b")).as[(Long, Long)]
       .persist()
     val nEdges = edgeRows.count()
+    lastClusterStrategy =
+      if (nEdges <= driverMaxEdges) "driver_union_find"
+      else "distributed_propagation"
     try if (nEdges <= driverMaxEdges) {
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {

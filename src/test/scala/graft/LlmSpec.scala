@@ -171,6 +171,38 @@ class LlmSpec extends AnyFunSuite {
     assert(viaUnionFind.nonEmpty)
   }
 
+  test("distributed propagation is the LIVE path above the edge gate, deep graph") {
+    import spark.implicits._
+    // VERDICT r7 #6: the size gate's fallback must be proven as the path
+    // clusterPairs actually TAKES, on a graph that stresses what the
+    // driver union-find never feels — component diameter. A chain is the
+    // worst case: plain min-label propagation needs O(N) rounds to carry
+    // label 0 to node N-1; pointer jumping must do it in O(log N), inside
+    // the 30-round convergence cap (8191-edge chain ⇒ ~13 rounds).
+    val n = 8192L
+    val chain = (0L until n - 1).map(i => (i, i + 1))
+    // plus disjoint star components so multi-component convergence and
+    // min-labeling are exercised in the same run
+    val stars = (0 until 200).flatMap { c =>
+      val hub = 1000000L + c * 100
+      (1 to 20).map(i => (hub + i, hub)) // edges point INTO the hub
+    }
+    val edges = (chain ++ stars).toDF("doc_a", "doc_b")
+    val viaGate = graft.operators.LlmText
+      .clusterPairs(spark, edges, driverMaxEdges = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(graft.operators.LlmText.lastClusterStrategy
+        == "distributed_propagation",
+      "edge count above the gate did not route to the distributed path")
+    val viaUf = graft.operators.LlmText.clusterPairs(spark, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(graft.operators.LlmText.lastClusterStrategy == "driver_union_find")
+    assert(viaGate == viaUf,
+      "distributed propagation disagrees with the union-find assignment")
+    assert(viaGate(n - 1) == 0L, "chain tail not labeled with the chain min")
+    assert(viaGate(1000000L + 199 * 100 + 20) == 1000000L + 199 * 100)
+  }
+
   test("embed dedup LSH candidates lose no qualifying pair (both fixtures)") {
     // llm_dedup_embed's oracle is the exact brute-force SQL, but the query
     // generates candidates via hamming<=2 multi-probe LSH — a pair whose
