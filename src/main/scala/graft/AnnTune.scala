@@ -52,6 +52,14 @@ object AnnTune {
         (9, 4, 1), (8, 2, 2), (8, 2, 4), (10, 3, 2)))
       report(s"lsh planes=$planes r=$radius t=$tables",
         LlmVector.lshTopk(emb, planes, radius, tables, rank = false))
+    // query-directed multi-probe (margin-ordered flip sets): same bucket
+    // join, strictly more selective probing per recall point
+    for ((planes, np, tables) <- Seq((8, 28, 4), (8, 32, 4), (8, 36, 4),
+        (8, 16, 6), (8, 18, 6), (8, 20, 6), (8, 12, 8), (8, 14, 8),
+        (8, 16, 8)))
+      report(s"lshq planes=$planes np=$np t=$tables",
+        LlmVector.lshTopkDirected(spark, emb, planes, np, tables,
+          rank = false))
     for ((cells, np) <- Seq((16, 3), (16, 6), (16, 8), (24, 10), (24, 12),
         (32, 12), (48, 14), (48, 17), (48, 19), (64, 18), (64, 22),
         (64, 26), (64, 20)))
