@@ -92,6 +92,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
   }
 
+  test("llm_ann_lsh: probe sides broadcast, corpus never shuffle-joined") {
+    // Query-directed LSH (round 8): the driver-computed probe-bucket list
+    // and the 10 probe embeddings are broadcast into the candidate join,
+    // so the corpus is scanned once and STREAMS through two
+    // BroadcastHashJoins — a SortMergeJoin here would mean the corpus is
+    // being shuffled per probe set, the shape that dies at 100 TB.
+    val p = plan("llm_ann_lsh")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      "corpus-side shuffle join in the LSH candidate plan:\n" + p.take(1200))
+  }
+
   test("llm_split_hash is a pure projection: no exchange but the sort's") {
     // Only the final ORDER BY's rangepartitioning exchange is allowed; any
     // hashpartitioning exchange would mean the map-only guarantee broke.
