@@ -97,4 +97,38 @@ class ScaleStressSpec extends AnyFunSuite {
       assert(labels(a) <= math.min(a, b))
     }
   }
+
+  test("simhash chunk-LSH equals brute-force hamming<=3 at 20k docs") {
+    // The llm_dedup_simhash oracle guarantee is the pigeonhole THEOREM
+    // (hamming <= 3 ⇒ one of four 16-bit chunks equal ⇒ candidate), so
+    // it cannot degrade with corpus size — but the claim deserves the
+    // same 40×-scale witness the MinHash path has. Brute force: all
+    // 2·10⁸ signature pairs via xor+popcount on a local array (~1 s),
+    // against the bucketed chunk-join pipeline's output.
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text")
+    val got = LlmVector.simhashPairs(docs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sigRows = docs.collect()
+      .map(r => (r.getLong(0),
+        org.apache.spark.sql.graft.SimHashImpl.hash(r.getString(1))))
+      .sortBy(_._1)
+    val ids = sigRows.map(_._1)
+    val sigs = sigRows.map(_._2)
+    val expect = scala.collection.mutable.Set.empty[(Long, Long, Int)]
+    var i = 0
+    while (i < sigs.length) {
+      var j = i + 1
+      while (j < sigs.length) {
+        val h = java.lang.Long.bitCount(sigs(i) ^ sigs(j))
+        if (h <= 3) expect += ((ids(i), ids(j), h))
+        j += 1
+      }
+      i += 1
+    }
+    assert(expect.nonEmpty, "stress corpus produced no hamming<=3 pairs")
+    assert(got == expect,
+      s"chunk-LSH ${got.size} pairs vs brute force ${expect.size}; " +
+        s"missed=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+  }
 }
