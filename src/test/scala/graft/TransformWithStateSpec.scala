@@ -34,6 +34,24 @@ class FunnelProcessor extends StatefulProcessor[
 class TransformWithStateSpec extends AnyFunSuite {
   import TestSpark._
 
+  /** Provider + changelog-checkpointing swap with restore (the suite's
+    * local twin of StreamingRecoverySpec.withRocksDb — TWS requires the
+    * RocksDB provider, so every test here wears it). */
+  private def withRocksDb[A](body: => A): A = {
+    val keys = Seq(
+      "spark.sql.streaming.stateStore.providerClass",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(keys(0),
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(keys(1), "true")
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("transformWithState funnel == batch mapGroups funnel") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -79,6 +97,78 @@ class TransformWithStateSpec extends AnyFunSuite {
         case None =>
           spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
+    }
+  }
+
+  test("transformWithState state survives a checkpoint restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Round-8 restart proof for the successor stateful API: half the
+    // events feed incarnation one, the query STOPS, a new query object
+    // resumes from the checkpoint (RocksDB + changelog) and feeds the
+    // rest. A user whose events span the boundary only produces the
+    // correct final funnel row if incarnation two started from the
+    // RESTORED ValueState, because committed offsets mean its first-half
+    // events are never re-read. Update-mode emissions are captured per
+    // batch via foreachBatch (the memory sink dies with the query); the
+    // last emission per user must equal the batch twin.
+    val evs = graft.sources.Tables.events(spark, SF001)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("es"))
+      .as[(Long, String, Long)].collect().toSeq
+    val (h1, h2) = evs.splitAt(evs.size / 2)
+    val spanning = h1.map(_._1).toSet & h2.map(_._1).toSet
+    assert(spanning.nonEmpty,
+      "no user spans the restart boundary — the split proves nothing")
+    withRocksDb {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_tws_restart").toString
+      val out = s"$base/out"
+      val mem = MemoryStream[(Long, String, Long)]
+      def start() = mem.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new FunnelProcessor, TimeMode.None(),
+          OutputMode.Update(),
+          Encoders.product[(Long, Long, Long, Long, Long, Long, Long)])
+        .toDF("user_id", "n_events", "n_clicks", "n_purchases",
+          "clicks_before_first_purchase", "first_es", "last_es")
+        .writeStream
+        .option("checkpointLocation", s"$base/chk")
+        .foreachBatch {
+          (df: org.apache.spark.sql.DataFrame, id: Long) =>
+            df.withColumn("batch_id", lit(id))
+              .write.mode("append").parquet(out)
+        }
+        .outputMode(OutputMode.Update()).start()
+      mem.addData(h1)
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      mem.addData(h2)
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+
+      // on-disk witness that changelog checkpointing was live
+      assert(ChainedStream.countFiles(s"$base/chk/state", ".changelog") > 0,
+        "no .changelog files in the state checkpoint")
+
+      val emissions = spark.read.parquet(out)
+      val lastPerUser = emissions
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("batch_id").desc)))
+        .filter(col("rk") === 1).drop("rk", "batch_id")
+      val got = lastPerUser.collect().map(_.toString).sorted.toSeq
+
+      val batch = evs.toDS()
+        .groupByKey(_._1)
+        .mapGroups((uid, it) => Funnel.finish(uid,
+          it.foldLeft(Funnel.empty)((st, e) => Funnel.update(st, e._2, e._3))))
+        .toDF("user_id", "n_events", "n_clicks", "n_purchases",
+          "clicks_before_first_purchase", "first_es", "last_es")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == batch,
+        "restarted transformWithState != batch twin: ValueState lost " +
+          "across the incarnation boundary")
     }
   }
 }
