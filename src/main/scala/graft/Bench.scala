@@ -54,16 +54,17 @@ object Bench {
         -1.0
       }
     }
+    // Both fields are measured on the SAME basis — wall time of the call
+    // that forces the substrate (build + the scan of the built result) —
+    // so they are comparable to each other in the JSON line. The pairs
+    // operator additionally logs its internal build-only time to stderr.
+    // -1 ⇒ the materialization failed; its consumers inside the timed
+    // loop will then fail with their own -1 markers (same root cause),
+    // not silently re-absorb the bill.
     val matPs = timed(graft.operators.Analytics.psRelation(spark, sfDir)
       .count())
-    val matPairsWall =
+    val matPairs =
       timed(graft.operators.LlmText.ngramPairs(spark, sfDir).count())
-    // prefer the operator's own measurement (excludes the count() re-scan
-    // of the already-persisted result); fall back to wall time
-    val matPairs = {
-      val m = graft.operators.LlmText.lastPairsMaterializeSec
-      if (m >= 0) m else matPairsWall
-    }
     // Failures are reported as -1 s (the harness protocol's failure
     // marker, BASELINE.md), never as a plausible-looking duration.
     val results = SparkEntry.queries.map { case (name, fn) =>

@@ -270,20 +270,37 @@ object LlmVector {
         .take(nProbes)
     } yield (pid, t, own ^ mask)
     val probes = probeBucketRows.toDF("probe_id", "tbl", "bucket")
-    val tb = (0 until tables).map(t => struct(lit(t).as("t"),
-      org.apache.spark.sql.graft.HyperplaneBucket(col("embedding"), planes, t)
-        .as("b")))
-    val bucketed = emb
-      .select(col("vec_id").as("neighbor_id"), col("embedding"),
-        explode(array(tb: _*)).as("tb"))
-      .select(col("neighbor_id"), col("embedding"),
-        col("tb.t").as("tbl"), col("tb.b").as("bucket"))
+    val bucketed = bucketedCorpus(emb, planes, tables)
     val pe = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
     val cands = broadcast(probes).join(bucketed, Seq("tbl", "bucket"))
       .join(broadcast(pe), Seq("probe_id"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .withColumn("score", cosineCol("pe", "embedding"))
+    dedupAcrossTablesAndRank(cands, tables, rank)
+  }
+
+  /** The (tbl, bucket)-exploded corpus — ONE definition of the LSH bucket
+    * layout, shared by the blind ([[lshTopk]]) and query-directed
+    * ([[lshTopkDirected]]) probing paths so they cannot diverge. */
+  private def bucketedCorpus(emb: DataFrame, planes: Int,
+      tables: Int): DataFrame = {
+    val tb = (0 until tables).map(t => struct(lit(t).as("t"),
+      org.apache.spark.sql.graft.HyperplaneBucket(col("embedding"), planes, t)
+        .as("b")))
+    emb.select(col("vec_id").as("neighbor_id"), col("embedding"),
+        explode(array(tb: _*)).as("tb"))
+      .select(col("neighbor_id"), col("embedding"),
+        col("tb.t").as("tbl"), col("tb.b").as("bucket"))
+  }
+
+  /** Shared candidate tail for both LSH paths: a pair can meet once per
+    * table (within one table the probed buckets are distinct and a
+    * neighbor occupies exactly one), so multi-table sets collapse on max
+    * score before ranking; `rank = false` returns the raw scored set so
+    * AnnTune can measure the scan fraction. */
+  private def dedupAcrossTablesAndRank(cands: DataFrame, tables: Int,
+      rank: Boolean): DataFrame = {
     if (!rank)
       return cands.select(col("probe_id"), col("neighbor_id"), col("score"))
     val deduped =
@@ -301,33 +318,16 @@ object LlmVector {
     * than `radius` sign bits, so misses multiply while scan cost adds. */
   def lshTopk(emb: DataFrame, planes: Int, radius: Int,
       tables: Int = 1, rank: Boolean = true): DataFrame = {
-    val tb = (0 until tables).map(t => struct(lit(t).as("t"),
-      org.apache.spark.sql.graft.HyperplaneBucket(col("embedding"), planes, t)
-        .as("b")))
-    val bucketed = emb
-      .select(col("vec_id"), col("embedding"), explode(array(tb: _*)).as("tb"))
-      .select(col("vec_id"), col("embedding"),
-        col("tb.t").as("tbl"), col("tb.b").as("bucket"))
-    val probes = bucketed.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+    val bucketed = bucketedCorpus(emb, planes, tables)
+    val probes = bucketed.filter(col("neighbor_id") < 10)
+      .select(col("neighbor_id").as("probe_id"), col("embedding").as("pe"),
         col("tbl"),
         explode(array(probeBuckets(planes, radius)
           .map(f => f(col("bucket"))): _*)).as("bucket"))
-    val cands = probes.join(
-        bucketed.select(col("vec_id").as("neighbor_id"), col("embedding"),
-          col("tbl"), col("bucket")),
-        Seq("tbl", "bucket"))
+    val cands = probes.join(bucketed, Seq("tbl", "bucket"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .withColumn("score", cosineCol("pe", "embedding"))
-    if (!rank)
-      return cands.select(col("probe_id"), col("neighbor_id"), col("score"))
-    // A pair can meet once per table; collapse before ranking (within one
-    // table the multi-probe flip is unique, so tables == 1 needs no dedup).
-    val deduped =
-      if (tables == 1) cands
-      else cands.groupBy(col("probe_id"), col("neighbor_id"))
-        .agg(max(col("score")).as("score"))
-    rankTop5(deduped, rank = true)
+    dedupAcrossTablesAndRank(cands, tables, rank)
   }
 
   /** Shared per-probe top-5 ranking over scored candidates (package-open
@@ -653,11 +653,18 @@ object LlmVector {
        |      AS vote
        |  FROM wbits CROSS JOIN (SELECT unnest(range(64)) AS j) AS j
        |  GROUP BY 1, 2),
-       |sigs AS (
+       |sigs0 AS (
        |  SELECT doc_id,
        |    string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, ''
        |               ORDER BY j DESC) AS sig
-       |  FROM votes GROUP BY doc_id)
+       |  FROM votes GROUP BY doc_id),
+       |sigs AS (
+       |  -- an all-spaces doc tokenizes to ZERO words (dw's [] branch) and
+       |  -- so never reaches sigs0, but the Spark side still signs it: zero
+       |  -- votes ⇒ sig = 0. Restore it here as the all-zero signature, or
+       |  -- the query could emit pairs the oracle lacks.
+       |  SELECT d.doc_id, COALESCE(s.sig, repeat('0', 64)) AS sig
+       |  FROM documents d LEFT JOIN sigs0 s ON d.doc_id = s.doc_id)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(hamming(a.sig, b.sig) AS INTEGER) AS hamming
        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id

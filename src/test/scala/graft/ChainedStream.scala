@@ -133,10 +133,18 @@ object ChainedStream {
   def intervalJoinRetainable(
       q: org.apache.spark.sql.streaming.StreamingQuery,
       clicks: Seq[Ev], views: Seq[Ev], bandMinutes: Int): Long = {
-    val wmMs = java.time.Instant
-      .parse(q.lastProgress.eventTime.get("watermark")).toEpochMilli
+    val wmStr = q.lastProgress.eventTime.get("watermark")
+    require(wmStr != null,
+      "no watermark in the query's last progress — the eviction bound " +
+        "is undefined before any event-time batch completed")
+    val wmMs = java.time.Instant.parse(wmStr).toEpochMilli
     val bandMs = bandMinutes * 60000L
-    clicks.count(_.ts.getTime >= wmMs).toLong +
-      views.count(_.ts.getTime > wmMs - bandMs).toLong
+    // 1 ms slack on both edges: Spark derives per-side state watermarks
+    // from the interval condition with ±1 ms adjustments for strict vs
+    // non-strict bounds, so rows exactly AT the boundary may legitimately
+    // be retained one more batch. Without the slack the assert is
+    // fixture-granularity roulette, not a property.
+    clicks.count(_.ts.getTime >= wmMs - 1).toLong +
+      views.count(_.ts.getTime >= wmMs - bandMs - 1).toLong
   }
 }

@@ -166,31 +166,9 @@ class StreamingRecoverySpec extends AnyFunSuite {
     assert(got.size == 500, "every source row exactly once")
   }
 
-  private val RocksProviderKey = "spark.sql.streaming.stateStore.providerClass"
-  private val RocksProvider =
-    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-  private val ChangelogKey =
-    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
-
-  /** Run `body` with the RocksDB state store provider active — WITH
-    * changelog checkpointing (VERDICT r7 #3: upload per-batch change
-    * files instead of full RocksDB snapshots; the production checkpoint
-    * mode at 100 TB, where snapshot upload time would otherwise gate
-    * batch latency), so every RocksDB proof in this suite runs under the
-    * deployment configuration. Previous conf values are restored
-    * afterwards — suites run sequentially in the forked test JVM, so the
-    * temporary session-conf swap cannot leak into a concurrent test. */
-  private def withRocksDb[A](body: => A): A = {
-    val prev = Seq(RocksProviderKey, ChangelogKey)
-      .map(k => k -> spark.conf.getOption(k))
-    spark.conf.set(RocksProviderKey, RocksProvider)
-    spark.conf.set(ChangelogKey, "true")
-    try body
-    finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
+  // The RocksDB + changelog conf swap is TestSpark.withRocksDb — shared
+  // with TransformWithStateSpec so the deployment configuration the
+  // proofs run under is defined exactly once (VERDICT r7 #3).
 
   /** VERDICT r5 gap #2: all stateful streaming so far ran on the default
     * HDFS-backed in-memory store, which at 100 TB of join/window state is

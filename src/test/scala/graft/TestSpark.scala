@@ -19,6 +19,33 @@ object TestSpark {
     s
   }
 
+  val RocksProviderKey = "spark.sql.streaming.stateStore.providerClass"
+  val RocksProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  val ChangelogKey =
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+
+  /** Run `body` with the RocksDB state store provider active — WITH
+    * changelog checkpointing (per-batch change uploads instead of full
+    * RocksDB snapshots; the production checkpoint mode at 100 TB) — the
+    * ONE conf swap shared by every RocksDB-backed test
+    * (StreamingRecoverySpec, TransformWithStateSpec), so the deployment
+    * configuration can't drift between suites. Previous values are
+    * restored afterwards; suites run sequentially in the forked test
+    * JVM, so the temporary session-conf swap cannot leak into a
+    * concurrent test. */
+  def withRocksDb[A](body: => A): A = {
+    val prev = Seq(RocksProviderKey, ChangelogKey)
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(RocksProviderKey, RocksProvider)
+    spark.conf.set(ChangelogKey, "true")
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   /** The first n fixture events as typed rows — the one extraction shared
     * by every streaming parity test (StreamingSpec, StreamingRecoverySpec,
     * ChainedStream), so the column list can't drift between suites. */

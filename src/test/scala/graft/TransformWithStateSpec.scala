@@ -34,32 +34,13 @@ class FunnelProcessor extends StatefulProcessor[
 class TransformWithStateSpec extends AnyFunSuite {
   import TestSpark._
 
-  /** Provider + changelog-checkpointing swap with restore (the suite's
-    * local twin of StreamingRecoverySpec.withRocksDb — TWS requires the
-    * RocksDB provider, so every test here wears it). */
-  private def withRocksDb[A](body: => A): A = {
-    val keys = Seq(
-      "spark.sql.streaming.stateStore.providerClass",
-      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
-    val prev = keys.map(k => k -> spark.conf.getOption(k))
-    spark.conf.set(keys(0),
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    spark.conf.set(keys(1), "true")
-    try body
-    finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
+  // TWS requires the RocksDB provider; every test wears the shared
+  // TestSpark.withRocksDb swap (provider + changelog checkpointing).
 
   test("transformWithState funnel == batch mapGroups funnel") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val prevProvider =
-      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDb {
       val evs = graft.sources.Tables.events(spark, SF001)
         .select(col("user_id"), col("event_type"),
           unix_micros(col("ts")).as("es"))
@@ -90,13 +71,6 @@ class TransformWithStateSpec extends AnyFunSuite {
           "clicks_before_first_purchase", "first_es", "last_es")
         .collect().map(_.toString).toSeq.sorted
       assert(got == batch)
-    } finally {
-      prevProvider match {
-        case Some(p) =>
-          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None =>
-          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
     }
   }
 

@@ -24,13 +24,19 @@ for root, _, files in os.walk("src/main/scala"):
             if stripped.startswith("*") or stripped.startswith("//"):
                 continue
             if "case class Spec" in line or "def apply" in line \
-               or "def noOracle" in line:
-                continue
+               or "def noOracle" in line or "Spec(name," in line:
+                continue  # the Spec companion's own constructors
             no_oracle = bool(m.group(1))
             tail = line[m.end():] + "\n" + "\n".join(lines[i + 1:i + 3])
             nm = re.search(r'"([a-z0-9_]+)"', tail)
             if nm:
                 rows.append((nm.group(1), path, i + 1, no_oracle))
+            else:
+                # Loud, not silent: a Spec whose name literal sits more
+                # than two lines below the call would otherwise just
+                # vanish from the regenerated table.
+                print(f"WARNING: Spec( at {path}:{i + 1} with no name "
+                      "literal within 2 lines — NOT indexed", file=sys.stderr)
 
 names = [r[0] for r in rows]
 dups = {n for n in names if names.count(n) > 1}
