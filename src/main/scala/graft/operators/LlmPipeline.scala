@@ -22,7 +22,8 @@ import graft.sources.Tables
 object LlmPipeline {
   def specs: Seq[Spec] = Seq(contamination, splitHash, repetition, chunking,
     packSequences, domainMix, piiScrub, vocab, curriculum, sampleStratified,
-    winsorize, filterFunnel, instructionFormat, oovRate, bpePairs, bpeTrain)
+    winsorize, filterFunnel, instructionFormat, oovRate, bpePairs, bpeTrain,
+    bpeApply)
 
   /** One BPE-training iteration — the pair-count step every tokenizer
     * trainer loops on: count adjacent character pairs across the corpus,
@@ -98,7 +99,11 @@ object LlmPipeline {
        |m$k AS (SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair
        |        LIMIT 1)""".stripMargin
 
-  private def bpeTrainOracle(k: Int): String = {
+  /** The unrolled BPE TRAINING chain — tok/w/s0 plus per-iteration
+    * p_i/m_i/s_i CTEs — the ONE definition shared by the train oracle
+    * (which selects the merge table) and the apply oracle (which replays
+    * the merges over the full corpus vocabulary). */
+  private def bpeChainCtes(k: Int): String = {
     val head =
       """WITH tok AS (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
@@ -121,18 +126,53 @@ object LlmPipeline {
       else ""
       s",\n$merge$reseg"
     }.mkString
+    s"$head$steps"
+  }
+
+  private def bpeTrainOracle(k: Int): String = {
     val sel = (1 to k).map { i =>
       s"SELECT CAST($i AS BIGINT) AS it, " +
         s"replace(pair, chr(31), '+') AS pair, cnt FROM m$i"
     }.mkString("\nUNION ALL ")
-    s"$head$steps\n$sel\nORDER BY it"
+    s"${bpeChainCtes(k)}\n$sel\nORDER BY it"
   }
 
   private val bpeTrain = Spec(
     "llm_bpe_train",
     bpeTrainOracle(KBpe)) { (s, d) =>
     import s.implicits._
-    val sep = "\u001f"; val sep2 = sep + sep
+    trainMergesRaw(s, d)
+      .map { case (it, pair, cnt) => (it, pair.replace(BpeSep, "+"), cnt) }
+      .toDF("it", "pair", "cnt").orderBy(col("it"))
+  }
+
+  private val BpeSep = "\u001f"
+
+  /** Per-(session, corpus) memo of the trained merge list: llm_bpe_train
+    * emits it as the merge table and llm_bpe_apply replays it over the
+    * corpus, so the k-iteration training loop runs once, not once per
+    * consumer (the pairsCache/RelationCache lifecycle discipline;
+    * entries are k tuples - driver-tiny). */
+  private val mergesCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(Long, String, Long)]]
+
+  /** The k-round BPE training loop shared by llm_bpe_train and
+    * llm_bpe_apply: (iteration, pair with the U+001F separator kept,
+    * weighted count) in merge order - fewer than k rows if a degenerate
+    * corpus exhausts early. ONE row per iteration crosses the driver. */
+  private def trainMergesRaw(s: SparkSession, d: String)
+      : Seq[(Long, String, Long)] = {
+    graft.sources.SessionHooks.onApplicationEnd(s, "llmpipeline-merges") {
+      () => mergesCache.keys.filter(_._1 eq s).foreach(mergesCache.remove)
+    }
+    val key = (s,
+      java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString)
+    mergesCache.getOrElseUpdate(key, computeMerges(s, d))
+  }
+
+  private def computeMerges(s: SparkSession, d: String)
+      : Seq[(Long, String, Long)] = {
+    val sep = BpeSep; val sep2 = sep + sep
     val words = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) >= 2)
@@ -166,7 +206,7 @@ object LlmPipeline {
         seg.unpersist()
       } else {
         val pair = top.head.getString(0); val cnt = top.head.getLong(1)
-        merges += ((it.toLong, pair.replace(sep, "+"), cnt))
+        merges += ((it.toLong, pair, cnt))
         if (it < KBpe) {
           val Array(a, b) = pair.split(sep)
           val next = seg.withColumn("seg",
@@ -179,7 +219,94 @@ object LlmPipeline {
         } else seg.unpersist()
       }
     }
-    merges.toSeq.toDF("it", "pair", "cnt").orderBy(col("it"))
+    merges.toSeq
+  }
+
+  /** BPE APPLICATION - the inference half of the tokenizer (a trainer
+    * without apply is half a tokenizer): replay the k trained merges
+    * over the corpus and report each document's token-piece count next
+    * to its word count - the sequence-length accounting every packing /
+    * curriculum / cost model downstream consumes. Scale shape: the
+    * merges are k driver-held strings (memoized with llm_bpe_train via
+    * [[trainMergesRaw]]); segmentation and the k merge replaces run
+    * over the DISTINCT word table (|vocab| rows, not |corpus|) as
+    * codegen'd string expressions; the corpus token stream then
+    * equi-joins the |vocab|-sized piece table and two-phase-aggregates
+    * per doc - the same rollup-first discipline as the trainer. Oracle:
+    * the training chain is [[bpeChainCtes]] (ONE definition with the
+    * train oracle); the apply chain replays each m_i with a LEFT JOIN
+    * ON TRUE so an exhausted (empty) merge CTE is an identity step,
+    * exactly like the Scala fold over a short merge list. Zero-length
+    * tokens segment to NULL and count 0 pieces on both engines - the
+    * CASE guard is load-bearing on the Spark side because
+    * sequence(1, 0) is a DESCENDING [1, 0], not an empty array. */
+  private def bpeApplyOracle(k: Int): String = {
+    val applySteps = (1 to k).map { i =>
+      s""",
+         |a$i AS (
+         |  SELECT token, CASE WHEN m$i.pair IS NULL OR seg IS NULL THEN seg
+         |    ELSE replace(seg,
+         |      chr(31)||replace(m$i.pair, chr(31), chr(31)||chr(31))||chr(31),
+         |      chr(31)||replace(m$i.pair, chr(31), '')||chr(31)) END AS seg
+         |  FROM a${i - 1} LEFT JOIN m$i ON TRUE)""".stripMargin
+    }.mkString
+    // NOTE: the interpolated chain must NOT pass through an outer
+    // stripMargin - bpeSegPairs' already-stripped lines contain `||`
+    // concat operators at line starts, which a second stripMargin would
+    // mutilate into single `|`s. Only the literal tail is margin-stripped.
+    val applyTail = s""",
+       |dtok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |dw AS (SELECT DISTINCT token FROM dtok),
+       |a0 AS (
+       |  SELECT token, CASE WHEN length(token) = 0 THEN NULL
+       |    ELSE chr(31) || array_to_string(
+       |      list_transform(range(1, length(token) + 1),
+       |        i -> substr(token, CAST(i AS INTEGER), 1)),
+       |      chr(31)||chr(31)) || chr(31) END AS seg FROM dw)$applySteps,
+       |pieces AS (
+       |  SELECT token, CASE WHEN seg IS NULL THEN 0
+       |    ELSE len(string_split(trim(seg, chr(31)), chr(31)||chr(31)))
+       |    END AS pieces
+       |  FROM a$k)
+       |SELECT dtok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(pieces.pieces) AS BIGINT) AS n_pieces
+       |FROM dtok JOIN pieces ON dtok.token = pieces.token
+       |GROUP BY dtok.doc_id
+       |ORDER BY doc_id""".stripMargin
+    s"${bpeChainCtes(k)}$applyTail"
+  }
+
+  private val bpeApply = Spec(
+    "llm_bpe_apply",
+    bpeApplyOracle(KBpe)) { (s, d) =>
+    val sep = BpeSep; val sep2 = sep + sep
+    val merges = trainMergesRaw(s, d).map(_._2)
+    val dtok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val dw = dtok.select(col("token")).distinct()
+    val seg0 = when(length(col("token")) === 0, lit(null: String))
+      .otherwise(concat(lit(sep),
+        array_join(transform(sequence(lit(1), length(col("token"))),
+          i => col("token").substr(i, lit(1))), sep2),
+        lit(sep)))
+    val segged = merges.foldLeft(dw.select(col("token"), seg0.as("seg"))) {
+      (df, pair) =>
+        val Array(a, b) = pair.split(sep)
+        df.withColumn("seg",
+          org.apache.spark.sql.functions.replace(col("seg"),
+            lit(sep + a + sep2 + b + sep), lit(sep + a + b + sep)))
+    }
+    val pieces = segged.select(col("token"),
+      when(col("seg").isNull, lit(0))
+        .otherwise(size(split(expr(s"trim(BOTH '$sep' FROM seg)"), sep2)))
+        .as("pieces"))
+    dtok.join(pieces, "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("pieces")).cast("long").as("n_pieces"))
+      .orderBy(col("doc_id"))
   }
 
   /** Chat-template rendering — the SFT-pipeline step that turns a

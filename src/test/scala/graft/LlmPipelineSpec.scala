@@ -237,4 +237,54 @@ class LlmPipelineSpec extends AnyFunSuite {
       } else assert(!got.contains(id), s"doc $id has no bigrams to score")
     }
   }
+
+  test("bpe_apply matches an independent JVM replay of the merge table") {
+    // Third implementation of the same spec: segment every word in plain
+    // Scala, replay the merges llm_bpe_train emitted (pair strings are
+    // "a+b"; assert '+' absent from the corpus first so the split is
+    // unambiguous), and compare per-doc (n_words, n_pieces) exactly.
+    // Catches any divergence between the Spark fold, the DuckDB CTE
+    // chain, and the definition - from a codepath sharing neither.
+    val docs = graft.sources.Tables.documents(spark, SF001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(docs.forall(d => !d._2.contains('+')),
+      "fixture text contains '+'; the merge-pair split is ambiguous")
+    val merges = SparkEntry.queries("llm_bpe_train")(spark, SF001)
+      .collect().map(_.getString(1).split('+') match {
+        case Array(a, b) => (a, b)
+      })
+    def pieces(word: String): Int = {
+      if (word.isEmpty) return 0
+      var segs = word.map(_.toString).toList
+      merges.foreach { case (a, b) =>
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var rest = segs
+        while (rest.nonEmpty) rest match {
+          case x :: y :: tail if x == a && y == b =>
+            out += (a + b); rest = tail // left-to-right, non-overlapping
+          case x :: tail => out += x; rest = tail
+          case Nil => ()
+        }
+        segs = out.toList
+      }
+      segs.length
+    }
+    val expect = docs.map { case (id, text) =>
+      val words = text.split(" ", -1)
+      id -> ((words.length.toLong, words.map(pieces(_).toLong).sum))
+    }.toMap
+    val got = SparkEntry.queries("llm_bpe_apply")(spark, SF001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == expect,
+      s"bpe_apply != JVM replay; sample diff: ${
+        (expect.toSet -- got.toSet).take(3)} vs ${
+        (got.toSet -- expect.toSet).take(3)}")
+    // merges actually fire on the fixture: some word has fewer pieces
+    // than characters
+    assert(docs.exists { case (_, t) =>
+      t.split(" ", -1).exists(w => w.nonEmpty && pieces(w) < w.length)
+    }, "no merge ever applied - the test would pass vacuously")
+  }
 }
