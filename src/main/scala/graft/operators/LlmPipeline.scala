@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Spec
@@ -281,31 +281,37 @@ object LlmPipeline {
   private val bpeApply = Spec(
     "llm_bpe_apply",
     bpeApplyOracle(KBpe)) { (s, d) =>
+    // MAP-ONLY: segmentation + the k merge replaces run INSIDE a
+    // transform lambda over each doc's word array, and the piece counts
+    // fold with aggregate() — no explode, no distinct, no join, so the
+    // plan is Scan → Project → Sort with ZERO corpus-wide shuffles
+    // (PlanSpec pins it). A distinct-word rollup + equi-join variant was
+    // rejected: it saves re-segmenting repeated words but pays TWO
+    // corpus shuffles (distinct + join), and at 100 TB the raw-token
+    // vocabulary's long tail also makes the piece table
+    // broadcast-unsafe; k=4 string replaces per occurrence are cheap,
+    // codegen'd, and embarrassingly parallel. The oracle keeps the
+    // vocab-rollup formulation (DuckDB has no corpus to shuffle).
     val sep = BpeSep; val sep2 = sep + sep
     val merges = trainMergesRaw(s, d).map(_._2)
-    val dtok = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-    val dw = dtok.select(col("token")).distinct()
-    val seg0 = when(length(col("token")) === 0, lit(null: String))
-      .otherwise(concat(lit(sep),
-        array_join(transform(sequence(lit(1), length(col("token"))),
-          i => col("token").substr(i, lit(1))), sep2),
-        lit(sep)))
-    val segged = merges.foldLeft(dw.select(col("token"), seg0.as("seg"))) {
-      (df, pair) =>
-        val Array(a, b) = pair.split(sep)
-        df.withColumn("seg",
-          org.apache.spark.sql.functions.replace(col("seg"),
-            lit(sep + a + sep2 + b + sep), lit(sep + a + b + sep)))
+    def segOf(w: Column): Column = merges.foldLeft(
+      concat(lit(sep),
+        array_join(transform(sequence(lit(1), length(w)),
+          i => w.substr(i, lit(1))), sep2),
+        lit(sep))) { (seg, pair) =>
+      val Array(a, b) = pair.split(sep)
+      org.apache.spark.sql.functions.replace(seg,
+        lit(sep + a + sep2 + b + sep), lit(sep + a + b + sep))
     }
-    val pieces = segged.select(col("token"),
-      when(col("seg").isNull, lit(0))
-        .otherwise(size(split(expr(s"trim(BOTH '$sep' FROM seg)"), sep2)))
-        .as("pieces"))
-    dtok.join(pieces, "token")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("long").as("n_words"),
-        sum(col("pieces")).cast("long").as("n_pieces"))
+    def piecesOf(w: Column): Column =
+      when(length(w) === 0, lit(0L))
+        .otherwise(size(split(trim(segOf(w), sep), sep2)).cast("long"))
+    val words = split(col("text"), " ")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(words).cast("long").as("n_words"),
+        aggregate(transform(words, piecesOf(_)), lit(0L), _ + _)
+          .as("n_pieces"))
       .orderBy(col("doc_id"))
   }
 

@@ -92,6 +92,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
   }
 
+  test("llm_bpe_apply is map-only: no exchange but the sort's") {
+    // Segmentation + merge replaces run inside a transform lambda and
+    // the piece counts fold with aggregate() — a hashpartitioning
+    // exchange here would mean the rejected rollup+join formulation
+    // (two corpus-wide shuffles) crept back in.
+    val p = plan("llm_bpe_apply")
+    assert(!p.contains("hashpartitioning"), p.take(1200))
+    assert(p.contains("Scan parquet"), p.take(1200))
+  }
+
   test("llm_ann_lsh: probe sides broadcast, corpus never shuffle-joined") {
     // Query-directed LSH (round 8): the driver-computed probe-bucket list
     // and the 10 probe embeddings are broadcast into the candidate join,
