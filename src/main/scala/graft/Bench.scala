@@ -58,9 +58,11 @@ object Bench {
     // that forces the substrate (build + the scan of the built result) —
     // so they are comparable to each other in the JSON line. The pairs
     // operator additionally logs its internal build-only time to stderr.
-    // -1 ⇒ the materialization failed; its consumers inside the timed
-    // loop will then fail with their own -1 markers (same root cause),
-    // not silently re-absorb the bill.
+    // -1 ⇒ the materialization failed here; note a TRANSIENT failure can
+    // still succeed on the retry the first timed consumer triggers (the
+    // memo caches the lazy plan, not the failure), in which case that
+    // consumer re-absorbs the bill — the -1 in the JSON is the flag that
+    // says so.
     val matPs = timed(graft.operators.Analytics.psRelation(spark, sfDir)
       .count())
     val matPairs =

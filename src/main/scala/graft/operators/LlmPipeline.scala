@@ -283,9 +283,10 @@ object LlmPipeline {
     bpeApplyOracle(KBpe)) { (s, d) =>
     // MAP-ONLY: segmentation + the k merge replaces run INSIDE a
     // transform lambda over each doc's word array, and the piece counts
-    // fold with aggregate() — no explode, no distinct, no join, so the
-    // plan is Scan → Project → Sort with ZERO corpus-wide shuffles
-    // (PlanSpec pins it). A distinct-word rollup + equi-join variant was
+    // fold with aggregate() — no explode, no distinct, no join: the only
+    // exchange left is the final ORDER BY's rangepartitioning over the
+    // one-row-per-doc OUTPUT, never the corpus token stream (PlanSpec
+    // pins the absence of any hashpartitioning exchange). A distinct-word rollup + equi-join variant was
     // rejected: it saves re-segmenting repeated words but pays TWO
     // corpus shuffles (distinct + join), and at 100 TB the raw-token
     // vocabulary's long tail also makes the piece table

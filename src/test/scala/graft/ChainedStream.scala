@@ -139,11 +139,13 @@ object ChainedStream {
         "is undefined before any event-time batch completed")
     val wmMs = java.time.Instant.parse(wmStr).toEpochMilli
     val bandMs = bandMinutes * 60000L
-    // 1 ms slack on both edges: Spark derives per-side state watermarks
-    // from the interval condition with ±1 ms adjustments for strict vs
-    // non-strict bounds, so rows exactly AT the boundary may legitimately
-    // be retained one more batch. Without the slack the assert is
-    // fixture-granularity roulette, not a property.
+    // Inclusive boundaries + 1 ms slack (clicks: ≥ wm−1; views:
+    // ≥ wm−band−1, which is 2 ms looser than the old strict
+    // `> wm−band`): Spark derives per-side state watermarks from the
+    // interval condition with ±1 ms adjustments for strict vs non-strict
+    // bounds, so rows exactly AT a boundary may legitimately be retained
+    // one more batch. Without the slack the assert is fixture-granularity
+    // roulette, not a property.
     clicks.count(_.ts.getTime >= wmMs - 1).toLong +
       views.count(_.ts.getTime >= wmMs - bandMs - 1).toLong
   }

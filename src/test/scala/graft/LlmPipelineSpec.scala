@@ -256,7 +256,11 @@ class LlmPipelineSpec extends AnyFunSuite {
       })
     def pieces(word: String): Int = {
       if (word.isEmpty) return 0
-      var segs = word.map(_.toString).toList
+      // segment by CODEPOINTS, not UTF-16 units — Spark substr and the
+      // DuckDB oracle both speak codepoints (verify-skill gotcha), so an
+      // astral char must be ONE seed piece here too
+      var segs = word.codePoints().toArray.toList
+        .map(cp => new String(Character.toChars(cp)))
       merges.foreach { case (a, b) =>
         val out = scala.collection.mutable.ListBuffer.empty[String]
         var rest = segs
