@@ -37,7 +37,7 @@ object Bench {
     // lets in-flight stage-completed events drain before the snapshot.
     Thread.sleep(1000)
     val shuffleAtStart = shuffleBytes.get
-    // Deterministic billing for the two SHARED substrates (VERDICT r7
+    // Deterministic billing for the SHARED substrates (VERDICT r7
     // #4): the ngram near-dup pairs and the TPC-H ps rollup are each
     // materialized once per session and reused by several queries, and
     // when the first consumer paid the bill inside the timed loop, WHICH
@@ -67,6 +67,26 @@ object Bench {
       .count())
     val matPairs =
       timed(graft.operators.LlmText.ngramPairs(spark, sfDir).count())
+    // Third shared substrate (ADVICE r8): the k-iteration BPE merge
+    // training is memoized across llm_bpe_train AND llm_bpe_apply, so
+    // without a pre-pay the bill lands on whichever the map order runs
+    // first. (lm_c12 / ntile_ranged / fuzzy_dict each have exactly ONE
+    // consumer — their bills are order-independent by construction and
+    // stay in their consumer's number.)
+    val matBpe = timed {
+      graft.operators.LlmPipeline.materializeMerges(spark, sfDir): Unit
+    }
+    // GC attribution (VERDICT r8 "what's wrong"): the r8 driver bench
+    // showed a 9.5× spike on UNCHANGED code at map positions 112–123 — a
+    // signature consistent with a transient machine-load or GC window.
+    // Record total JVM GC time across the timed loop so a future spike
+    // separates "heap pressure" (gc_sec moves with it) from "external
+    // machine load" (gc_sec flat) without needing the driver's stderr.
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).filter(_ >= 0).sum
+    val gcAtStart = gcMillis()
     // Failures are reported as -1 s (the harness protocol's failure
     // marker, BASELINE.md), never as a plausible-looking duration.
     val results = SparkEntry.queries.map { case (name, fn) =>
@@ -85,7 +105,8 @@ object Bench {
     // not be summed into the headline total (that would UNDERSTATE it,
     // flattering the <=2x gate).
     val total = results.values.filter(_ >= 0).sum +
-      Seq(matPs, matPairs).filter(_ >= 0).sum
+      Seq(matPs, matPairs, matBpe).filter(_ >= 0).sum
+    val gcSec = (gcMillis() - gcAtStart) / 1e3
     // Shuffle delta for the timed section only, snapshotted before the
     // untimed recall diagnostics below add their own shuffle traffic.
     Thread.sleep(1000)
@@ -139,7 +160,7 @@ object Bench {
     // numbers are steady-state, round-over-round compares stop seeing
     // billing drift. -1 ⇒ the materialization failed (stderr has why).
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${entries.length},"omitted":$omitted,"materialize_pairs":${fmt(matPairs)},"materialize_ps":${fmt(matPs)},"ann_recall":${fmt(annRecall)},"ivf_recall":${fmt(ivfRecall)},"shuffle_mb":${fmt(benchShuffleBytes / 1e6)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${entries.length},"omitted":$omitted,"materialize_pairs":${fmt(matPairs)},"materialize_ps":${fmt(matPs)},"materialize_bpe":${fmt(matBpe)},"gc_sec":${fmt(gcSec)},"ann_recall":${fmt(annRecall)},"ivf_recall":${fmt(ivfRecall)},"shuffle_mb":${fmt(benchShuffleBytes / 1e6)},"sf":"$sfDir"}"""
     // Full per-query map to stderr (driver ignores stderr): the stdout
     // line's budget keeps only the slowest ~60, and noise analysis
     // (BASELINE.md "noise floor") wants every query from both runs.

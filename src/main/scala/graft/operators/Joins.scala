@@ -268,15 +268,22 @@ object Joins {
       .select(hotOf(col("l_orderkey")).as("hot"), col("l_extendedprice"))
     // Skew thresholds DERIVED from the fact's own optimizer size estimate
     // instead of a fixture-tuned "16KB" literal (the carried r5 item):
-    // the hot key holds ~80 % of rows, the two cold keys ~10 % each, so
-    // with 8 shuffle partitions the mean partition size (estimate / 8)
-    // separates hot (~6.4× the mean) from cold (~0.8×) at ANY scale
-    // factor — the same derivation a production job does from table
-    // stats. Advisory = half the threshold preserves the split
-    // granularity relationship the literals had (16KB/8KB).
+    // the hot key holds ~80 % of rows, the two cold keys ~10 % each —
+    // the same derivation a production job does from table stats.
+    // UNIT CAVEAT (ADVICE r8): the estimate is UNCOMPRESSED in-memory row
+    // bytes, but AQE compares the threshold against ACTUAL (compressed)
+    // shuffle partition bytes. The hot partition holds ~0.8× the real
+    // shuffle volume S, so a threshold of estimate/16 fires as long as
+    // E/S < 12.8 — double the old estimate/8 margin (E/S < 6.4), enough
+    // headroom for a codec or schema change to move the ratio without
+    // silently disabling the split. False positives are impossible at
+    // any threshold: skewedPartitionFactor=2.0 also requires 2× the
+    // median, which the ~0.1×S cold partitions never reach. Advisory =
+    // half the threshold preserves the split granularity relationship
+    // the literals had (16KB/8KB).
     val factBytes = factBase.queryExecution.optimizedPlan.stats.sizeInBytes
-    val skewThresholdBytes = (factBytes / 8).max(1)
-    val advisoryBytes = (factBytes / 16).max(1)
+    val skewThresholdBytes = (factBytes / 16).max(1)
+    val advisoryBytes = (factBytes / 32).max(1)
     withConfs(s,
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
       "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",

@@ -170,9 +170,27 @@ object LlmPipeline {
     mergesCache.getOrElseUpdate(key, computeMerges(s, d))
   }
 
+  /** Force the shared merge-table memo from Bench so the k-iteration
+    * training bill is pre-paid deterministically (ADVICE r8: otherwise it
+    * lands on whichever of llm_bpe_train/llm_bpe_apply the bench's map
+    * order runs first — the same drift the ps/pairs pre-pay fixed). */
+  private[graft] def materializeMerges(s: SparkSession, d: String): Int =
+    trainMergesRaw(s, d).size
+
   private def computeMerges(s: SparkSession, d: String)
       : Seq[(Long, String, Long)] = {
     val sep = BpeSep; val sep2 = sep + sep
+    // Domain guard (ADVICE r8): a literal U+001F in any corpus token would
+    // corrupt the delimiter framing IDENTICALLY in this code and in the
+    // DuckDB oracle's chr(31) chain, so the hash-match could never catch
+    // it — fail loudly instead. Guarding here covers llm_bpe_apply too
+    // (both consumers call trainMergesRaw on the same corpus before
+    // touching it). At 100 TB this validation folds into the one-pass
+    // ingest QC scan (the llm_quality_score family), not a second read.
+    require(Tables.documents(s, d)
+        .filter(col("text").contains(sep)).limit(1).count() == 0L,
+      "llm_bpe_*: corpus text contains the U+001F piece separator; " +
+        "BPE segmentation framing is undefined for this domain")
     val words = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) >= 2)
