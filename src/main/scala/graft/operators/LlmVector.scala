@@ -360,7 +360,94 @@ object LlmVector {
     * worst case — the scan fraction for a given recall falls fast as
     * real embedding corpora cluster. The data-adaptive IVF below still
     * holds the better frontier on this geometry (0.90 at 40 %). */
-  private val annLsh = Spec.noOracle("llm_ann_lsh") { (s, d) =>
+  /** Exact DuckDB replay of [[lshTopkDirected]] (retires the r8 declared
+    * no_oracle skip, VERDICT r8 #2). The pipeline is deterministic end to
+    * end, so the oracle recomputes ALL of it rather than a weaker partial
+    * check:
+    *  - the hyperplane sign matrix is data-INdependent (a pure function of
+    *    (plane, dim) — [[hyperplaneSign]]), so all tables·planes = 64
+    *    sign rows ride in the SQL as '+'/'-' string literals;
+    *  - every float accumulation (plane dots/margins, probe-mask costs,
+    *    cosine) is a strict ascending left fold from 0.0 in the Scala and
+    *    codegen paths, replayed bit-exactly with
+    *    `list_reduce(list_prepend(0.0, list(t ORDER BY i)), +)` — the
+    *    [[cosineSql]] determinism contract extended to the whole pipeline.
+    *    The per-term products are exact by construction: sign·e_i is an
+    *    IEEE negation, never a rounding;
+    *  - the driver's margin-ordered flip-set selection (stable sortBy cost,
+    *    take nProbes — ties keep mask order) is `ROW_NUMBER() OVER (ORDER
+    *    BY cost, mask) <= nProbes`;
+    *  - Spark's across-tables `max(score)` dedup collapses identical
+    *    doubles, so `SELECT DISTINCT` on the pair is the same set.
+    * Domain restriction (like the simhash BMP note): the literal sign
+    * matrix covers dims 0..63 — the fixture's embedding width. */
+  private def annLshOracleSql: String = {
+    val planes = nPlanes; val tables = annLshTables; val nProbes = annLshProbes
+    def fold(l: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $l), (x, y) -> x + y)"
+    val signRows = (0 until tables * planes).map { plane =>
+      val ss = (0 until 64)
+        .map(dm => if (hyperplaneSign(plane, dm) > 0) '+' else '-').mkString
+      s"($plane, '$ss')"
+    }.mkString(", ")
+    s"""WITH dims AS (SELECT unnest(generate_series(0, 63)) AS dim),
+       |sgns AS (SELECT * FROM (VALUES $signRows) sg(plane, ss)),
+       |slong AS (
+       |  SELECT plane, dim,
+       |    CASE WHEN substring(ss, dim + 1, 1) = '+' THEN CAST(1.0 AS DOUBLE)
+       |         ELSE CAST(-1.0 AS DOUBLE) END AS sgn
+       |  FROM sgns, dims),
+       |elong AS (
+       |  SELECT vec_id, dim, CAST(embedding[dim + 1] AS DOUBLE) AS val
+       |  FROM embeddings, dims WHERE dim < len(embedding)),
+       |dots AS (
+       |  SELECT vec_id, plane // $planes AS tbl, plane % $planes AS p,
+       |    ${fold("list(sgn * val ORDER BY dim)")} AS dot
+       |  FROM elong JOIN slong USING (dim)
+       |  GROUP BY vec_id, plane),
+       |buckets AS (
+       |  SELECT vec_id AS neighbor_id, tbl,
+       |    CAST(SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+       |      AS bucket
+       |  FROM dots GROUP BY vec_id, tbl),
+       |masks AS (SELECT unnest(generate_series(0, ${(1 << planes) - 1}))
+       |            AS mask),
+       |mcost AS (
+       |  SELECT vec_id AS probe_id, tbl, mask,
+       |    ${fold(s"list(CASE WHEN ((mask >> p) & 1) = 1 THEN abs(dot)" +
+                 " ELSE CAST(0.0 AS DOUBLE) END ORDER BY p)")} AS cost
+       |  FROM dots, masks WHERE vec_id < 10
+       |  GROUP BY vec_id, tbl, mask),
+       |sel AS (
+       |  SELECT probe_id, tbl, mask FROM mcost
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id, tbl
+       |                             ORDER BY cost, mask) <= $nProbes),
+       |pbkt AS (
+       |  SELECT s.probe_id, s.tbl, xor(b.bucket, CAST(s.mask AS BIGINT))
+       |      AS bucket
+       |  FROM sel s JOIN buckets b
+       |    ON b.neighbor_id = s.probe_id AND b.tbl = s.tbl),
+       |cand AS (
+       |  SELECT DISTINCT p.probe_id, b.neighbor_id
+       |  FROM pbkt p JOIN buckets b USING (tbl, bucket)
+       |  WHERE b.neighbor_id <> p.probe_id),
+       |pemb AS (SELECT vec_id AS probe_id, embedding AS pe
+       |         FROM embeddings WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT c.probe_id, c.neighbor_id,
+       |    ${cosineSql("pe", "embedding")} AS score
+       |  FROM cand c JOIN pemb USING (probe_id)
+       |    JOIN embeddings e ON e.vec_id = c.neighbor_id),
+       |ranked AS (
+       |  SELECT probe_id, neighbor_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                       ORDER BY score DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |SELECT probe_id, rk, neighbor_id, score FROM ranked WHERE rk <= 5
+       |ORDER BY probe_id, rk""".stripMargin
+  }
+
+  private val annLsh = Spec("llm_ann_lsh", annLshOracleSql) { (s, d) =>
     lshTopkDirected(s, Tables.embeddings(s, d), nPlanes,
       annLshProbes, annLshTables)
   }
@@ -481,7 +568,118 @@ object LlmVector {
     * fixture geometry makes ~40 % scan the honest price of 0.9 recall
     * here; on clustered real-world embeddings the same design reaches it
     * at far smaller fractions. */
-  private val annIvf = Spec.noOracle("llm_ann_ivf") { (s, d) =>
+  /** Exact DuckDB replay of [[ivfTopk]] INCLUDING the driver-side Lloyd
+    * training (retires the r8 declared no_oracle skip, VERDICT r8 #2).
+    * [[ivfCentroids]] is a deterministic sequence of double ops — sample =
+    * the sampleCap lowest vec_ids, per-vector normalization, ivfIters
+    * assignment/mean/renormalize rounds, every accumulation a strict
+    * ascending left fold from 0.0 (dim-ascending for dots and norms,
+    * sample-order for the per-cell mean sums), ties to the lower cell on
+    * strict `>` — so the whole quantizer replays as ivfIters generated CTE
+    * rounds using the same ordered-`list_reduce` idiom as [[cosineSql]]
+    * (the bpeChainCtes precedent: training chain shared form, k unrolled
+    * steps). Divisions and sqrt are single IEEE correctly-rounded ops, so
+    * centroids match bit-for-bit; [[NearestCellsImpl]]'s bounded-insertion
+    * top-n ("strictly-better first, equal keeps the lower cell") is
+    * `ROW_NUMBER() OVER (ORDER BY s DESC, cell) <= n`. A corpus vector
+    * lives in exactly one cell, so the candidate pair set needs no dedup —
+    * identical to the Spark plan's plain equi-join.
+    * Domain restriction (as for the LSH oracle): dims 0..63 and a corpus
+    * of ≥ ivfK sampled vectors — the fixture geometry at every SF. */
+  private def annIvfOracleSql: String = {
+    val k = ivfK; val np = ivfNProbe; val cap = ivfSampleCap
+    def fold(l: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $l), (x, y) -> x + y)"
+    val rounds = (1 to ivfIters).map { t =>
+      s""",
+         |a$t AS MATERIALIZED (
+         |  SELECT xid, cell FROM (
+         |    SELECT x.xid, c.cell,
+         |      ${fold("list(c.cv * x.v ORDER BY dim)")} AS s
+         |    FROM x JOIN c${t - 1} c USING (dim)
+         |    GROUP BY x.xid, c.cell)
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY xid
+         |                             ORDER BY s DESC, cell) = 1),
+         |m$t AS MATERIALIZED (
+         |  SELECT a.cell, x.dim,
+         |    ${fold("list(x.v ORDER BY x.xid)")} / COUNT(*) AS mv
+         |  FROM a$t a JOIN x ON a.xid = x.xid
+         |  GROUP BY a.cell, x.dim),
+         |mn$t AS MATERIALIZED (SELECT cell, sqrt(${fold("list(mv * mv ORDER BY dim)")})
+         |           AS nrm FROM m$t GROUP BY cell),
+         |c$t AS MATERIALIZED (
+         |  SELECT c.cell, c.dim,
+         |    COALESCE(CASE WHEN mn.nrm = 0 THEN m.mv ELSE m.mv / mn.nrm END,
+         |             c.cv) AS cv
+         |  FROM c${t - 1} c
+         |  LEFT JOIN m$t m ON m.cell = c.cell AND m.dim = c.dim
+         |  LEFT JOIN mn$t mn ON mn.cell = c.cell)""".stripMargin
+    }.mkString
+    val head =
+      s"""WITH dims AS (SELECT unnest(generate_series(0, 63)) AS dim),
+         |xs AS MATERIALIZED (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS xid, embedding
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        ORDER BY vec_id LIMIT $cap)),
+         |nx AS MATERIALIZED (SELECT COUNT(*) AS n FROM xs),
+         |xraw AS MATERIALIZED (
+         |  SELECT xid, dim, CAST(embedding[dim + 1] AS DOUBLE) AS v
+         |  FROM xs, dims WHERE dim < len(embedding)),
+         |xn AS MATERIALIZED (SELECT xid, sqrt(${fold("list(v * v ORDER BY dim)")}) AS nrm
+         |       FROM xraw GROUP BY xid),
+         |x AS MATERIALIZED (
+         |  SELECT xraw.xid, dim, CASE WHEN nrm = 0 THEN v ELSE v / nrm END
+         |    AS v
+         |  FROM xraw JOIN xn ON xraw.xid = xn.xid),
+         |cells AS (SELECT unnest(generate_series(0, ${k - 1})) AS cell),
+         |c0 AS MATERIALIZED (
+         |  SELECT cell, dim, v AS cv
+         |  FROM cells JOIN x ON x.xid = (cell * (SELECT n FROM nx)) // $k)"""
+        .stripMargin
+    val tail =
+      s""",
+         |corp AS MATERIALIZED (
+         |  SELECT e.vec_id, dim, CAST(embedding[dim + 1] AS DOUBLE) AS v
+         |  FROM embeddings e, dims WHERE dim < len(embedding)),
+         |asgn AS MATERIALIZED (
+         |  SELECT vec_id AS neighbor_id, cell FROM (
+         |    SELECT corp.vec_id, c.cell,
+         |      ${fold("list(c.cv * corp.v ORDER BY dim)")} AS s
+         |    FROM corp JOIN c$ivfIters c USING (dim)
+         |    GROUP BY corp.vec_id, c.cell)
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                             ORDER BY s DESC, cell) = 1),
+         |pcell AS MATERIALIZED (
+         |  SELECT vec_id AS probe_id, cell FROM (
+         |    SELECT corp.vec_id, c.cell,
+         |      ${fold("list(c.cv * corp.v ORDER BY dim)")} AS s
+         |    FROM corp JOIN c$ivfIters c USING (dim)
+         |    WHERE corp.vec_id < 10
+         |    GROUP BY corp.vec_id, c.cell)
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                             ORDER BY s DESC, cell) <= $np),
+         |pemb AS (SELECT vec_id AS probe_id, embedding AS pe
+         |         FROM embeddings WHERE vec_id < 10),
+         |cand AS (
+         |  SELECT p.probe_id, a.neighbor_id
+         |  FROM pcell p JOIN asgn a USING (cell)
+         |  WHERE a.neighbor_id <> p.probe_id),
+         |scored AS (
+         |  SELECT c.probe_id, c.neighbor_id,
+         |    ${cosineSql("pe", "embedding")} AS score
+         |  FROM cand c JOIN pemb USING (probe_id)
+         |    JOIN embeddings e ON e.vec_id = c.neighbor_id),
+         |ranked AS (
+         |  SELECT probe_id, neighbor_id, score,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                       ORDER BY score DESC, neighbor_id) AS rk
+         |  FROM scored)
+         |SELECT probe_id, rk, neighbor_id, score FROM ranked WHERE rk <= 5
+         |ORDER BY probe_id, rk""".stripMargin
+    head + rounds + tail
+  }
+
+  private val annIvf = Spec("llm_ann_ivf", annIvfOracleSql) { (s, d) =>
     ivfTopk(s, Tables.embeddings(s, d), ivfK, ivfNProbe)
   }
 

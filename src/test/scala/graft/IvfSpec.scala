@@ -5,9 +5,12 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.LlmVector
 import graft.sources.Tables
 
-/** llm_ann_ivf — candidate-generator class (no SQL oracle): recall floor
-  * against the exact brute-force baseline, determinism, and quantizer
-  * invariants. */
+/** llm_ann_ivf — recall floor against the exact brute-force baseline,
+  * determinism, and quantizer invariants. Since round 9 the query is ALSO
+  * hash-exact oracle-checked (the DuckDB SQL replays the Lloyd training
+  * and search fold-for-fold — LlmVector.annIvfOracleSql); these floors
+  * remain the semantic "is the recall any good" check the hash can't
+  * express. */
 class IvfSpec extends AnyFunSuite {
   import TestSpark._
 
