@@ -713,32 +713,8 @@ object LlmVector {
 
   /** Reusable MinHash pipeline so tests can run it on synthetic corpora. */
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), split(col("text"), " ").as("words"))
-      .filter(size(col("words")) >= 3)
-      .select(col("doc_id"),
-        explode(array_distinct(expr(
-          """transform(sequence(0, size(words) - 3),
-            |  i -> concat_ws(' ', words[i], words[i+1], words[i+2]))"""
-            .stripMargin))).as("shingle"))
-      // h: full 64-bit shingle hash (verification sets — collisions change
-      // Jaccard only at 2^-64 odds); x = h mod P feeds the permutation
-      // hashes, where a collision merely correlates two signature rows.
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-      .withColumn("x", pmod(col("h"), lit(P)))
-    val sigCols = (0 until K).map { i =>
-      val a = 2L * i + 1
-      val b = (i.toLong * 12582917L + 104729L) % P
-      min(pmod(col("x") * a + b, lit(P))).as(s"s$i")
-    }
-    val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-    val rowsPerBand = K / bands
-    val bandHashes = (0 until bands).map { bi =>
-      xxhash64((bi * rowsPerBand until (bi + 1) * rowsPerBand)
-        .map(i => col(s"s$i")): _*)
-    }
-    val banded = sig.select(col("doc_id"),
-        posexplode(array(bandHashes: _*)).as(Seq("band_idx", "band_hash")))
+    val sh = minhashShingles(docs)
+    val banded = minhashBanded(sh)
     val cands = banded.alias("a")
       .join(banded.alias("b"),
         col("a.band_idx") === col("b.band_idx")
@@ -759,6 +735,44 @@ object LlmVector {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** (doc_id, h) 64-bit-hashed distinct 3-shingles — stage 1 of
+    * [[minhashPairs]], exposed so the skew stress can reuse the exact
+    * production shingling. h is the full 64-bit shingle hash
+    * (verification sets — collisions change Jaccard only at 2^-64 odds);
+    * x = h mod P feeds the permutation hashes, where a collision merely
+    * correlates two signature rows. */
+  private[graft] def minhashShingles(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), split(col("text"), " ").as("words"))
+    .filter(size(col("words")) >= 3)
+    .select(col("doc_id"),
+      explode(array_distinct(expr(
+        """transform(sequence(0, size(words) - 3),
+          |  i -> concat_ws(' ', words[i], words[i+1], words[i+2]))"""
+          .stripMargin))).as("shingle"))
+    .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    .withColumn("x", pmod(col("h"), lit(P)))
+
+  /** (doc_id, band_idx, band_hash) LSH band layout — stage 2 of
+    * [[minhashPairs]], exposed so the skew stress (ScaleStressSpec) can
+    * measure the candidate fan-out Σ_buckets C(size, 2) of the REAL band
+    * layout under an adversarial near-dup clique, not a reimplementation
+    * that could drift. */
+  private[graft] def minhashBanded(sh: DataFrame): DataFrame = {
+    val sigCols = (0 until K).map { i =>
+      val a = 2L * i + 1
+      val b = (i.toLong * 12582917L + 104729L) % P
+      min(pmod(col("x") * a + b, lit(P))).as(s"s$i")
+    }
+    val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val rowsPerBand = K / bands
+    val bandHashes = (0 until bands).map { bi =>
+      xxhash64((bi * rowsPerBand until (bi + 1) * rowsPerBand)
+        .map(i => col(s"s$i")): _*)
+    }
+    sig.select(col("doc_id"),
+      posexplode(array(bandHashes: _*)).as(Seq("band_idx", "band_hash")))
   }
 
   /** 64-bit SimHash of a document (tf-weighted word-hash bit votes). */
