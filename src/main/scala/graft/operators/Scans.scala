@@ -418,6 +418,8 @@ object Scans {
     * point: the source is the data. numPartitions=4 exercises the
     * source's distributed shape (each partition emits an interleaved
     * residue class, so the drain provably needs all partitions). */
+  private val rateRuns = new java.util.concurrent.atomic.AtomicInteger
+
   private val sourceStreamRate = Spec(
     "source_stream_rate",
     """SELECT CAST(i % 10 AS BIGINT) AS bucket, COUNT(*) AS n,
@@ -430,15 +432,20 @@ object Scans {
       .option("numPartitions", "4")
       .load()
       .select(col("value"))
-    val name = "graft_rate_stream"
+    // Unique sink name per invocation: a same-session re-run must get a
+    // fresh memory table, not the stopped predecessor's rows.
+    val name = "graft_rate_stream_" + rateRuns.incrementAndGet()
     val q = stream.writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     try {
       // Drain until the 0..n-1 prefix is complete. processAllAvailable
       // flushes what the source has GENERATED so far; the source keeps
       // generating with wall time, so poll-loop until the count arrives
-      // (bounded: 5000 rows/s ⇒ ~0.2 s of stream time, 30 s hard cap).
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      // (bounded: 5000 rows/s ⇒ ~0.2 s of stream time; the hard cap is
+      // 120 s — generous because the r8 driver bench proved multi-second
+      // machine-load stalls happen, and a cap abort here would fail the
+      // correctness row, not just slow it).
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
       var have = 0L
       while (have < n && System.nanoTime() < deadline) {
         q.processAllAvailable()
