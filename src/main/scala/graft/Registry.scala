@@ -21,8 +21,10 @@ object Spec {
       fn: (SparkSession, String) => DataFrame): Spec =
     Spec(name, fn, Some(sql))
 
-  /** Non-SQL-expressible operator (rows-only driver check; covered by
-    * scalatest instead). */
-  def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): Spec =
-    Spec(name, fn, None)
+  // The former `noOracle` convenience constructor was removed in round 9
+  // when its last two call sites (llm_ann_lsh/llm_ann_ivf) gained exact
+  // oracles. A genuinely non-SQL-expressible operator would still use the
+  // primary constructor with `oracle = None` — the driver contract's
+  // rows-only fallback remains supported; the registry just has no such
+  // operator today.
 }

@@ -276,11 +276,16 @@ object Joins {
     // shuffle volume S, so a threshold of estimate/16 fires as long as
     // E/S < 12.8 — double the old estimate/8 margin (E/S < 6.4), enough
     // headroom for a codec or schema change to move the ratio without
-    // silently disabling the split. False positives are impossible at
-    // any threshold: skewedPartitionFactor=2.0 also requires 2× the
-    // median, which the ~0.1×S cold partitions never reach. Advisory =
-    // half the threshold preserves the split granularity relationship
-    // the literals had (16KB/8KB).
+    // silently disabling the split. The skewedPartitionFactor=2.0
+    // median test is NO guard against cold-partition false positives
+    // here — with 3 join keys in 8 shuffle partitions the median
+    // partition is EMPTY, so any nonempty partition passes it; a cold
+    // split at E/S < 1.6 is possible and harmless (AQE skew splits
+    // preserve join results by construction; the cost is an extra task,
+    // and the JoinsSpec markers assert the HOT split happened, which
+    // the threshold alone governs). Advisory = half the threshold
+    // preserves the split granularity relationship the literals had
+    // (16KB/8KB).
     val factBytes = factBase.queryExecution.optimizedPlan.stats.sizeInBytes
     val skewThresholdBytes = (factBytes / 16).max(1)
     val advisoryBytes = (factBytes / 32).max(1)

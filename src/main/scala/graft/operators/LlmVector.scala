@@ -551,9 +551,10 @@ object LlmVector {
     * equi-join on the cell id scanning ~nProbe/k of the corpus. Cells adapt
     * to the data, so the recall/scan trade beats the data-oblivious
     * hyperplane LSH above; both are reported next to the exact baseline by
-    * the bench (`ann_recall`, `ivf_recall`). Candidate-generator by design
-    * (no oracle); IvfSpec asserts the ≥ 0.8 recall floor, determinism, and
-    * single-cell assignment.
+    * the bench (`ann_recall`, `ivf_recall`). Hash-exact oracle-checked
+    * since round 9 (the [[annIvfOracleSql]] Lloyd replay below); IvfSpec
+    * asserts the ≥ 0.8 recall floor, determinism, and single-cell
+    * assignment — the semantic quality the hash can't express.
     *
     * Shipped config (r4 AnnTune sweep at larger cell counts, VERDICT r3
     * #4): 48 cells, nProbe 19 — measured recall@5 0.90 at a 39.7 % scan
@@ -687,7 +688,7 @@ object LlmVector {
     * over xxhash64'd shingles. */
   private val P = 2038074743L
   private val K = 32
-  private val bands = 16 // × 2 rows/band
+  private[graft] val bands = 16 // × 2 rows/band; ScaleStressSpec bounds fan-out by it
 
   /** MinHash + LSH banding near-dup detection over 3-word shingles:
     * signatures via k permutation-hash mins (one groupBy), candidates via
@@ -904,14 +905,21 @@ object LlmVector {
     simhashPairs(Tables.documents(s, d).select(col("doc_id"), col("text")), 3)
   }
 
+  /** 64-bit signature split into this many equal chunks for the LSH join;
+    * pigeonhole completeness holds for maxHamming < simhashChunks.
+    * ScaleStressSpec measures chunk-bucket fan-out against this layout. */
+  private[graft] val simhashChunks = 4
+
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val chunkBits = 64 / simhashChunks
+    val chunkMask = (1L << chunkBits) - 1
     // native codegen expression, not a UDF (it was the one non-codegen
     // node in this pipeline); LlmSpec pins it bit-equal to simhash64
     val sigs = docs.select(col("doc_id"),
       org.apache.spark.sql.graft.SimHash64(col("text")).as("sig"))
     val chunked = sigs.select(col("doc_id"), col("sig"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("sig"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+      posexplode(array((0 until simhashChunks).map(i =>
+        shiftright(col("sig"), i * chunkBits).bitwiseAND(lit(chunkMask))): _*))
         .as(Seq("chunk_idx", "chunk")))
     chunked.alias("a")
       .join(chunked.alias("b"),

@@ -102,16 +102,18 @@ class ScaleStressSpec extends AnyFunSuite {
     val allPairs = advN.toLong * (advN - 1) / 2    // ~50 M
     assert(joinWork >= cliquePairs,
       s"clique must co-band at least once: $joinWork < $cliquePairs")
-    // Each of the 16 bands can co-bucket the clique at most once ⇒ the
-    // adversarial ceiling is bands·C(clique,2) plus organic band noise.
-    assert(joinWork <= 16L * cliquePairs + 20000L,
+    // Each band can co-bucket the clique at most once ⇒ the adversarial
+    // ceiling is bands·C(clique,2) plus organic band noise (the bound
+    // references the PRODUCTION band count so a tuning change retightens
+    // it automatically).
+    assert(joinWork <= LlmVector.bands.toLong * cliquePairs + 20000L,
       s"join work $joinWork exceeds the bands×clique² ceiling")
     // The scale claim: even with 5 % of the corpus in ONE near-dup
     // clique, the banded join does < 5 % of the all-pairs work.
     assert(joinWork <= allPairs / 20,
       s"join work $joinWork is not << all-pairs $allPairs")
     info(s"minhash band join work $joinWork vs clique $cliquePairs, " +
-      s"ceiling ${16L * cliquePairs}, all-pairs $allPairs")
+      s"ceiling ${LlmVector.bands.toLong * cliquePairs}, all-pairs $allPairs")
     // And the pipeline's OUTPUT under this skew is exactly the clique.
     val got = LlmVector.minhashPairs(docs, 0.7)
       .select("doc_a", "doc_b").collect()
@@ -134,14 +136,16 @@ class ScaleStressSpec extends AnyFunSuite {
     // Candidate mass of the 16-bit-chunk layout (same layout the
     // production join uses and the DuckDB oracle re-derives):
     // Σ_chunk Σ_value C(bucket, 2).
-    val chunkWork = (0 until 4).map { c =>
-      rows.groupBy { case (_, sig) => (sig >>> (c * 16)) & 0xffffL }
+    val nChunks = LlmVector.simhashChunks
+    val cBits = 64 / nChunks
+    val chunkWork = (0 until nChunks).map { c =>
+      rows.groupBy { case (_, sig) => (sig >>> (c * cBits)) & ((1L << cBits) - 1) }
         .map { case (_, g) => g.size.toLong * (g.size - 1) / 2 }.sum
     }.sum
     val cliquePairs = hotN.toLong * (hotN - 1) / 2
     val allPairs = advN.toLong * (advN - 1) / 2
-    assert(chunkWork <= 4L * cliquePairs + 30000L,
-      s"chunk candidate mass $chunkWork exceeds 4×clique² + noise")
+    assert(chunkWork <= nChunks.toLong * cliquePairs + 30000L,
+      s"chunk candidate mass $chunkWork exceeds chunks×clique² + noise")
     assert(chunkWork <= allPairs / 20,
       s"chunk candidate mass $chunkWork is not << all-pairs $allPairs")
     info(s"simhash chunk candidate mass $chunkWork vs clique " +
