@@ -13,9 +13,10 @@ import graft.sources.Tables
   */
 object Scans {
   def specs: Seq[Spec] = Seq(scanParquet, scanCsv, scanJson, scanOrc,
-    scanAvro, scanXml, sinkPartitioned, sourceStreamFile, sourceStreamRate,
-    sourceStreamSocket, sinkStreamForeach, sinkCompacted, scanBinaryFile,
-    scanCsvCorrupt, scanSchemaEvolve, scanManifestPruned)
+    scanAvro, scanXml, scanJdbc, scanStateStore, sinkPartitioned,
+    sourceStreamFile, sourceStreamRate, sourceStreamSocket,
+    sinkStreamForeach, sinkCompacted, scanBinaryFile, scanCsvCorrupt,
+    scanSchemaEvolve, scanManifestPruned)
 
   /** Manifest-driven file pruning — the metadata layer every table format
     * (Iceberg manifests, Delta stats, Hive+stats) puts between the query
@@ -391,6 +392,92 @@ object Scans {
       StructField("c_acctbal", DoubleType)))
     s.read.format("xml").option("rowTag", "customer").schema(schema)
       .load(tmp).orderBy(col("c_custkey"))
+  }
+
+  /** JDBC round-trip through EMBEDDED Derby (the derby jars ship in
+    * /opt/spark/jars for the Hive metastore, which makes `jdbc` — the
+    * genre's standard lookup-table/sink surface — exercisable with zero
+    * external infrastructure). Writes an orders slice to a Derby table,
+    * reads it back as a PARTITIONED JDBC scan (partitionColumn +
+    * lower/upper bound + numPartitions — the shape that turns a
+    * single-connection bottleneck into N parallel range queries, which is
+    * the only way a JDBC ingest survives scale; bounds come from the
+    * slice's own min/max, the same planning query a production ingest
+    * issues first). Columns are all numeric (BIGINT/DOUBLE are exact
+    * through JDBC; no text round-trip hazards), and the oracle recomputes
+    * the slice from the parquet source of truth. The explicit driver
+    * option pins Derby's embedded driver (10.15+ moved it to
+    * derbytools.jar, where ServiceLoader autoload is version-dependent).
+    */
+  private val scanJdbc = Spec(
+    "scan_jdbc",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders WHERE o_orderkey % 40 = 0
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val dbDir = scratch(s, "jdbc", d)
+    // Derby boots once per JVM; route its engine log away from the CWD.
+    System.setProperty("derby.stream.error.file", s"$dbDir-derby.log")
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    val slice = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 40 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    slice.write.mode("overwrite").format("jdbc")
+      .option("url", url).option("driver", driver)
+      .option("dbtable", "ORDERS_SLICE").save()
+    val b = slice.agg(min(col("o_orderkey")), max(col("o_orderkey")))
+      .collect()(0)
+    s.read.format("jdbc")
+      .option("url", url).option("driver", driver)
+      .option("dbtable", "ORDERS_SLICE")
+      .option("partitionColumn", "o_orderkey")
+      .option("lowerBound", b.getLong(0).toString)
+      .option("upperBound", b.getLong(1).toString)
+      .option("numPartitions", "4")
+      .load()
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Batch read of a streaming query's STATE via the `statestore` source —
+    * the state-introspection surface an operator of a 100 TB streaming
+    * pipeline reaches for when a stateful query misbehaves (what keys are
+    * in state? how big is each aggregate?), here demonstrated end-to-end:
+    * a checkpointed complete-mode aggregation over a deterministic series
+    * is run to completion, then its state store is read BACK as a batch
+    * DataFrame and projected to (key, running aggregate). The state rows
+    * live per shuffle partition; `partition_id` is deliberately NOT
+    * emitted (it is a function of the partition count, and results here
+    * are partition-independent by contract — the CPUS=4/7/8/32 sweeps).
+    * The oracle recomputes the aggregate from the same series: state
+    * after the final batch IS the aggregate, which is exactly the
+    * incrementalization contract Structured Streaming makes. Each
+    * invocation gets a fresh checkpoint (counter suffix) so the
+    * state-version lineage is identical on every run. */
+  private val stateStoreRuns = new java.util.concurrent.atomic.AtomicInteger
+
+  private val scanStateStore = Spec(
+    "scan_state_store",
+    """SELECT CAST(i % 7 AS BIGINT) AS k, COUNT(*) AS cnt
+      |FROM range(0, 600) t(i) GROUP BY 1 ORDER BY 1""".stripMargin) {
+    (s, d) =>
+    import org.apache.spark.sql.types._
+    val base = scratch(s, "statestore", d)
+    val run = stateStoreRuns.incrementAndGet()
+    val src = s"$base/src"
+    val ckpt = s"$base/ckpt_$run"
+    s.range(0, 600).select(col("id").as("v"))
+      .write.mode("overwrite").parquet(src)
+    val stream = s.readStream
+      .schema(StructType(Seq(StructField("v", LongType)))).parquet(src)
+      .withColumn("k", col("v") % 7)
+      .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+    val name = "graft_statestore_" + run
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("complete").option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.format("statestore").option("path", ckpt).load()
+      .select(col("key.k").as("k"), col("value.count").as("cnt"))
+      .orderBy(col("k"))
   }
 
   /** Hive-style partitioned parquet sink + partition-pruned read-back:
