@@ -492,4 +492,17 @@ class PlanSpec extends AnyFunSuite {
     // "*(n)" node prefixes mark whole-stage-codegen'd stages
     assert(p.contains("*("), p.take(800))
   }
+
+  test("scan_jdbc reads through a 4-partition parallel JDBC scan") {
+    // The whole point of the partitioned-read options is N concurrent
+    // range queries instead of one connection; pin the partition count
+    // at the scan RDD (the plan string does not carry it).
+    val df = SparkEntry.queries("scan_jdbc")(spark, SF001)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case r: org.apache.spark.sql.execution.RowDataSourceScanExec => r
+    }
+    assert(scans.nonEmpty, df.queryExecution.sparkPlan.toString.take(800))
+    assert(scans.head.inputRDD.getNumPartitions == 4,
+      s"JDBC scan has ${scans.head.inputRDD.getNumPartitions} partitions")
+  }
 }
