@@ -51,6 +51,34 @@ class StreamingRecoverySpec extends AnyFunSuite {
     assert(out.filter(!col("tag").endsWith("!")).count() == 0)
   }
 
+  test("state-metadata source surfaces the stateful operator's metadata") {
+    // Completes the registered-source story: statestore (the DATA twin)
+    // is a registry row (scan_state_store); state-metadata is its
+    // diagnostics twin — what keys does the checkpoint hold state FOR —
+    // and belongs at test level, not in the query registry. A stateful
+    // aggregation's checkpoint must list exactly one state operator with
+    // the aggregation's store name and the committed batch range.
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_statemeta").toString
+    val srcDir = s"$base/src"; val ckDir = s"$base/ck"
+    (0L until 100L).map(i => (i, i % 5)).toDF("v", "k")
+      .coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val q = spark.readStream.schema("v LONG, k LONG").parquet(srcDir)
+      .groupBy("k").count()
+      .writeStream.format("memory").queryName("graft_statemeta")
+      .outputMode("complete").option("checkpointLocation", ckDir).start()
+    try q.processAllAvailable() finally q.stop()
+    val md = spark.read.format("state-metadata").load(ckDir)
+    val rows = md.select("operatorId", "operatorName", "stateStoreName",
+      "minBatchId", "maxBatchId").collect()
+    assert(rows.length == 1, md.collect().mkString("; "))
+    val r = rows(0)
+    assert(r.getLong(0) == 0L)
+    assert(r.getString(1) == "stateStoreSave", r.toString)
+    assert(r.getString(2) == "default")
+    assert(r.getLong(3) == 0L && r.getLong(4) >= 0L, r.toString)
+  }
+
   test("multi-batch incremental aggregation converges to the batch result") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
