@@ -681,6 +681,18 @@ object LlmVector {
   }
 
   private val annIvf = Spec("llm_ann_ivf", annIvfOracleSql) { (s, d) =>
+    // ADVICE r9 #3: the oracle above hardcodes ivfK cells and dims 0..63
+    // while the Scala path adapts — pin the domain restriction as a named
+    // runtime check so a future fixture outside it fails with a reason,
+    // not as an opaque hash mismatch.
+    val probe = Tables.embeddings(s, d)
+      .agg(count(lit(1)), min(size(col("embedding"))),
+        max(size(col("embedding")))).collect()(0)
+    require(probe.getLong(0) >= ivfK && probe.getInt(1) == 64
+        && probe.getInt(2) == 64,
+      s"llm_ann_ivf oracle domain: needs >= $ivfK vectors of dim 64, " +
+        s"fixture has ${probe.getLong(0)} vectors, dims " +
+        s"${probe.getInt(1)}..${probe.getInt(2)} under $d")
     ivfTopk(s, Tables.embeddings(s, d), ivfK, ivfNProbe)
   }
 

