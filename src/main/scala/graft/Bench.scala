@@ -143,11 +143,25 @@ object Bench {
     val (failed, ok) = results.toSeq.partition(_._2 < 0)
     val ordered = failed ++ ok.sortBy(-_._2)
     val entries = ordered.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    // Execution-order positions of the slowest queries (VERDICT r9 #3):
+    // the r8/r9 spike adjudications hinged on whether the outliers were
+    // ADJACENT in execution order (one machine-load window inflates a
+    // contiguous run; independent regressions scatter). pos15[i] is the
+    // 0-based execution index — the queries-map iteration order the timed
+    // loop actually ran — of the i-th entry of the "queries" object below
+    // (which is ordered failures-first, then slowest-first, exactly like
+    // pos15). An aligned array costs ~80 chars where a name-keyed object
+    // would cost ~300 of the stdout budget.
+    val execIdx: Map[String, Int] =
+      SparkEntry.queries.keys.zipWithIndex.toMap
+    val pos15 = ordered.take(15).map { case (k, _) => execIdx(k) }
+      .mkString("[", ",", "]")
     // BENCH_r01.json showed the driver keeps exactly the last 2000 chars of
-    // stdout, and sbt's "[success] ..." (~70 chars) trails our line. 1500
-    // chars of query map keeps the whole line ≤ ~1.65 KB: fully inside the
-    // window with margin, while recording ~60 of 87 per-query timings.
-    val budget = 1500
+    // stdout, and sbt's "[success] ..." (~70 chars) trails our line. 1420
+    // chars of query map (1500 until round 10, shaved to make room for
+    // pos15) keeps the whole line ≤ ~1.65 KB: fully inside the window with
+    // margin, while recording ~55-60 of the slowest per-query timings.
+    val budget = 1420
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
     entries.foreach { e =>
@@ -160,7 +174,7 @@ object Bench {
     // numbers are steady-state, round-over-round compares stop seeing
     // billing drift. -1 ⇒ the materialization failed (stderr has why).
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${entries.length},"omitted":$omitted,"materialize_pairs":${fmt(matPairs)},"materialize_ps":${fmt(matPs)},"materialize_bpe":${fmt(matBpe)},"gc_sec":${fmt(gcSec)},"ann_recall":${fmt(annRecall)},"ivf_recall":${fmt(ivfRecall)},"shuffle_mb":${fmt(benchShuffleBytes / 1e6)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${entries.length},"omitted":$omitted,"pos15":$pos15,"materialize_pairs":${fmt(matPairs)},"materialize_ps":${fmt(matPs)},"materialize_bpe":${fmt(matBpe)},"gc_sec":${fmt(gcSec)},"ann_recall":${fmt(annRecall)},"ivf_recall":${fmt(ivfRecall)},"shuffle_mb":${fmt(benchShuffleBytes / 1e6)},"sf":"$sfDir"}"""
     // Full per-query map to stderr (driver ignores stderr): the stdout
     // line's budget keeps only the slowest ~60, and noise analysis
     // (BASELINE.md "noise floor") wants every query from both runs.
@@ -174,7 +188,8 @@ object Bench {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper
     val tree = mapper.readTree(line)
     require(tree.isObject && tree.has("value") && tree.get("value").isNumber
-        && tree.has("queries") && tree.get("queries").isObject,
+        && tree.has("queries") && tree.get("queries").isObject
+        && tree.has("pos15") && tree.get("pos15").isArray,
       "bench JSON self-check failed")
     require(line.length <= 1900,
       s"bench line ${line.length} chars risks the driver's 2000-char tail")

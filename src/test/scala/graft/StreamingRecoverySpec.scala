@@ -52,10 +52,10 @@ class StreamingRecoverySpec extends AnyFunSuite {
   }
 
   test("state-metadata source surfaces the stateful operator's metadata") {
-    // Completes the registered-source story: statestore (the DATA twin)
-    // is a registry row (scan_state_store); state-metadata is its
-    // diagnostics twin — what keys does the checkpoint hold state FOR —
-    // and belongs at test level, not in the query registry. A stateful
+    // statestore (the DATA twin) and state-metadata (the diagnostics
+    // twin) are both registry rows since round 10 (scan_state_store /
+    // scan_state_metadata); this test additionally pins the semantics on
+    // an independently-built multi-batch-capable checkpoint: a stateful
     // aggregation's checkpoint must list exactly one state operator with
     // the aggregation's store name and the committed batch range.
     import spark.implicits._
