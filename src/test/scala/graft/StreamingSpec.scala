@@ -17,12 +17,29 @@ import graft.streaming.{Funnel, StreamingOps}
   * asserts identical output — the incrementalization guarantee the batch
   * twins in SparkEntry.queries rely on. Late-data tests then check the one
   * place streaming legitimately diverges: rows behind the watermark.
+  *
+  * The suite is PARAMETERIZED over the state-store provider (VERDICT r9
+  * #5): [[StreamingSpec]] runs it on the default HDFS-backed in-memory
+  * store, [[StreamingRocksDbParitySpec]] re-runs the identical assertions
+  * under RocksDB + changelog checkpointing (the production provider at
+  * 100 TB of state). The expected values are shared — defined once, in
+  * the test bodies here — so a per-provider semantic difference cannot
+  * hide: either suite failing falsifies the provider-independence claim.
   */
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double)
 
-class StreamingSpec extends AnyFunSuite {
+abstract class StreamingParityBase extends AnyFunSuite {
   import TestSpark._
+
+  /** Provider tag appended to every test name (drives suite reporting). */
+  protected def providerTag: String
+  /** Runs a test body with this suite's state-store provider active. */
+  protected def withProvider[A](body: => A): A
+
+  /** A parity test, tagged and wrapped with the suite's provider. */
+  protected def ptest(name: String)(body: => Unit): Unit =
+    test(s"$name [$providerTag]")(withProvider(body))
 
   /** Run a streaming transform over a one-batch MemoryStream replay and
     * collect the complete/append result. */
@@ -42,7 +59,7 @@ class StreamingSpec extends AnyFunSuite {
   private def sortedRows(rows: Array[org.apache.spark.sql.Row]) =
     rows.map(_.toString).sorted.toSeq
 
-  test("tumbling window agg: stream == batch") {
+  ptest("tumbling window agg: stream == batch") {
     import spark.implicits._
     val evs = fixtureEvents(400)
     val streamed = runStream(evs, OutputMode.Complete())(df =>
@@ -51,7 +68,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(streamed) == sortedRows(batch))
   }
 
-  test("session window agg: stream == batch") {
+  ptest("session window agg: stream == batch") {
     import spark.implicits._
     val evs = fixtureEvents(400)
     val streamed = runStream(evs, OutputMode.Complete())(df =>
@@ -60,7 +77,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(streamed) == sortedRows(batch))
   }
 
-  test("stream-static join: stream == batch") {
+  ptest("stream-static join: stream == batch") {
     import spark.implicits._
     val evs = fixtureEvents(300)
     val cust = graft.sources.Tables.customer(spark, SF001)
@@ -71,7 +88,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(streamed) == sortedRows(batch))
   }
 
-  test("stream-stream interval join: stream == batch") {
+  ptest("stream-stream interval join: stream == batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     // fixture events are sparse (~1 pair within 10 min at sf0.001), so the
@@ -98,7 +115,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(streamed) == sortedRows(batch))
   }
 
-  test("stream-stream LEFT OUTER join: stream == batch incl. null rows") {
+  ptest("stream-stream LEFT OUTER join: stream == batch incl. null rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val evs = fixtureEvents(600)
@@ -136,7 +153,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(streamed) == sortedRows(batch))
   }
 
-  test("stream-stream FULL OUTER join: stream == batch, both-side eviction") {
+  ptest("stream-stream FULL OUTER join: stream == batch, both-side eviction") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val evs = fixtureEvents(600)
@@ -177,7 +194,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(streamed) == sortedRows(batch))
   }
 
-  test("watermark drops late rows past the boundary") {
+  ptest("watermark drops late rows past the boundary") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     def ev(id: Long, minute: Int): Ev =
@@ -207,7 +224,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(w1000) == 2L, "late row must not be counted")
   }
 
-  test("dropDuplicatesWithinWatermark removes injected dups") {
+  ptest("dropDuplicatesWithinWatermark removes injected dups") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val evs = fixtureEvents(100)
@@ -226,7 +243,7 @@ class StreamingSpec extends AnyFunSuite {
       evs.length)
   }
 
-  test("stateful funnel: flatMapGroupsWithState == batch mapGroups") {
+  ptest("stateful funnel: flatMapGroupsWithState == batch mapGroups") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val evs = fixtureEvents(500)
@@ -270,7 +287,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(streamedFinal.toArray) == sortedRows(batch))
   }
 
-  test("watermark eviction BOUNDS join state: late batches don't grow it") {
+  ptest("watermark eviction BOUNDS join state: late batches don't grow it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     // The 100 TB streaming claim is that state is bounded by the
@@ -311,7 +328,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("chained stateful: stream-stream join then windowed agg, ONE query") {
+  ptest("chained stateful: stream-stream join then windowed agg, ONE query") {
     // Two state stores in one streaming query: the interval join's
     // symmetric hash state feeding a tumbling window's agg state.
     // Protocol (sentinel flush, batch-twin parity) lives in ChainedStream
@@ -324,7 +341,7 @@ class StreamingSpec extends AnyFunSuite {
         s"(${o.batch.length})")
   }
 
-  test("chained join->window state survives a checkpoint restart") {
+  ptest("chained join->window state survives a checkpoint restart") {
     // VERDICT r7 #2, provider-default form: half the input, STOP, a new
     // query incarnation resumes from the checkpoint, rest of the input.
     // Committed offsets mean the first half is never re-read, so parity
@@ -343,7 +360,7 @@ class StreamingSpec extends AnyFunSuite {
         "boundary did not split the work, so this proved nothing")
   }
 
-  test("incremental restart: a third run with no new files emits nothing") {
+  ptest("incremental restart: a third run with no new files emits nothing") {
     import org.apache.spark.sql.streaming.Trigger
     // run the registered query (two AvailableNow incarnations), then
     // restart a THIRD incarnation on the same checkpoint with no new
@@ -366,5 +383,49 @@ class StreamingSpec extends AnyFunSuite {
       s"restart with no new files re-emitted rows: ${out3.length} vs ${out1.length}")
     // and the two-run result is exactly-once: event_ids are unique
     assert(out1.map(_.getLong(0)).distinct.length == out1.length)
+  }
+}
+
+/** The §2.9 parity family on the DEFAULT (HDFS-backed in-memory) state
+  * store provider — the out-of-the-box configuration. */
+class StreamingSpec extends StreamingParityBase {
+  protected def providerTag = "hdfs-default"
+  protected def withProvider[A](body: => A): A = body
+}
+
+/** The identical §2.9 parity family under RocksDB + changelog
+  * checkpointing (TestSpark.withRocksDb — the one shared conf swap, so
+  * the deployment configuration cannot drift between suites). Every
+  * assertion and expected value is inherited unchanged from
+  * [[StreamingParityBase]]: green here means the provider swap changed
+  * NOTHING observable, which is the provider-independence claim SURVEY
+  * §2.9 makes. The witness test below proves the swap was in effect for
+  * this suite (the provider is invisible in the logical plan — state
+  * operator custom metrics are the only honest evidence), so the other
+  * 12 tests' green cannot come from silently running on the default
+  * store. */
+class StreamingRocksDbParitySpec extends StreamingParityBase {
+  import scala.jdk.CollectionConverters._
+  import TestSpark._
+
+  protected def providerTag = "rocksdb"
+  protected def withProvider[A](body: => A): A = TestSpark.withRocksDb(body)
+
+  ptest("provider witness: state operators report rocksdb metrics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(fixtureEvents(200))
+    val name = s"graft_rockswit_${System.nanoTime()}"
+    val q = StreamingOps.tumblingAgg(mem.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val metrics = q.lastProgress.stateOperators.head.customMetrics.asScala
+      assert(metrics.keys.exists(_.toLowerCase.contains("rocksdb")),
+        s"no rocksdb custom metrics — the provider swap is NOT in " +
+          s"effect for this suite: ${metrics.keys.toSeq.sorted.take(10)}")
+    } finally q.stop()
   }
 }
