@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.Spec
 import graft.functions.{Det, Sql}
@@ -108,27 +108,22 @@ object Joins {
     * The residual compares the raw timestamps, so correctness never
     * depends on the binning; PlanSpec asserts the equi-join shape (no
     * nested loop). Oracle: the plain theta join. */
-  private val rangeBin = Spec(
-    "join_range_bin",
-    s"""SELECT o_orderkey, COUNT(*) AS n_shipped,
-       |  ${Sql.dsum("l_extendedprice", "sum_price")}
-       |FROM orders JOIN lineitem
-       |  ON l_shipdate >= o_orderdate
-       |  AND l_shipdate < o_orderdate + INTERVAL 30 DAY
-       |WHERE o_orderkey % 499 = 0
-       |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin) { (s, d) =>
-    val binDays = 32L
+  /** The bin-equi-join core of `join_range_bin`, factored out so the
+    * adversarial ScaleStress corpus (every interval in ONE bin) exercises
+    * the exact production plan (VERDICT r9 #6). `intervals` must carry
+    * (o_orderkey, o_orderdate), `points` (l_extendedprice, l_shipdate). */
+  def rangeBinAgg(intervals: DataFrame, points: DataFrame,
+      binDays: Long = 32L): DataFrame = {
     val day = (c: Column) => // NTZ-safe epoch-day (fixture dates are midnights)
       datediff(c.cast("date"), lit("1970-01-01").cast("date")).cast("long")
-    val ivals = Tables.orders(s, d)
-      .filter(pmod(col("o_orderkey"), lit(499)) === 0)
+    val ivals = intervals
       .select(col("o_orderkey"), col("o_orderdate"),
         day(col("o_orderdate")).as("sd"))
       .select(col("o_orderkey"), col("o_orderdate"),
         explode(array_distinct(array(
           expr(s"sd div $binDays"),
           expr(s"(sd + 30) div $binDays")))).as("bin"))
-    val pts = Tables.lineitem(s, d)
+    val pts = points
       .select(col("l_extendedprice"), col("l_shipdate"),
         expr(s"datediff(CAST(l_shipdate AS DATE), DATE'1970-01-01')" +
           s" div $binDays").as("bin"))
@@ -139,6 +134,20 @@ object Joins {
       .agg(count(lit(1)).as("n_shipped"),
         Det.dsum(col("l_extendedprice")).as("sum_price"))
       .orderBy(col("o_orderkey"))
+  }
+
+  private val rangeBin = Spec(
+    "join_range_bin",
+    s"""SELECT o_orderkey, COUNT(*) AS n_shipped,
+       |  ${Sql.dsum("l_extendedprice", "sum_price")}
+       |FROM orders JOIN lineitem
+       |  ON l_shipdate >= o_orderdate
+       |  AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+       |WHERE o_orderkey % 499 = 0
+       |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    rangeBinAgg(
+      Tables.orders(s, d).filter(pmod(col("o_orderkey"), lit(499)) === 0),
+      Tables.lineitem(s, d))
   }
 
   /** Fuzzy (edit-distance) self-match — the entity-resolution primitive
@@ -171,6 +180,21 @@ object Joins {
     val names = graft.sources.RelationCache.getOrPersist(s, "fuzzy_dict", d) {
       Tables.part(s, d).select(col("p_name")).distinct()
     }
+    fuzzyBlocked(names)
+  }
+
+  /** The blocking + candidate-verify core of `join_fuzzy`, factored out so
+    * the adversarial ScaleStress corpus (a same-length name clique, the
+    * regime where blocking is quadratic WITHIN the block) exercises the
+    * exact production plan (VERDICT r9 #6). `names` must carry a single
+    * `p_name` column. The verify step uses the THRESHOLDED levenshtein
+    * (round 10): with a bound of 3 the DP early-exits after a band of
+    * width ~3 instead of filling the full |a|·|b| matrix — on candidate
+    * pairs that are mostly non-matches (the common case at scale) that
+    * turns the verify cost from O(L²) to O(L) per pair. Values ≤ 3 are
+    * exact, so the `dist ≤ 2` output is identical to the unbounded form
+    * (and to the DuckDB oracle's full levenshtein). */
+  def fuzzyBlocked(names: DataFrame): DataFrame = {
     val a = names
       .withColumn("blk", explode(sequence(
         length(col("p_name")) - 1, length(col("p_name")) + 1)))
@@ -180,8 +204,8 @@ object Joins {
     a.join(b, Seq("blk"))
       .filter(col("name_a") < col("name_b"))
       .withColumn("dist",
-        levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .filter(col("dist") <= 2)
+        levenshtein(col("name_a"), col("name_b"), 3).cast("long"))
+      .filter(col("dist").between(0, 2))
       .select(col("name_a"), col("name_b"), col("dist"))
       .orderBy(col("name_a"), col("name_b"))
   }
