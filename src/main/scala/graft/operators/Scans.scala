@@ -859,8 +859,15 @@ object Scans {
       d: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The ts pin must match the file's stored type exactly (LongType for
+    // the legacy ns fixture generation, TIMESTAMP_NTZ for the current µs
+    // one) — derive it from the batch footer read instead of hardcoding,
+    // so a fixture regeneration can't silently skew the streaming schema.
+    // No streaming consumer projects ts (they filter/project other
+    // columns), so no downstream normalization is needed here.
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType),
+      StructField("ts", graft.sources.Tables.eventsRawTsType(s, d)),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     import java.nio.file.{Files, LinkOption, Paths}

@@ -40,23 +40,31 @@ object Tables {
       spark.read.parquet(s"$sfDir/$name.parquet"))
   }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4.1 refuses to
-    * read natively ([PARQUET_TYPE_ILLEGAL]). We read it as a raw long via
-    * the legacy conf and truncate ns→µs with integer division — exactly the
-    * truncation DuckDB applies when it reads the same column as its µs
-    * TIMESTAMP, so oracle comparisons line up bit-for-bit.
-    *
-    * The conf is deliberately left set for the session rather than
-    * restored: it only changes how TIMESTAMP(NANOS) columns parse, the
-    * fixtures' only such column is events.ts (FIXTURES.md), and restoring
-    * it at query-BUILD time would race with Spark's lazy evaluation (the
-    * scan reads the conf at execution). */
+  /** `events.ts` has shipped in two fixture generations: parquet
+    * TIMESTAMP(NANOS) (pre-2026-08-13 regeneration), which Spark 4.1
+    * refuses to read natively ([PARQUET_TYPE_ILLEGAL]) and we instead read
+    * as a raw long via the legacy conf, and plain TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (current), which Spark reads directly as
+    * TIMESTAMP_NTZ. The conf is safe to set unconditionally — it only
+    * changes how TIMESTAMP(NANOS) columns parse and is a no-op on a µs
+    * file — and is deliberately left set for the session rather than
+    * restored: restoring it at query-BUILD time would race with Spark's
+    * lazy evaluation (the scan reads the conf at execution).
+    * [[events]] normalizes both generations to the same column type. */
   private def eventsRaw(s: SparkSession, d: String): DataFrame = {
     evictOnStop(s)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     relationCache.getOrElseUpdate((s, s"$d/events.parquet#nanosAsLong"),
       s.read.parquet(s"$d/events.parquet"))
   }
+
+  /** The `ts` type as stored in the fixture file (LongType for the legacy
+    * ns generation under the nanosAsLong conf, TimestampNTZType for the
+    * current µs generation) — the streaming file source pins its schema to
+    * this, since a streaming schema pin must match the file exactly. */
+  def eventsRawTsType(s: SparkSession, d: String):
+      org.apache.spark.sql.types.DataType =
+    eventsRaw(s, d).schema("ts").dataType
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
@@ -65,9 +73,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  /** Events with `ts` normalized to session-local TIMESTAMP micros — the
+    * type every registered consumer (window(), unix_micros, watermarks,
+    * getTimestamp extraction) was built and oracle-validated against —
+    * regardless of which fixture generation is on disk:
+    *  - legacy ns-as-long: truncate ns→µs with integer division, exactly
+    *    the truncation DuckDB applies reading the same column;
+    *  - current µs TIMESTAMP_NTZ: cast NTZ→TIMESTAMP, which interprets the
+    *    wall-clock value in the session timezone (pinned UTC by every
+    *    entrypoint), i.e. the identical epoch-µs value DuckDB's epoch_us()
+    *    computes from its naive TIMESTAMP read of the same file. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    eventsRaw(s, d).withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    val raw = eventsRaw(s, d)
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts read as unexpected type $other; expected ns-as-long " +
+          "(legacy fixture + nanosAsLong conf) or TIMESTAMP_NTZ (µs fixture)")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
