@@ -23,8 +23,9 @@ import graft.sources.Tables
   * symmetric hash joins whose state is bounded by the watermark + interval
   * condition — both shapes run unchanged on a 1000-executor cluster.
   *
-  * Event time: all arithmetic is epoch-µs integers (ns-precision parquet
-  * vs Spark-µs hazard — FIXTURES.md §hazards).
+  * Event time: all arithmetic is epoch-µs integers (fixture-generation
+  * precision hazard, ns pre-regeneration vs µs current — FIXTURES.md
+  * §hazards; Tables.events normalizes both to TIMESTAMP µs).
   */
 object StreamingOps {
   def specs: Seq[Spec] = Seq(tumbling, sliding, session, watermarkLate,

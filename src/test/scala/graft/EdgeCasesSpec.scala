@@ -133,4 +133,41 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(shapes == Seq("OBJECT<k: BIGINT>"),
       s"props shape drifted: $shapes — update fn_variant's oracle literal")
   }
+
+  test("Tables.events normalizes both fixture generations to the same TIMESTAMP µs") {
+    // The driver regenerated /root/testdata on 2026-08-13, flipping
+    // events.ts from TIMESTAMP(NANOS) to TIMESTAMP(MICROS, naive).
+    // Tables.events must yield the identical session-local TIMESTAMP µs
+    // column for BOTH physical layouts — synthesize one fixture per
+    // generation holding the same logical instant and compare. (The
+    // legacy generation is stood in for by a raw int64-of-ns column: the
+    // nanosAsLong conf makes a true TIMESTAMP(NANOS) column read as
+    // exactly that, and Spark cannot write TIMESTAMP(NANOS) itself.)
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val us = 1704067200123456L // 2024-01-01 00:00:00.123456 UTC
+    val ns = us * 1000L + 789L // sub-µs tail the legacy path truncates away
+    val dLegacy = java.nio.file.Files.createTempDirectory("graft_gen_ns").toString
+    Seq((1L, ns, 10L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dLegacy/events.parquet")
+    val dCurrent = java.nio.file.Files.createTempDirectory("graft_gen_us").toString
+    Seq((1L, 10L, "view", 1.0, "{}"))
+      .toDF("event_id", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(lit(us)).cast(TimestampNTZType))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dCurrent/events.parquet")
+    val legacy = graft.sources.Tables.events(spark, dLegacy)
+    val current = graft.sources.Tables.events(spark, dCurrent)
+    assert(legacy.schema("ts").dataType == TimestampType)
+    assert(current.schema("ts").dataType == TimestampType)
+    val a = legacy.select(col("ts")).collect().head.getTimestamp(0)
+    val b = current.select(col("ts")).collect().head.getTimestamp(0)
+    assert(a == b, s"generations diverged: legacy=$a current=$b")
+    assert(a.toInstant == java.time.Instant.ofEpochSecond(
+      us / 1000000L, (us % 1000000L) * 1000L))
+    // the streaming file source derives its schema pin from the raw type
+    assert(graft.sources.Tables.eventsRawTsType(spark, dLegacy) == LongType)
+    assert(graft.sources.Tables.eventsRawTsType(spark, dCurrent) == TimestampNTZType)
+  }
 }
