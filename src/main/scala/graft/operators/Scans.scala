@@ -204,6 +204,36 @@ object Scans {
     * bytes/targetFileSize and `maxRecordsPerFile`, and the rewrite runs
     * per partition-directory; the plan shape (scan → round-robin exchange
     * → write) is the same. */
+  /** One fragmented events copy per (session, sfDir) — VERDICT r10 #3.
+    * The 64-shard generation is sink_compacted's INPUT (the "long-lived
+    * ingest left thousands of small files" precondition), not the
+    * operation under demonstration; writing it on every invocation made
+    * the query the largest single bench line (~2–3.2 s) for cost that is
+    * pure setup. Memoized exactly like [[statefulCheckpoint]]: built once,
+    * shared by every invocation in the session, pre-payable by Bench as
+    * its own `materialize_frag` field so the timed line measures ONLY the
+    * compaction rewrite. The entry evicts with the session; the directory
+    * itself is scratch-registered for deletion at context end. */
+  private val fragCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), String]
+
+  private[graft] def fragmentedEvents(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val abs = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
+    fragCache.computeIfAbsent((s, abs), { _ =>
+      val frag = scratch(s, "compact_frag", d)
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(frag)
+      graft.sources.SessionHooks.onApplicationEnd(s, s"compact-frag-$abs") {
+        () => fragCache.remove((s, abs)); ()
+      }
+      frag
+    })
+  }
+
   private val sinkCompacted = Spec(
     "sink_compacted",
     """SELECT event_id, event_type, value FROM events
@@ -213,12 +243,8 @@ object Scans {
       if (!f.isDirectory) 0
       else f.listFiles().count(_.getName.endsWith(".parquet"))
     }
-    val frag = scratch(s, "compact_frag", d)
+    val frag = fragmentedEvents(s, d)
     val out = scratch(s, "compact_out", d)
-    Tables.events(s, d)
-      .select(col("event_id"), col("event_type"), col("value"))
-      .repartition(64)
-      .write.mode("overwrite").parquet(frag)
     s.read.parquet(frag)
       .repartition(4)
       .write.mode("overwrite").parquet(out)
@@ -855,7 +881,7 @@ object Scans {
     * target is absolutized (a relative sfDir would otherwise resolve
     * against the temp dir) and stale/broken links are replaced, not
     * trusted. */
-  private def eventsFileStream(s: org.apache.spark.sql.SparkSession,
+  private[graft] def eventsFileStream(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -863,8 +889,11 @@ object Scans {
     // the legacy ns fixture generation, TIMESTAMP_NTZ for the current µs
     // one) — derive it from the batch footer read instead of hardcoding,
     // so a fixture regeneration can't silently skew the streaming schema.
-    // No streaming consumer projects ts (they filter/project other
-    // columns), so no downstream normalization is needed here.
+    // The raw ts is then normalized through the SAME Tables.normalizeTs
+    // the batch path uses (ADVICE r10 #3): today's streaming consumers
+    // don't project ts, but a future one that does now sees the
+    // batch-identical session-local TIMESTAMP µs instead of a silently
+    // generation-dependent raw Long / TIMESTAMP_NTZ.
     val schema = StructType(Seq(
       StructField("event_id", LongType),
       StructField("ts", graft.sources.Tables.eventsRawTsType(s, d)),
@@ -881,7 +910,8 @@ object Scans {
       Files.delete(link)
     if (!Files.exists(link, LinkOption.NOFOLLOW_LINKS))
       Files.createSymbolicLink(link, target)
-    s.readStream.schema(schema).parquet(srcDir.toString)
+    graft.sources.Tables.normalizeTs(
+      s.readStream.schema(schema).parquet(srcDir.toString))
   }
 
   /** Streaming `foreachBatch` sink with the idempotent per-batch-directory

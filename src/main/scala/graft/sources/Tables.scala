@@ -29,13 +29,45 @@ object Tables {
   private val relationCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
+  /** First-seen mtime per (session, fixture path) — ADVICE r10 #1. The
+    * memoized relation above caches the parquet footer read (and
+    * [[eventsRawTsType]] pins the streaming schema to it), which is only
+    * sound under the driver contract "fixtures are immutable for a
+    * session's lifetime". The driver HAS regenerated `/root/testdata` in
+    * place once already (2026-08-13, between sessions — absorbed); if it
+    * ever regenerates MID-session, the next [[load]]/[[eventsRaw]] call
+    * fails here with one attributable error naming the file, instead of
+    * surfacing as a stale-plan hash mismatch or a silently skewed
+    * streaming schema pin. Checked on EVERY call (one stat(2) per query
+    * build — noise next to the footer read the cache avoids). Keyed and
+    * evicted exactly like the relation entries, so a post-regeneration
+    * NEW session legitimately re-records fresh mtimes. */
+  private val mtimeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Long]
+
+  private def guardMtime(s: SparkSession, path: String): Unit = {
+    val now = new java.io.File(path).lastModified()
+    mtimeCache.putIfAbsent((s, path), now) match {
+      case Some(first) if first != now =>
+        throw new IllegalStateException(
+          s"fixture $path changed mid-session (mtime $first -> $now): " +
+            "the driver regenerated testdata in place, so every memoized " +
+            "relation and schema pin for it is stale — restart the " +
+            "session/JVM and re-run (FixtureContractSpec names any " +
+            "logical-schema drift)")
+      case _ => ()
+    }
+  }
+
   private def evictOnStop(s: SparkSession): Unit =
     SessionHooks.onApplicationEnd(s, "tables") { () =>
       relationCache.keys.filter(_._1 eq s).foreach(relationCache.remove)
+      mtimeCache.keys.filter(_._1 eq s).foreach(mtimeCache.remove)
     }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     evictOnStop(spark)
+    guardMtime(spark, s"$sfDir/$name.parquet")
     relationCache.getOrElseUpdate((spark, s"$sfDir/$name.parquet"),
       spark.read.parquet(s"$sfDir/$name.parquet"))
   }
@@ -53,6 +85,7 @@ object Tables {
     * [[events]] normalizes both generations to the same column type. */
   private def eventsRaw(s: SparkSession, d: String): DataFrame = {
     evictOnStop(s)
+    guardMtime(s, s"$d/events.parquet")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     relationCache.getOrElseUpdate((s, s"$d/events.parquet#nanosAsLong"),
       s.read.parquet(s"$d/events.parquet"))
@@ -83,12 +116,29 @@ object Tables {
     *    wall-clock value in the session timezone (pinned UTC by every
     *    entrypoint), i.e. the identical epoch-µs value DuckDB's epoch_us()
     *    computes from its naive TIMESTAMP read of the same file. */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(eventsRaw(s, d))
+
+  /** The generation-normalization itself, factored out so the streaming
+    * file source (Scans.eventsFileStream, which pins its schema to the
+    * RAW stored type) applies the IDENTICAL transform and a streaming
+    * consumer that projects `ts` sees the same values as the batch path
+    * (ADVICE r10 #3) — works unchanged on batch and streaming relations
+    * (pure column expressions, no actions). */
+  private[graft] def normalizeTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    val raw = eventsRaw(s, d)
     raw.schema("ts").dataType match {
       case LongType =>
+        // ns→µs via `div` = truncation toward zero — bit-for-bit what
+        // DuckDB's epoch_us() does reading the same ns column ON THE
+        // FIXTURE'S ALL-POSITIVE (2024+) DOMAIN, where truncation and
+        // floor-division coincide. For pre-epoch (negative) ns they
+        // diverge (div rounds toward zero, floor rounds down); the
+        // contract is PARITY with the oracle, not either convention in
+        // isolation, so if pre-epoch events ever become possible both
+        // engines' conventions must be re-checked together (ADVICE r10
+        // #2).
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast(TimestampType))

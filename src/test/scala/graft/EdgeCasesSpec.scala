@@ -148,26 +148,69 @@ class EdgeCasesSpec extends AnyFunSuite {
     val us = 1704067200123456L // 2024-01-01 00:00:00.123456 UTC
     val ns = us * 1000L + 789L // sub-µs tail the legacy path truncates away
     val dLegacy = java.nio.file.Files.createTempDirectory("graft_gen_ns").toString
-    Seq((1L, ns, 10L, "view", 1.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .write.mode("overwrite").parquet(s"$dLegacy/events.parquet")
     val dCurrent = java.nio.file.Files.createTempDirectory("graft_gen_us").toString
-    Seq((1L, 10L, "view", 1.0, "{}"))
-      .toDF("event_id", "user_id", "event_type", "value", "props")
-      .withColumn("ts", timestamp_micros(lit(us)).cast(TimestampNTZType))
-      .select("event_id", "ts", "user_id", "event_type", "value", "props")
-      .write.mode("overwrite").parquet(s"$dCurrent/events.parquet")
-    val legacy = graft.sources.Tables.events(spark, dLegacy)
-    val current = graft.sources.Tables.events(spark, dCurrent)
-    assert(legacy.schema("ts").dataType == TimestampType)
-    assert(current.schema("ts").dataType == TimestampType)
-    val a = legacy.select(col("ts")).collect().head.getTimestamp(0)
-    val b = current.select(col("ts")).collect().head.getTimestamp(0)
-    assert(a == b, s"generations diverged: legacy=$a current=$b")
-    assert(a.toInstant == java.time.Instant.ofEpochSecond(
-      us / 1000000L, (us % 1000000L) * 1000L))
-    // the streaming file source derives its schema pin from the raw type
-    assert(graft.sources.Tables.eventsRawTsType(spark, dLegacy) == LongType)
-    assert(graft.sources.Tables.eventsRawTsType(spark, dCurrent) == TimestampNTZType)
+    try {
+      Seq((1L, ns, 10L, "view", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dLegacy/events.parquet")
+      Seq((1L, 10L, "view", 1.0, "{}"))
+        .toDF("event_id", "user_id", "event_type", "value", "props")
+        .withColumn("ts", timestamp_micros(lit(us)).cast(TimestampNTZType))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dCurrent/events.parquet")
+      val legacy = graft.sources.Tables.events(spark, dLegacy)
+      val current = graft.sources.Tables.events(spark, dCurrent)
+      assert(legacy.schema("ts").dataType == TimestampType)
+      assert(current.schema("ts").dataType == TimestampType)
+      val a = legacy.select(col("ts")).collect().head.getTimestamp(0)
+      val b = current.select(col("ts")).collect().head.getTimestamp(0)
+      assert(a == b, s"generations diverged: legacy=$a current=$b")
+      assert(a.toInstant == java.time.Instant.ofEpochSecond(
+        us / 1000000L, (us % 1000000L) * 1000L))
+      // the streaming file source derives its schema pin from the raw type…
+      assert(graft.sources.Tables.eventsRawTsType(spark, dLegacy) == LongType)
+      assert(graft.sources.Tables.eventsRawTsType(spark, dCurrent)
+        == TimestampNTZType)
+      // …and surfaces the NORMALIZED ts for both generations (ADVICE r10
+      // #3): a streaming consumer that projects ts now sees the
+      // batch-identical session-local TIMESTAMP µs, never the raw
+      // generation-dependent Long / TIMESTAMP_NTZ.
+      assert(graft.operators.Scans.eventsFileStream(spark, dLegacy)
+        .schema("ts").dataType == TimestampType)
+      assert(graft.operators.Scans.eventsFileStream(spark, dCurrent)
+        .schema("ts").dataType == TimestampType)
+    } finally {
+      // ADVICE r10 #4: these run-unique dirs used to accumulate across
+      // runs. The relationCache entries keyed to them are harmless (no
+      // later test can re-derive a run-unique temp path) and evict with
+      // the session.
+      graft.operators.Scans.rmRecursive(new java.io.File(dLegacy))
+      graft.operators.Scans.rmRecursive(new java.io.File(dCurrent))
+    }
+  }
+
+  test("mid-session fixture regeneration fails loudly at the next load") {
+    // ADVICE r10 #1: the memoized relations and the streaming schema pin
+    // rest on the driver contract "fixtures are immutable for a session's
+    // lifetime". If the driver ever regenerates testdata MID-session, the
+    // guard must surface it as one attributable error at the next load —
+    // not as a stale-plan hash mismatch hours later.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mtime").toString
+    try {
+      val path = s"$dir/region.parquet"
+      Seq((0, "AFRICA")).toDF("r_regionkey", "r_name")
+        .write.mode("overwrite").parquet(path)
+      assert(graft.sources.Tables.load(spark, dir, "region").count() == 1)
+      // simulate an in-place regeneration: same path, different mtime
+      val f = new java.io.File(path)
+      assert(f.setLastModified(f.lastModified() + 5000),
+        "test setup: could not bump the fixture mtime")
+      val e = intercept[IllegalStateException] {
+        graft.sources.Tables.load(spark, dir, "region")
+      }
+      assert(e.getMessage.contains("changed mid-session"))
+      assert(e.getMessage.contains("region.parquet"))
+    } finally graft.operators.Scans.rmRecursive(new java.io.File(dir))
   }
 }

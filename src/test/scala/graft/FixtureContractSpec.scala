@@ -52,7 +52,11 @@ class FixtureContractSpec extends AnyFunSuite {
     "embeddings" -> Seq("vec_id" -> "bigint",
       "embedding" -> "array<float>", "label" -> "int"))
 
-  for (sf <- Seq(SF001, SF01)) {
+  // All three scale factors, INCLUDING the bench fixture sf0.1 (VERDICT
+  // r10 #2): before this, a regeneration that changed only sf0.1 would
+  // surface as an opaque bench/oracle mismatch instead of a named test.
+  // Schema-only assertions, so the sf0.1 cost is a footer read, not a scan.
+  for (sf <- Seq(SF001, SF01, SF1)) {
     test(s"fixture logical schemas match the query contract at $sf") {
       val drift = contract.toSeq.sortBy(_._1).flatMap { case (name, exp) =>
         val df = if (name == "events") Tables.events(spark, sf)
