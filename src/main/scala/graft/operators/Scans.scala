@@ -15,7 +15,8 @@ object Scans {
   def specs: Seq[Spec] = Seq(scanParquet, scanCsv, scanJson, scanOrc,
     scanAvro, scanXml, scanText, scanJdbc, scanStateStore,
     scanStateMetadata, sinkPartitioned, sourceStreamFile,
-    sourceStreamRate, sourceStreamSocket, sinkStreamForeach,
+    sourceStreamWindow, sourceStreamRate, sourceStreamSocket,
+    sinkStreamForeach,
     sinkCompacted, scanBinaryFile, scanCsvCorrupt, scanSchemaEvolve,
     scanManifestPruned)
 
@@ -675,6 +676,43 @@ object Scans {
       .outputMode("complete").start()
     try q.processAllAvailable() finally q.stop()
     s.table(name).orderBy(col("event_type"))
+  }
+
+  /** Event-time windowed aggregation over the streaming FILE source — the
+    * first registered streaming consumer that PROJECTS `ts`, which makes
+    * the generation-normalization inside [[eventsFileStream]]
+    * load-bearing instead of defensive (ADVICE r10 #3): the window
+    * boundaries are computed from the normalized session-local TIMESTAMP
+    * µs, so the result is identical on the ns and µs fixture generations
+    * (asserted per-generation in EdgeCasesSpec) and identical to the
+    * batch twin — which IS the oracle, the same stream/batch-parity
+    * contract as `source_stream_file`. Window geometry (2 h, keyed by
+    * window only) is distinct from every other windowed row
+    * (1 h + type = stream_tumbling, 30 min + type = rocksdb demo,
+    * 15 min sliding, 10 min = watermark_late), so the row exercises its
+    * own plan. At 100 TB this is THE canonical ingest shape — unbounded
+    * file arrivals → event-time buckets — and it scales exactly like the
+    * batch aggregate: state per (window) key, shuffle on the window
+    * expression. */
+  private val sourceStreamWindow = Spec(
+    "source_stream_window",
+    """SELECT (epoch_us(ts) // 7200000000) * 7200000000 AS ws_us,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1
+      |ORDER BY ws_us""".stripMargin) { (s, d) =>
+    val stream = eventsFileStream(s, d)
+      .groupBy(window(col("ts"), "2 hours"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Det.dsum6(col("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("ws_us"),
+        col("n_events"), col("sum_value"))
+    val name = "graft_src_stream_win_" + java.nio.file.Paths.get(d)
+      .toAbsolutePath.normalize.toString.replaceAll("[^A-Za-z0-9]", "_")
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).orderBy(col("ws_us"))
   }
 
   /** Rate-source streaming demo (VERDICT r8 #5 — the last unexercised

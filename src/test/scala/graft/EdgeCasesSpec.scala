@@ -149,15 +149,35 @@ class EdgeCasesSpec extends AnyFunSuite {
     val ns = us * 1000L + 789L // sub-µs tail the legacy path truncates away
     val dLegacy = java.nio.file.Files.createTempDirectory("graft_gen_ns").toString
     val dCurrent = java.nio.file.Files.createTempDirectory("graft_gen_us").toString
+    // The driver fixtures are single parquet FILES, and the streaming
+    // file source's directory listing does not descend into a
+    // Spark-written `events.parquet/` DIRECTORY — so write each synthetic
+    // generation the way the driver ships it: write to a temp dir, then
+    // move the lone part file to `<gen>/events.parquet`.
+    def writeSingleFile(df: org.apache.spark.sql.DataFrame,
+        dest: String): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("graft_gen_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(fail(s"no part file written under $stage"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(dest),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      graft.operators.Scans.rmRecursive(new java.io.File(stage.toString))
+    }
     try {
-      Seq((1L, ns, 10L, "view", 1.0, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .write.mode("overwrite").parquet(s"$dLegacy/events.parquet")
-      Seq((1L, 10L, "view", 1.0, "{}"))
-        .toDF("event_id", "user_id", "event_type", "value", "props")
-        .withColumn("ts", timestamp_micros(lit(us)).cast(TimestampNTZType))
-        .select("event_id", "ts", "user_id", "event_type", "value", "props")
-        .write.mode("overwrite").parquet(s"$dCurrent/events.parquet")
+      writeSingleFile(
+        Seq((1L, ns, 10L, "view", 1.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+        s"$dLegacy/events.parquet")
+      writeSingleFile(
+        Seq((1L, 10L, "view", 1.0, "{}"))
+          .toDF("event_id", "user_id", "event_type", "value", "props")
+          .withColumn("ts", timestamp_micros(lit(us)).cast(TimestampNTZType))
+          .select("event_id", "ts", "user_id", "event_type", "value",
+            "props"),
+        s"$dCurrent/events.parquet")
       val legacy = graft.sources.Tables.events(spark, dLegacy)
       val current = graft.sources.Tables.events(spark, dCurrent)
       assert(legacy.schema("ts").dataType == TimestampType)
@@ -179,6 +199,18 @@ class EdgeCasesSpec extends AnyFunSuite {
         .schema("ts").dataType == TimestampType)
       assert(graft.operators.Scans.eventsFileStream(spark, dCurrent)
         .schema("ts").dataType == TimestampType)
+      // End-to-end through the registered consumer (source_stream_window,
+      // the streaming query that PROJECTS ts): the event-time window
+      // bucket must be the same epoch-µs value on both physical layouts
+      // of the same instant.
+      val winRows = Seq(dLegacy, dCurrent).map { dir =>
+        SparkEntry.queries("source_stream_window")(spark, dir)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      }
+      assert(winRows.head == winRows.last,
+        s"streaming window diverged across generations: $winRows")
+      assert(winRows.head == Seq(((us / 7200000000L) * 7200000000L, 1L)),
+        s"streaming window bucket wrong: ${winRows.head}")
     } finally {
       // ADVICE r10 #4: these run-unique dirs used to accumulate across
       // runs. The relationCache entries keyed to them are harmless (no
