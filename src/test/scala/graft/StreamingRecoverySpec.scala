@@ -354,4 +354,47 @@ class StreamingRecoverySpec extends AnyFunSuite {
       } finally q.stop()
     }
   }
+
+  /** The round-11 registry row `source_stream_window` (event-time windows
+    * over the real streaming FILE source, ts generation-normalized) runs
+    * under the default provider in Verify; this extends the
+    * both-providers ritual to it: the same transform shape on the same
+    * file-source stream, under RocksDB + changelog checkpointing, must
+    * (a) actually serve its window state from RocksDB (custom-metrics
+    * witness — the provider swap is invisible in the plan) and (b) agree
+    * row-for-row with the batch twin computed through Tables.events. */
+  test("source_stream_window shape under RocksDB: parity + provider proof") {
+    withRocksDb {
+      val stream = graft.operators.Scans.eventsFileStream(spark, SF001)
+        .groupBy(window(col("ts"), "2 hours"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.functions.Det.dsum6(col("value")).as("sum_value"))
+        .select(unix_micros(col("window.start")).as("ws_us"),
+          col("n_events"), col("sum_value"))
+      val name = s"graft_rocks_win_${System.nanoTime()}"
+      val q = stream.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try {
+        q.processAllAvailable()
+        val metrics = q.lastProgress.stateOperators.head
+          .customMetrics.asScala
+        assert(metrics.keys.exists(_.toLowerCase.contains("rocksdb")),
+          s"window state not served by RocksDB: " +
+            s"${metrics.keys.toSeq.sorted.take(10)}")
+        val got = spark.table(name).orderBy(col("ws_us")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        val want = graft.sources.Tables.events(spark, SF001)
+          .groupBy(window(col("ts"), "2 hours"))
+          .agg(count(lit(1)).as("n_events"),
+            graft.functions.Det.dsum6(col("value")).as("sum_value"))
+          .select(unix_micros(col("window.start")).as("ws_us"),
+            col("n_events"), col("sum_value"))
+          .orderBy(col("ws_us")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        assert(got.nonEmpty && got == want,
+          s"stream/batch window parity broke under RocksDB " +
+            s"(${got.size} vs ${want.size} rows)")
+      } finally q.stop()
+    }
+  }
 }
