@@ -57,6 +57,24 @@ class FixtureContractSpec extends AnyFunSuite {
   // surface as an opaque bench/oracle mismatch instead of a named test.
   // Schema-only assertions, so the sf0.1 cost is a footer read, not a scan.
   for (sf <- Seq(SF001, SF01, SF1)) {
+    test(s"events.ts stays in the post-epoch domain at $sf") {
+      // ADVICE r10 #2: the legacy ns→µs path converts with `div`
+      // (truncation toward zero), which equals DuckDB's epoch_us()
+      // truncation ONLY for non-negative timestamps — pre-epoch values
+      // would diverge by 1 µs whenever the ns tail is nonzero. The
+      // fixture domain has been all-2024+ in every generation; pin that
+      // here so a regeneration introducing pre-epoch events fails as one
+      // named test telling the fixer to re-check BOTH engines'
+      // conversion conventions together (Tables.normalizeTs comment).
+      import org.apache.spark.sql.functions._
+      val minTs = Tables.events(spark, sf)
+        .agg(min(unix_micros(col("ts")))).collect()(0).getLong(0)
+      assert(minTs > 0,
+        s"pre-epoch event timestamp (min epoch-µs $minTs) — the div-" +
+          "truncation/epoch_us parity assumption no longer holds; " +
+          "re-derive the ns→µs conversion on both engines")
+    }
+
     test(s"fixture logical schemas match the query contract at $sf") {
       val drift = contract.toSeq.sortBy(_._1).flatMap { case (name, exp) =>
         val df = if (name == "events") Tables.events(spark, sf)
