@@ -135,18 +135,29 @@ object Bench {
     // a load window. Warm-cache bias is bounded here: inputs are
     // session-memoized logical plans in BOTH samples and nothing
     // persists result data, so a re-time collapse is load, not caching.
-    // A failed query (-1) is not re-run — a failure can hang for its
-    // full timeout, and its -1 marker already adjudicates itself.
+    // Markers keep the three cases distinguishable in the JSON alone:
+    // a query that FAILED in the timed loop is never re-run (a failure
+    // can hang for its full timeout; its queries-map -1 already
+    // adjudicates itself) and carries retimed -1; a query that succeeded
+    // but whose RE-RUN threw carries -2 (succeeded-then-crashed — look at
+    // stderr, don't read it as a first-sample failure). Failures sit
+    // first in `ordered`, so the take() extends past them (capped at
+    // pos15's 15) to keep re-timing up to 10 genuinely slow successful
+    // queries even when some entries are failures.
     val (failed, ok) = results.toSeq.partition(_._2 < 0)
     val ordered = failed ++ ok.sortBy(-_._2)
-    val retimed = ordered.take(10).map { case (name, first) =>
+    val retimed = ordered.take(math.min(failed.length + 10, 15))
+      .map { case (name, first) =>
       if (first < 0) -1.0
       else {
         val t0 = System.nanoTime()
         try {
           SparkEntry.queries(name)(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
-        } catch { case _: Throwable => -1.0 }
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] retime $name failed: ${e.getMessage}")
+          -2.0
+        }
       }
     }
     // Quantify both ANN variants against the exact brute-force baseline

@@ -694,6 +694,19 @@ object Scans {
     * file arrivals → event-time buckets — and it scales exactly like the
     * batch aggregate: state per (window) key, shuffle on the window
     * expression. */
+  /** The 2-hour window shape itself, shared by the Spec body, the batch
+    * twin, and the RocksDB provider proof (StreamingRecoverySpec) — one
+    * definition, so the test's "same transform shape as the registered
+    * row" claim is structural, not enforced by copy-paste. Works on batch
+    * and streaming relations (pure column expressions). */
+  private[graft] def twoHourWindowAgg(
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ev.groupBy(window(col("ts"), "2 hours"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Det.dsum6(col("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("ws_us"),
+        col("n_events"), col("sum_value"))
+
   private val sourceStreamWindow = Spec(
     "source_stream_window",
     """SELECT (epoch_us(ts) // 7200000000) * 7200000000 AS ws_us,
@@ -701,12 +714,7 @@ object Scans {
       |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1
       |ORDER BY ws_us""".stripMargin) { (s, d) =>
-    val stream = eventsFileStream(s, d)
-      .groupBy(window(col("ts"), "2 hours"))
-      .agg(count(lit(1)).as("n_events"),
-        graft.functions.Det.dsum6(col("value")).as("sum_value"))
-      .select(unix_micros(col("window.start")).as("ws_us"),
-        col("n_events"), col("sum_value"))
+    val stream = twoHourWindowAgg(eventsFileStream(s, d))
     val name = "graft_src_stream_win_" + java.nio.file.Paths.get(d)
       .toAbsolutePath.normalize.toString.replaceAll("[^A-Za-z0-9]", "_")
     val q = stream.writeStream.format("memory").queryName(name)

@@ -45,7 +45,13 @@ object Tables {
   private val mtimeCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Long]
 
-  private def guardMtime(s: SparkSession, path: String): Unit = {
+  private def guardMtime(s: SparkSession, rawPath: String): Unit = {
+    // Canonical key (same normalization as Scans.scratch/fragmentedEvents):
+    // two spellings of the same fixture path must share ONE first-seen
+    // baseline, or a regeneration between their first touches slips
+    // through as a fresh baseline on the second spelling.
+    val path = java.nio.file.Paths.get(rawPath)
+      .toAbsolutePath.normalize.toString
     val now = new java.io.File(path).lastModified()
     mtimeCache.putIfAbsent((s, path), now) match {
       case Some(first) if first != now =>

@@ -55,7 +55,9 @@ class FixtureContractSpec extends AnyFunSuite {
   // All three scale factors, INCLUDING the bench fixture sf0.1 (VERDICT
   // r10 #2): before this, a regeneration that changed only sf0.1 would
   // surface as an opaque bench/oracle mismatch instead of a named test.
-  // Schema-only assertions, so the sf0.1 cost is a footer read, not a scan.
+  // Cost note: the schema test is a footer read; the post-epoch domain
+  // test below it DOES scan the events column at each sf (events is the
+  // third-smallest table — ~100k rows at sf0.1, sub-second).
   for (sf <- Seq(SF001, SF01, SF1)) {
     test(s"events.ts stays in the post-epoch domain at $sf") {
       // ADVICE r10 #2: the legacy ns→µs path converts with `div`

@@ -210,7 +210,7 @@ class LlmSpec extends AnyFunSuite {
     // fail the driver's compare. Assert against an exact JVM brute force
     // on BOTH fixture scales so a fixture regeneration that breaks the
     // assumption fails here first, not at the driver.
-    for (dir <- Seq(SF01, "/root/testdata/sf0.1")) {
+    for (dir <- Seq(SF01, SF1)) {
       val vecs = graft.sources.Tables.embeddings(spark, dir)
         .select("vec_id", "embedding").collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))

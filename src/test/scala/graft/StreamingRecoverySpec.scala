@@ -365,12 +365,8 @@ class StreamingRecoverySpec extends AnyFunSuite {
     * row-for-row with the batch twin computed through Tables.events. */
   test("source_stream_window shape under RocksDB: parity + provider proof") {
     withRocksDb {
-      val stream = graft.operators.Scans.eventsFileStream(spark, SF001)
-        .groupBy(window(col("ts"), "2 hours"))
-        .agg(count(lit(1)).as("n_events"),
-          graft.functions.Det.dsum6(col("value")).as("sum_value"))
-        .select(unix_micros(col("window.start")).as("ws_us"),
-          col("n_events"), col("sum_value"))
+      val stream = graft.operators.Scans.twoHourWindowAgg(
+        graft.operators.Scans.eventsFileStream(spark, SF001))
       val name = s"graft_rocks_win_${System.nanoTime()}"
       val q = stream.writeStream.format("memory").queryName(name)
         .outputMode("complete").start()
@@ -383,12 +379,8 @@ class StreamingRecoverySpec extends AnyFunSuite {
             s"${metrics.keys.toSeq.sorted.take(10)}")
         val got = spark.table(name).orderBy(col("ws_us")).collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
-        val want = graft.sources.Tables.events(spark, SF001)
-          .groupBy(window(col("ts"), "2 hours"))
-          .agg(count(lit(1)).as("n_events"),
-            graft.functions.Det.dsum6(col("value")).as("sum_value"))
-          .select(unix_micros(col("window.start")).as("ws_us"),
-            col("n_events"), col("sum_value"))
+        val want = graft.operators.Scans.twoHourWindowAgg(
+            graft.sources.Tables.events(spark, SF001))
           .orderBy(col("ws_us")).collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
         assert(got.nonEmpty && got == want,

@@ -6,9 +6,10 @@ import org.apache.spark.sql.SparkSession
 object TestSpark {
   val SF001 = "/root/testdata/sf0.001"
   val SF01 = "/root/testdata/sf0.01"
-  /** The bench fixture — functional tests stay on the small SFs; only the
-    * fixture-drift detector (FixtureContractSpec) touches this, so a
-    * regeneration that changed sf0.1 alone still fails a named test. */
+  /** The bench fixture. Suites that touch it: FixtureContractSpec (the
+    * drift detector, so a regeneration that changed sf0.1 alone still
+    * fails a named test) and LlmSpec's LSH-completeness sweep; everything
+    * else stays on the small SFs. */
   val SF1 = "/root/testdata/sf0.1"
 
   lazy val spark: SparkSession = {
