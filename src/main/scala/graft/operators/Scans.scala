@@ -691,9 +691,17 @@ object Scans {
     * (1 h + type = stream_tumbling, 30 min + type = rocksdb demo,
     * 15 min sliding, 10 min = watermark_late), so the row exercises its
     * own plan. At 100 TB this is THE canonical ingest shape — unbounded
-    * file arrivals → event-time buckets — and it scales exactly like the
-    * batch aggregate: state per (window) key, shuffle on the window
-    * expression. */
+    * file arrivals → event-time buckets — shuffling on the window
+    * expression with state per (window) key. Scale honesty: the demo
+    * runs COMPLETE mode (deterministic one-shot replay of a finite
+    * fixture; the same reasoning as `stream_watermark_late` — on fully
+    * delivered data the watermark never fires, so batch == streaming),
+    * but complete-mode window state is TIME-unbounded; the production
+    * deployment of this exact plan adds `withWatermark` + update/append
+    * mode so closed windows evict — the eviction semantics are
+    * demonstrated and asserted by `stream_watermark_late`'s late-drop
+    * test and the interval-join state-bound proofs
+    * (StreamingRecoverySpec). */
   /** The 2-hour window shape itself, shared by the Spec body, the batch
     * twin, and the RocksDB provider proof (StreamingRecoverySpec) — one
     * definition, so the test's "same transform shape as the registered
