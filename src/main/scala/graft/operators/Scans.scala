@@ -222,6 +222,15 @@ object Scans {
   private[graft] def fragmentedEvents(s: org.apache.spark.sql.SparkSession,
       d: String): String = {
     val abs = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
+    // The scratch path is pid-keyed, i.e. SHARED by every session in this
+    // JVM, while the memo is session-keyed: another overlapping session's
+    // application-end hook can delete the directory this session's memo
+    // still points at. Re-validate existence before trusting the memo and
+    // rebuild if it vanished — restoring the self-healing the old
+    // per-invocation rewrite had (ADVICE r11 #1).
+    val cached = fragCache.get((s, abs))
+    if (cached != null && !new java.io.File(cached).isDirectory)
+      fragCache.remove((s, abs), cached)
     fragCache.computeIfAbsent((s, abs), { _ =>
       val frag = scratch(s, "compact_frag", d)
       Tables.events(s, d)

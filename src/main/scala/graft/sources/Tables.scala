@@ -29,21 +29,28 @@ object Tables {
   private val relationCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
-  /** First-seen mtime per (session, fixture path) — ADVICE r10 #1. The
-    * memoized relation above caches the parquet footer read (and
-    * [[eventsRawTsType]] pins the streaming schema to it), which is only
-    * sound under the driver contract "fixtures are immutable for a
-    * session's lifetime". The driver HAS regenerated `/root/testdata` in
-    * place once already (2026-08-13, between sessions — absorbed); if it
-    * ever regenerates MID-session, the next [[load]]/[[eventsRaw]] call
-    * fails here with one attributable error naming the file, instead of
-    * surfacing as a stale-plan hash mismatch or a silently skewed
-    * streaming schema pin. Checked on EVERY call (one stat(2) per query
-    * build — noise next to the footer read the cache avoids). Keyed and
-    * evicted exactly like the relation entries, so a post-regeneration
-    * NEW session legitimately re-records fresh mtimes. */
+  /** First-seen (mtime, length) per (session, fixture path) — ADVICE r10
+    * #1, hardened per ADVICE r11 #2/#3. The memoized relation above
+    * caches the parquet footer read (and [[eventsRawTsType]] pins the
+    * streaming schema to it), which is only sound under the driver
+    * contract "fixtures are immutable for a session's lifetime". The
+    * driver HAS regenerated `/root/testdata` in place twice already
+    * (2026-08-13 and 2026-08-14, between sessions — both absorbed); if
+    * it ever regenerates MID-session, the next [[load]]/[[eventsRaw]]
+    * call fails here with one attributable error naming the file,
+    * instead of surfacing as a stale-plan hash mismatch or a silently
+    * skewed streaming schema pin. The baseline records mtime AND length
+    * because mtime alone can be preserved by `cp -p`/`rsync -t`/coarse
+    * filesystem timestamp granularity — a regenerated parquet file
+    * virtually never preserves both (the guard still cannot catch a
+    * same-length, same-mtime rewrite; FixtureContractSpec's content pins
+    * are the backstop for that). Checked on EVERY call (one stat(2) per
+    * query build — noise next to the footer read the cache avoids).
+    * Keyed and evicted exactly like the relation entries, so a
+    * post-regeneration NEW session legitimately re-records fresh
+    * baselines. */
   private val mtimeCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), Long]
+    .empty[(SparkSession, String), (Long, Long)]
 
   private def guardMtime(s: SparkSession, rawPath: String): Unit = {
     // Canonical key (same normalization as Scans.scratch/fragmentedEvents):
@@ -52,11 +59,18 @@ object Tables {
     // through as a fresh baseline on the second spelling.
     val path = java.nio.file.Paths.get(rawPath)
       .toAbsolutePath.normalize.toString
-    val now = new java.io.File(path).lastModified()
+    val f = new java.io.File(path)
+    val now = (f.lastModified(), f.length())
+    // Missing file (lastModified == 0): don't record a baseline — let
+    // spark.read.parquet surface the real missing-file error, and a later
+    // successful load establish the baseline. Recording 0 here would turn
+    // every retry after the file appears into a misleading
+    // "changed mid-session" failure (ADVICE r11 #2).
+    if (now._1 == 0L) return
     mtimeCache.putIfAbsent((s, path), now) match {
       case Some(first) if first != now =>
         throw new IllegalStateException(
-          s"fixture $path changed mid-session (mtime $first -> $now): " +
+          s"fixture $path changed mid-session (mtime,len $first -> $now): " +
             "the driver regenerated testdata in place, so every memoized " +
             "relation and schema pin for it is stale — restart the " +
             "session/JVM and re-run (FixtureContractSpec names any " +

@@ -241,6 +241,16 @@ class EdgeCasesSpec extends AnyFunSuite {
       .count() > 0)
     assert(shardState(frag1) == s1,
       "sink_compacted rewrote its memoized input")
+    // ADVICE r11 #1: the scratch path is pid-keyed (shared across
+    // same-JVM sessions) while the memo is session-keyed — another
+    // session's end hook can delete the directory under a live memo.
+    // Simulate that and assert the memo self-heals by rebuilding.
+    graft.operators.Scans.rmRecursive(new java.io.File(frag1))
+    val frag3 = graft.operators.Scans.fragmentedEvents(spark, TestSpark.SF001)
+    assert(shardState(frag3).size == 64,
+      "memo returned a deleted directory instead of rebuilding it")
+    assert(SparkEntry.queries("sink_compacted")(spark, TestSpark.SF001)
+      .count() > 0, "sink_compacted failed after an external scratch delete")
   }
 
   test("mid-session fixture regeneration fails loudly at the next load") {
@@ -265,6 +275,59 @@ class EdgeCasesSpec extends AnyFunSuite {
       }
       assert(e.getMessage.contains("changed mid-session"))
       assert(e.getMessage.contains("region.parquet"))
+    } finally graft.operators.Scans.rmRecursive(new java.io.File(dir))
+  }
+
+  test("fixture guard: a missing file does not poison the baseline") {
+    // ADVICE r11 #2: lastModified()==0 for a missing path must NOT be
+    // recorded as a baseline — otherwise the first failed load makes
+    // every retry after the file appears throw the misleading
+    // "changed mid-session" error instead of succeeding.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_miss").toString
+    try {
+      intercept[Exception] { // real missing-file error surfaces
+        graft.sources.Tables.load(spark, dir, "nation").count()
+      }
+      Seq((0, "ALGERIA", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+      // the retry after the file appears must establish a fresh baseline
+      // and succeed, not die on a phantom 0 -> mtime "regeneration"
+      assert(graft.sources.Tables.load(spark, dir, "nation").count() == 1)
+    } finally graft.operators.Scans.rmRecursive(new java.io.File(dir))
+  }
+
+  test("fixture guard: mtime-preserving rewrite is caught via length") {
+    // ADVICE r11 #3: cp -p / rsync -t / coarse fs timestamps can preserve
+    // mtime across a regeneration; the (mtime, length) baseline catches
+    // any rewrite that changes the byte count.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_len").toString
+    try {
+      val path = s"$dir/region.parquet"
+      Seq((0, "AFRICA")).toDF("r_regionkey", "r_name")
+        .write.mode("overwrite").parquet(path)
+      val f = new java.io.File(path)
+      val mtime = f.lastModified()
+      // simulate a same-mtime regeneration: different content/length,
+      // mtime restored (what cp -p does)
+      Seq((0, "AFRICA"), (1, "AMERICA")).toDF("r_regionkey", "r_name")
+        .write.mode("overwrite").parquet(path)
+      assert(f.setLastModified(mtime),
+        "test setup: could not restore the fixture mtime")
+      // baseline established on the restored-mtime directory (2 rows: v2)
+      assert(graft.sources.Tables.load(spark, dir, "region").count() == 2)
+      val e = intercept[IllegalStateException] {
+        // second load in the same session after another rewrite that
+        // keeps mtime but changes length
+        val before = f.length()
+        graft.operators.Scans.rmRecursive(f)
+        java.nio.file.Files.createFile(f.toPath) // 0-byte file, len differs
+        f.setLastModified(mtime)
+        assert(f.length() != before, "test setup: length did not change")
+        graft.sources.Tables.load(spark, dir, "region")
+      }
+      assert(e.getMessage.contains("changed mid-session"))
     } finally graft.operators.Scans.rmRecursive(new java.io.File(dir))
   }
 }

@@ -328,6 +328,72 @@ abstract class StreamingParityBase extends AnyFunSuite {
     } finally q.stop()
   }
 
+  ptest("watermarked 2h-window agg: closed windows evict, state stays bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // VERDICT r11 #3: `source_stream_window`'s registered row runs
+    // complete mode (deterministic one-shot replay of a finite fixture),
+    // and its Scaladoc claims "production adds withWatermark + append
+    // mode so closed windows evict". Make that claim THIS operator's own
+    // proof: drive the SAME shared shape (Scans.twoHourWindowAgg — the
+    // one definition the registered row, its batch twin, and the RocksDB
+    // proof all use) watermarked in append mode over advancing batches,
+    // and assert (a) window state is bounded by the watermark, not by
+    // stream length, and (b) every emitted (closed) window is
+    // value-identical to the batch twin — eviction changed WHEN rows
+    // emit, never WHAT they hold.
+    val evs = fixtureEvents(600).sortBy(_.ts.getTime)
+    val mem = MemoryStream[Ev]
+    val agg = graft.operators.Scans.twoHourWindowAgg(
+      mem.toDF().withWatermark("ts", "10 minutes"))
+    val name = s"graft_wm_win_${System.nanoTime()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // 4 time-ordered batches: each advances the watermark past the
+      // previous batch's events, so earlier windows must close + evict.
+      evs.grouped(math.max(1, evs.size / 4 + 1)).foreach { batch =>
+        mem.addData(batch)
+        q.processAllAvailable()
+      }
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      // Distinct 2-hour windows in the input (epoch-aligned, exactly the
+      // window() assignment) vs those still retainable under the query's
+      // REPORTED watermark (append mode evicts a window once its end ≤
+      // watermark; ≥ wm−1 ms keeps boundary windows out of the assert —
+      // same slack rationale as intervalJoinRetainable).
+      val twoH = 2L * 3600 * 1000
+      def winEnd(t: Timestamp): Long = (t.getTime / twoH) * twoH + twoH
+      val allWindows = evs.map(e => winEnd(e.ts)).distinct
+      val wmStr = q.lastProgress.eventTime.get("watermark")
+      assert(wmStr != null, "no watermark in the query's last progress")
+      val wmMs = java.time.Instant.parse(wmStr).toEpochMilli
+      val bound = allWindows.count(_ >= wmMs - 1)
+      assert(bound < allWindows.size,
+        s"degenerate fixture: watermark closed no window " +
+          s"($bound of ${allWindows.size} retainable)")
+      assert(stateRows < allWindows.size,
+        s"state holds $stateRows rows >= all ${allWindows.size} windows: " +
+          "no eviction ran")
+      assert(stateRows <= bound,
+        s"state $stateRows exceeds the watermark-derived bound $bound")
+      // Emitted (closed) windows are value-identical to the batch twin —
+      // closed windows saw ALL their rows (input was fed in ts order with
+      // the watermark lagging), so any mismatch is a correctness bug, not
+      // lateness.
+      val batchByWs = graft.operators.Scans.twoHourWindowAgg(evs.toDF())
+        .collect().map(r => r.getLong(0) -> r.toString).toMap
+      val emitted = spark.table(name).collect()
+      assert(emitted.length >= allWindows.size - bound,
+        s"only ${emitted.length} windows emitted; ≥ " +
+          s"${allWindows.size - bound} are strictly closed")
+      emitted.foreach { r =>
+        assert(batchByWs.get(r.getLong(0)).contains(r.toString),
+          s"closed window ${r.getLong(0)} diverged from the batch twin: $r")
+      }
+    } finally q.stop()
+  }
+
   ptest("chained stateful: stream-stream join then windowed agg, ONE query") {
     // Two state stores in one streaming query: the interval join's
     // symmetric hash state feeding a tumbling window's agg state.
