@@ -219,18 +219,38 @@ object Scans {
     new java.util.concurrent.ConcurrentHashMap[
       (org.apache.spark.sql.SparkSession, String), String]
 
+  /** Memo revalidation shared by every path-valued scratch memo
+    * ([[fragCache]], [[ssCkptCache]]) — ADVICE r11 #1, generalized by the
+    * round-12 self-review. Both memos cache pid-keyed (JVM-shared)
+    * scratch paths under session-scoped keys, so another overlapping
+    * session's application-end hook can delete the directory a live memo
+    * still points at — and a crashed/concurrent delete can leave an
+    * EMPTY directory behind (rmRecursive removes children first), so
+    * bare isDirectory is not enough. `ok` states what a healthy build
+    * looks like; an entry failing it is dropped so computeIfAbsent
+    * rebuilds — restoring the self-healing the old per-invocation
+    * rewrites had. */
+  private def revalidateMemo(
+      cache: java.util.concurrent.ConcurrentHashMap[
+        (org.apache.spark.sql.SparkSession, String), String],
+      key: (org.apache.spark.sql.SparkSession, String),
+      ok: java.io.File => Boolean): Unit = {
+    val cached = cache.get(key)
+    if (cached != null && !ok(new java.io.File(cached)))
+      cache.remove(key, cached)
+  }
+
+  /** A directory that still holds at least one entry matching `p`. */
+  private def dirWith(p: String => Boolean)(f: java.io.File): Boolean =
+    f.isDirectory && {
+      val ls = f.listFiles(); ls != null && ls.exists(c => p(c.getName))
+    }
+
   private[graft] def fragmentedEvents(s: org.apache.spark.sql.SparkSession,
       d: String): String = {
     val abs = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
-    // The scratch path is pid-keyed, i.e. SHARED by every session in this
-    // JVM, while the memo is session-keyed: another overlapping session's
-    // application-end hook can delete the directory this session's memo
-    // still points at. Re-validate existence before trusting the memo and
-    // rebuild if it vanished — restoring the self-healing the old
-    // per-invocation rewrite had (ADVICE r11 #1).
-    val cached = fragCache.get((s, abs))
-    if (cached != null && !new java.io.File(cached).isDirectory)
-      fragCache.remove((s, abs), cached)
+    // healthy = the 64-shard copy still has its parquet shards
+    revalidateMemo(fragCache, (s, abs), dirWith(_.endsWith(".parquet")))
     fragCache.computeIfAbsent((s, abs), { _ =>
       val frag = scratch(s, "compact_frag", d)
       Tables.events(s, d)
@@ -565,6 +585,12 @@ object Scans {
       d: String): String = {
     import org.apache.spark.sql.types._
     val abs = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
+    // healthy = the checkpoint still has a committed batch (the statestore
+    // and state-metadata readers both need commits/<batchId> to resolve a
+    // batch to read) — same cross-session scratch-delete hazard as the
+    // fragmented-events memo, same self-heal (see revalidateMemo).
+    revalidateMemo(ssCkptCache, (s, abs),
+      ckpt => dirWith(_.forall(_.isDigit))(new java.io.File(ckpt, "commits")))
     ssCkptCache.computeIfAbsent((s, abs), { _ =>
       val base = scratch(s, "statestore", d)
       val run = streamRuns.incrementAndGet()

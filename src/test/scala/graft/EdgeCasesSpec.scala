@@ -323,8 +323,12 @@ class EdgeCasesSpec extends AnyFunSuite {
         val before = f.length()
         graft.operators.Scans.rmRecursive(f)
         java.nio.file.Files.createFile(f.toPath) // 0-byte file, len differs
-        f.setLastModified(mtime)
-        assert(f.length() != before, "test setup: length did not change")
+        // the restore must SUCCEED or the guard would fire on mtime alone
+        // and this test would prove nothing about the length component
+        assert(f.setLastModified(mtime),
+          "test setup: could not restore the fixture mtime")
+        assert(f.lastModified() == mtime && f.length() != before,
+          "test setup: need same-mtime, different-length")
         graft.sources.Tables.load(spark, dir, "region")
       }
       assert(e.getMessage.contains("changed mid-session"))

@@ -41,7 +41,8 @@ class RegistryIndexSpec extends AnyFunSuite {
     try src.getLines().toVector finally src.close()
   }
 
-  private lazy val (heading, rows): (String, Vector[(String, String, Int)]) = {
+  private lazy val (heading, rows):
+      (String, Vector[(String, String, Int, Boolean)]) = {
     val lines = readLines(repoFile("SURVEY.md"))
     val start = lines.indexWhere(_.startsWith("### 2.11"))
     assert(start >= 0, "SURVEY.md has no §2.11 heading")
@@ -50,7 +51,8 @@ class RegistryIndexSpec extends AnyFunSuite {
     val section = if (endRel < 0) rest else rest.take(endRel)
     val Row = """^\| `([a-z0-9_]+)`( †)? \| ([^ |:]+):(\d+) \|$""".r
     val parsed = section.collect {
-      case Row(name, _, path, line) => (name, path, line.toInt)
+      case Row(name, dagger, path, line) =>
+        (name, path, line.toInt, dagger != null)
     }
     (lines(start), parsed)
   }
@@ -69,27 +71,45 @@ class RegistryIndexSpec extends AnyFunSuite {
   }
 
   test("every cited file:line is the operator's live Spec( site") {
+    val SpecCall = """\bSpec(\.noOracle)?\(""".r
+    val Lit = """"([a-z0-9_]+)"""".r
     val byFile = rows.groupBy(_._2)
     val bad = byFile.toSeq.flatMap { case (path, rs) =>
       val f = repoFile(path)
-      if (!f.exists) rs.map { case (n, p, l) => s"$n -> $p:$l (file missing)" }
+      if (!f.exists)
+        rs.map { case (n, p, l, _) => s"$n -> $p:$l (file missing)" }
       else {
         val lines = readLines(f)
-        rs.flatMap { case (name, p, lineNo) =>
+        rs.flatMap { case (name, p, lineNo, dagger) =>
           if (lineNo < 1 || lineNo > lines.size)
             Some(s"$name -> $p:$lineNo (line out of range, file has ${lines.size})")
           else {
             val site = lines(lineNo - 1)
             // same filters as the generator: a real call site, not a
             // comment mention or the Spec companion itself
-            val isCall = """\bSpec(\.noOracle)?\(""".r.findFirstIn(site).isDefined &&
-              !site.trim.startsWith("*") && !site.trim.startsWith("//")
-            val window = lines.slice(lineNo - 1, lineNo + 2).mkString("\n")
-            val named = ("\"" + java.util.regex.Pattern.quote(name) + "\"").r
-              .findFirstIn(window).isDefined
-            if (isCall && named) None
-            else Some(s"$name -> $p:$lineNo (stale: " +
-              (if (!isCall) "no Spec( at that line" else "name literal not in window") + ")")
+            val m = SpecCall.findFirstMatchIn(site)
+              .filter(_ => !site.trim.startsWith("*")
+                && !site.trim.startsWith("//"))
+            m match {
+              case None => Some(s"$name -> $p:$lineNo (stale: no Spec( at that line)")
+              case Some(call) =>
+                // the generator takes the FIRST "[a-z0-9_]+" literal in
+                // (rest-of-match-line + next 2 lines); require equality
+                // with the cited name so a one-line drift onto an
+                // ADJACENT Spec site cannot pass
+                val tail = site.substring(call.end) + "\n" +
+                  lines.slice(lineNo, lineNo + 2).mkString("\n")
+                val first = Lit.findFirstMatchIn(tail).map(_.group(1))
+                val siteNoOracle = call.group(1) != null
+                if (!first.contains(name))
+                  Some(s"$name -> $p:$lineNo (stale: first name literal at " +
+                    s"the site is ${first.getOrElse("<none>")})")
+                else if (siteNoOracle != dagger)
+                  Some(s"$name -> $p:$lineNo (dagger drift: site is " +
+                    s"${if (siteNoOracle) "Spec.noOracle" else "Spec"} but the " +
+                    s"row is ${if (dagger) "" else "not "}dagger-marked)")
+                else None
+            }
           }
         }
       }
@@ -97,6 +117,19 @@ class RegistryIndexSpec extends AnyFunSuite {
     assert(bad.isEmpty,
       s"${bad.size} stale §2.11 rows — regenerate the table " +
         s"(tools/gen_registry_index.py):\n${bad.sorted.mkString("\n")}")
+  }
+
+  test("dagger marks agree with the registry's oracle coverage") {
+    // † = declared-noOracle in the generator's output; the registry-side
+    // truth is "registered but absent from oracleSql" (Spec.oracle=None
+    // reaches the driver as a rows-only check). The table currently
+    // advertises 0 noOracle rows — this keeps that claim live.
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val daggered = rows.collect { case (n, _, _, true) => n }.toSet
+    assert(daggered == noOracle,
+      s"dagger/oracle drift — daggered-but-oracled: " +
+        s"${(daggered -- noOracle).toSeq.sorted}; " +
+        s"noOracle-but-unmarked: ${(noOracle -- daggered).toSeq.sorted}")
   }
 
   test("heading operator count matches the table") {
