@@ -253,6 +253,27 @@ class EdgeCasesSpec extends AnyFunSuite {
       .count() > 0, "sink_compacted failed after an external scratch delete")
   }
 
+  test("statestore checkpoint memo self-heals after an external delete") {
+    // Round-12 self-review: the fragmented-events fix generalized to the
+    // statestore-checkpoint memo (same pid-keyed-scratch-under-session-key
+    // structure) — prove the self-heal end-to-end the same way: build,
+    // delete the scratch out from under the live memo, re-run, and the
+    // row must rebuild and return identical content.
+    def rows(): Seq[String] =
+      SparkEntry.queries("scan_state_store")(spark, TestSpark.SF001)
+        .collect().map(_.toString).sorted.toSeq
+    val first = rows()
+    assert(first.size == 7, s"expected the 7-key state read, got $first")
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val scratchDirs = tmp.listFiles()
+      .filter(f => f.isDirectory && f.getName.contains("_statestore_"))
+    assert(scratchDirs.nonEmpty,
+      "test setup: no statestore scratch dir found to delete")
+    scratchDirs.foreach(graft.operators.Scans.rmRecursive)
+    assert(rows() == first,
+      "memo did not rebuild the deleted checkpoint (or content drifted)")
+  }
+
   test("mid-session fixture regeneration fails loudly at the next load") {
     // ADVICE r10 #1: the memoized relations and the streaming schema pin
     // rest on the driver contract "fixtures are immutable for a session's
