@@ -230,7 +230,7 @@ object Scans {
     * looks like; an entry failing it is dropped so computeIfAbsent
     * rebuilds — restoring the self-healing the old per-invocation
     * rewrites had. */
-  private def revalidateMemo(
+  private[graft] def revalidateMemo(
       cache: java.util.concurrent.ConcurrentHashMap[
         (org.apache.spark.sql.SparkSession, String), String],
       key: (org.apache.spark.sql.SparkSession, String),
@@ -241,7 +241,7 @@ object Scans {
   }
 
   /** A directory that still holds at least one entry matching `p`. */
-  private def dirWith(p: String => Boolean)(f: java.io.File): Boolean =
+  private[graft] def dirWith(p: String => Boolean)(f: java.io.File): Boolean =
     f.isDirectory && {
       val ls = f.listFiles(); ls != null && ls.exists(c => p(c.getName))
     }
@@ -587,10 +587,17 @@ object Scans {
     val abs = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
     // healthy = the checkpoint still has a committed batch (the statestore
     // and state-metadata readers both need commits/<batchId> to resolve a
-    // batch to read) — same cross-session scratch-delete hazard as the
-    // fragmented-events memo, same self-heal (see revalidateMemo).
-    revalidateMemo(ssCkptCache, (s, abs),
-      ckpt => dirWith(_.forall(_.isDigit))(new java.io.File(ckpt, "commits")))
+    // batch to read) AND its offsets/ + state/ siblings survive — ADVICE
+    // r12 #1: rmRecursive deletes children in unspecified order, so a
+    // crashed/partial external delete can leave commits/ standing while
+    // state/ or offsets/ are already gone, and a commits-only check would
+    // keep the memo alive pointing at an unreadable checkpoint. Same
+    // cross-session scratch-delete hazard as the fragmented-events memo,
+    // same self-heal (see revalidateMemo).
+    revalidateMemo(ssCkptCache, (s, abs), ckpt =>
+      dirWith(_.forall(_.isDigit))(new java.io.File(ckpt, "commits")) &&
+        dirWith(_.forall(_.isDigit))(new java.io.File(ckpt, "offsets")) &&
+        dirWith(_ => true)(new java.io.File(ckpt, "state")))
     ssCkptCache.computeIfAbsent((s, abs), { _ =>
       val base = scratch(s, "statestore", d)
       val run = streamRuns.incrementAndGet()

@@ -31,7 +31,7 @@ object StreamingOps {
   def specs: Seq[Spec] = Seq(tumbling, sliding, session, watermarkLate,
     dedup, statefulCustom, streamStream, streamStatic, streamStreamOuter,
     streamStreamFull, incrementalRestart, joinThenWindowSpec,
-    rocksdbState)
+    rocksdbState, transformWithState)
 
   /** Shared transforms (batch twin == streaming form). */
 
@@ -365,6 +365,101 @@ object StreamingOps {
       |FROM events GROUP BY 1, 2
       |ORDER BY ws_us, event_type""".stripMargin) { (s, d) =>
     halfHourAgg(Tables.events(s, d)).orderBy(col("ws_us"), col("event_type"))
+  }
+
+  /** The funnel on Spark 4's `transformWithState` — the successor
+    * stateful-streaming API to `stream_stateful_custom`'s
+    * flatMapGroupsWithState (VERDICT r12 #1), run HERE as a real
+    * streaming query end-to-end: the fixture events land as TWO parquet
+    * files, the file source admits them one per micro-batch
+    * (maxFilesPerTrigger=1 under Trigger.AvailableNow), so a user whose
+    * events span the file boundary only produces the correct final row
+    * if [[FunnelProcessor]]'s ValueState genuinely carried across
+    * batches. TWS mandates the RocksDB state-store provider (the
+    * HDFS-backed default is rejected at query start —
+    * TransformWithStateSpec pins that rejection), so the provider +
+    * changelog-checkpointing confs are pinned around the query and
+    * restored after. Update-mode emissions are captured per batch via
+    * foreachBatch with the batch id; the registered result is the LAST
+    * emission per user — the final funnel state — which the batch-twin
+    * oracle recomputes declaratively. Event-order note: [[Funnel.update]]
+    * is arrival-order-insensitive (min/max/count aggregates and a
+    * min-purchase-filtered click set), so batch boundaries never change
+    * the final row. */
+  private val transformWithState = Spec(
+    "stream_transform_with_state",
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS es FROM events),
+      |fp AS (
+      |  SELECT user_id, MIN(es) FILTER (WHERE event_type = 'purchase') AS first_p
+      |  FROM e GROUP BY user_id)
+      |SELECT e.user_id,
+      |  COUNT(*) AS n_events,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS n_clicks,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS n_purchases,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'click' AND es < first_p THEN 1 END), 0) AS BIGINT)
+      |    AS clicks_before_first_purchase,
+      |  MIN(es) AS first_es, MAX(es) AS last_es
+      |FROM e JOIN fp ON e.user_id = fp.user_id
+      |GROUP BY e.user_id
+      |ORDER BY e.user_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    import org.apache.spark.sql.types._
+    import s.implicits._
+    val base = graft.operators.Scans.scratch(s, "tws", d)
+    graft.operators.Scans.rmRecursive(new java.io.File(base)) // idempotent
+    val inDir = s"$base/in"; val chk = s"$base/chk"; val outDir = s"$base/out"
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("es"))
+    // two one-file halves split on event-time parity: both halves stay
+    // dense and any user with events of both µs-parities spans the
+    // micro-batch boundary, which is what makes cross-batch ValueState
+    // carriage observable in the final output.
+    ev.filter(pmod(col("es"), lit(2)) === 0).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    ev.filter(pmod(col("es"), lit(2)) === 1).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val logKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prev = Seq(provKey, logKey).map(k => k -> s.conf.getOption(k))
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    s.conf.set(logKey, "true")
+    try {
+      val schema = StructType(Seq(StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("es", LongType)))
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+        .as[(Long, String, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new FunnelProcessor, TimeMode.None(),
+          OutputMode.Update(),
+          org.apache.spark.sql.Encoders
+            .product[(Long, Long, Long, Long, Long, Long, Long)])
+        .toDF("user_id", "n_events", "n_clicks", "n_purchases",
+          "clicks_before_first_purchase", "first_es", "last_es")
+        .writeStream
+        .option("checkpointLocation", chk)
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          df.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(outDir)
+        }
+        .outputMode(OutputMode.Update())
+        .trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(180000),
+        "transformWithState query did not finish in 180 s")
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("batch_id").desc)
+    s.read.parquet(outDir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk", "batch_id")
+      .orderBy(col("user_id"))
   }
 
   private val streamStatic = Spec(

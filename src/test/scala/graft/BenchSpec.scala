@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** VERDICT r12 #3 — structural headroom for the bench stdout line.
+  *
+  * The driver keeps only the last 2000 chars of Bench's stdout and parses
+  * the final line as JSON; sbt's trailing "[success] ..." noise eats ~70
+  * of those chars. `Bench.selfCheck` enforces ≤1900 at runtime, but a
+  * runtime failure ZEROES a round's bench — this spec fails the BUILD
+  * instead, by rendering the line for adversarial inputs (full-registry
+  * query count and beyond, long names, failure markers that widen
+  * `retimed` to its 15-entry cap) and asserting the cap plus JSON
+  * framing. Every future field addition lands in `Bench.renderLine`, so
+  * it cannot bypass this pin.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  private def render(ordered: Seq[(String, Double)],
+      retimed: Seq[Double]): String = {
+    val execIdx = ordered.map(_._1).zipWithIndex.toMap
+    Bench.renderLine(
+      total = 99999.999,
+      ordered = ordered,
+      execIdx = execIdx,
+      retimed = retimed,
+      load1 = (999.99, 999.99),
+      matPairs = -1.0, matPs = 9999.999, matBpe = -1.0, matFrag = 9999.999,
+      matLayout = 9999.999, gcSec = 9999.999,
+      annRecall = -1.0, ivfRecall = -1.0, shuffleMb = 99999.999,
+      sfDir = "/root/testdata/sf0.1")
+  }
+
+  test("real registry at worst-case values stays within the driver tail") {
+    // The REAL query names (the actual per-entry width driver runs see),
+    // every timing at a 5-digit value, every retime slot filled with the
+    // widest marker mix the contract allows (-1 failures first, then -2
+    // succeeded-then-crashed re-runs).
+    val names = SparkEntry.queries.keys.toSeq
+    assert(names.size >= 180, s"registry shrank? ${names.size} queries")
+    val ordered = names.map(_ -> 99999.999)
+    val retimed = Seq.fill(5)(-1.0) ++ Seq.fill(10)(-2.0)
+    val line = render(ordered, retimed)
+    Bench.selfCheck(line) // includes the ≤1900 cap
+  }
+
+  test("synthetic 400-query registry with 60-char names still fits") {
+    // Adversarial width: more than double today's registry, names far
+    // longer than any real Spec name (longest today is ~30 chars). The
+    // 1300-char query-map budget truncates the map, so total line length
+    // must stay bounded no matter how the registry grows.
+    val names = (0 until 400).map(i => f"q${i}%03d_" + "x" * 55)
+    val ordered = names.map(_ -> 99999.999)
+    val retimed = Seq.fill(15)(-2.0)
+    val line = render(ordered, retimed)
+    Bench.selfCheck(line)
+  }
+
+  test("failure markers are listed first and survive the budget") {
+    // Failures (-1) must appear in the kept query map (they sort first in
+    // `ordered` by the main-loop contract) — the one diagnostic the
+    // driver JSON must never truncate away.
+    val names = (0 until 200).map(i => f"q${i}%03d_some_operator_name")
+    val ordered = names.take(3).map(_ -> -1.0) ++
+      names.drop(3).map(_ -> 99999.999)
+    val line = render(ordered, Seq.fill(15)(-1.0))
+    Bench.selfCheck(line)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    val qs = mapper.readTree(line).get("queries")
+    names.take(3).foreach { n =>
+      assert(qs.has(n) && qs.get(n).asDouble == -1.0,
+        s"failure entry $n truncated out of the query map")
+    }
+  }
+
+  test("rendered line parses back to the values main computed") {
+    // Round-trip sanity on the extraction (the refactor must not have
+    // changed the serialization main used through round 12).
+    val ordered = Seq("a_query" -> 1.234, "b_query" -> 0.5)
+    val line = render(ordered, Seq(1.2))
+    val t = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(t.get("n_queries").asInt == 2)
+    assert(t.get("omitted").asInt == 0)
+    assert(t.get("queries").get("a_query").asDouble == 1.234)
+    assert(t.get("retimed").get(0).asDouble == 1.2)
+    assert(t.get("materialize_layout").asDouble == 9999.999)
+    assert(t.get("sf").asText == "/root/testdata/sf0.1")
+  }
+}

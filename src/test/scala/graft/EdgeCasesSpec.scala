@@ -264,14 +264,77 @@ class EdgeCasesSpec extends AnyFunSuite {
         .collect().map(_.toString).sorted.toSeq
     val first = rows()
     assert(first.size == 7, s"expected the 7-key state read, got $first")
-    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-    val scratchDirs = tmp.listFiles()
-      .filter(f => f.isDirectory && f.getName.contains("_statestore_"))
-    assert(scratchDirs.nonEmpty,
+    // ADVICE r12 #2: only delete THIS JVM's scratch (pid-prefixed) — a
+    // concurrent graft JVM on the same box (parallel Verify/Bench) must
+    // never have its live scratch removed by sbt test.
+    val prefix = s"graft_p${graft.operators.Scans.jvmTag}_statestore_"
+    def scratchDirs() = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+    assert(scratchDirs().nonEmpty,
       "test setup: no statestore scratch dir found to delete")
-    scratchDirs.foreach(graft.operators.Scans.rmRecursive)
+    scratchDirs().foreach(graft.operators.Scans.rmRecursive)
     assert(rows() == first,
       "memo did not rebuild the deleted checkpoint (or content drifted)")
+    // ADVICE r12 #1: a PARTIAL delete (state/ gone, commits/ standing —
+    // rmRecursive's child order is unspecified, so a crashed delete can
+    // leave exactly this) must also trip revalidation, not pass a
+    // commits-only health check and then fail the statestore read.
+    val stateSubdirs = scratchDirs()
+      .flatMap(b => Option(b.listFiles()).getOrElse(Array.empty))
+      .filter(f => f.isDirectory && f.getName.startsWith("ckpt_"))
+      .map(ckpt => new java.io.File(ckpt, "state"))
+      .filter(_.isDirectory)
+    assert(stateSubdirs.nonEmpty,
+      "test setup: no ckpt_*/state subdir found for the partial delete")
+    stateSubdirs.foreach(graft.operators.Scans.rmRecursive)
+    assert(rows() == first,
+      "memo survived a partial (state/-only) checkpoint delete without " +
+        "rebuilding — the health predicate is commits-only")
+  }
+
+  test("every scratch-writing query tolerates an external scratch delete") {
+    // VERDICT r12 #5: the memoized scratch consumers (fragmented events,
+    // statestore checkpoint) carry explicit revalidation and dedicated
+    // self-heal tests above; the REST of the scratch writers tolerate a
+    // cross-session delete by construction (mode-overwrite / rm-first /
+    // link-refresh per call) — but nothing asserted that. This drives
+    // every remaining scratch-consuming registered query once, deletes
+    // its pid-keyed scratch out from under it (what another graft JVM's
+    // application-end hook does), re-runs, and requires an identical
+    // row count — turning "tolerant by construction" into a pinned
+    // contract for each consumer. Query → scratch-op tag, matching the
+    // Scans.scratch/bucketed dir naming graft_p<pid>_<op>_<sfKey>.
+    val consumers = Seq(
+      "scan_csv" -> "csv", "scan_csv_corrupt" -> "csv_corrupt",
+      "scan_json" -> "json", "scan_text" -> "text",
+      "scan_avro" -> "avro", "scan_xml" -> "xml", "scan_orc" -> "orc",
+      "scan_schema_evolve" -> "evolve", "scan_binaryfile" -> "binsrc",
+      "scan_manifest_pruned" -> "manifest", "scan_jdbc" -> "jdbc",
+      "sink_partitioned" -> "part_sink",
+      "sink_stream_foreach" -> "foreach_sink",
+      "sink_compacted" -> "compact_out", "zorder_layout" -> "zorder",
+      "source_stream_file" -> "stream_src",
+      "stream_incremental_restart" -> "increstart",
+      "stream_transform_with_state" -> "tws",
+      "join_dpp" -> "dpp_customer", "join_bucketed" -> "bucketed")
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    consumers.foreach { case (query, op) =>
+      val n1 = SparkEntry.queries(query)(spark, TestSpark.SF001).count()
+      assert(n1 > 0, s"$query returned no rows before the delete")
+      // pid-filtered (ADVICE r12 #2): never touch another JVM's scratch
+      val prefix = s"graft_p${graft.operators.Scans.jvmTag}_${op}_"
+      val dirs = tmp.listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+      assert(dirs.nonEmpty,
+        s"$query did not create a scratch dir with prefix $prefix — " +
+          "the query/op mapping in this test is stale")
+      dirs.foreach(graft.operators.Scans.rmRecursive)
+      val n2 = SparkEntry.queries(query)(spark, TestSpark.SF001).count()
+      assert(n2 == n1,
+        s"$query returned $n2 rows after its scratch delete, first run " +
+          s"had $n1 — not delete-tolerant")
+    }
   }
 
   test("mid-session fixture regeneration fails loudly at the next load") {
@@ -319,37 +382,49 @@ class EdgeCasesSpec extends AnyFunSuite {
   }
 
   test("fixture guard: mtime-preserving rewrite is caught via length") {
-    // ADVICE r11 #3: cp -p / rsync -t / coarse fs timestamps can preserve
-    // mtime across a regeneration; the (mtime, length) baseline catches
-    // any rewrite that changes the byte count.
+    // ADVICE r11 #3, fixture shape corrected per ADVICE r12 #3: the real
+    // fixtures under /root/testdata ship as SINGLE parquet files, and
+    // java.io.File.length() is only specified for plain files (for a
+    // Spark-written parquet *directory* it is filesystem-dependent) — so
+    // the guard scenario must be exercised against a single file. cp -p /
+    // rsync -t / coarse fs timestamps can preserve mtime across a
+    // regeneration; the (mtime, length) baseline catches any rewrite that
+    // changes the byte count.
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_len").toString
+    // Write `df` as ONE plain parquet file at dest (the /root/testdata
+    // layout): Spark writes a directory; move its single part file out.
+    def writeSingleFile(df: org.apache.spark.sql.DataFrame,
+        dest: java.io.File): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("graft_len_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(fail("test setup: no part file written"))
+      java.nio.file.Files.move(part.toPath, dest.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      graft.operators.Scans.rmRecursive(stage.toFile)
+    }
     try {
-      val path = s"$dir/region.parquet"
-      Seq((0, "AFRICA")).toDF("r_regionkey", "r_name")
-        .write.mode("overwrite").parquet(path)
-      val f = new java.io.File(path)
-      val mtime = f.lastModified()
-      // simulate a same-mtime regeneration: different content/length,
-      // mtime restored (what cp -p does)
-      Seq((0, "AFRICA"), (1, "AMERICA")).toDF("r_regionkey", "r_name")
-        .write.mode("overwrite").parquet(path)
+      val f = new java.io.File(s"$dir/region.parquet")
+      writeSingleFile(Seq((0, "AFRICA")).toDF("r_regionkey", "r_name"), f)
+      val mtime = f.lastModified(); val len = f.length()
+      assert(f.isFile && len > 0, "test setup: expected a plain parquet file")
+      // baseline established on the v1 single file (1 row)
+      assert(graft.sources.Tables.load(spark, dir, "region").count() == 1)
+      // same-mtime regeneration: different content/length, mtime restored
+      // (what cp -p does). The v2 name is deliberately wide — parquet's
+      // page/footer padding can make small files byte-identical in length
+      // across nearby row counts, and the guard scenario needs the byte
+      // count to genuinely differ.
+      writeSingleFile(
+        Seq((0, "AFRICA"), (1, "AMERICA_" + "y" * 128))
+          .toDF("r_regionkey", "r_name"), f)
       assert(f.setLastModified(mtime),
         "test setup: could not restore the fixture mtime")
-      // baseline established on the restored-mtime directory (2 rows: v2)
-      assert(graft.sources.Tables.load(spark, dir, "region").count() == 2)
+      assert(f.lastModified() == mtime && f.length() != len,
+        "test setup: need same-mtime, different-length")
       val e = intercept[IllegalStateException] {
-        // second load in the same session after another rewrite that
-        // keeps mtime but changes length
-        val before = f.length()
-        graft.operators.Scans.rmRecursive(f)
-        java.nio.file.Files.createFile(f.toPath) // 0-byte file, len differs
-        // the restore must SUCCEED or the guard would fire on mtime alone
-        // and this test would prove nothing about the length component
-        assert(f.setLastModified(mtime),
-          "test setup: could not restore the fixture mtime")
-        assert(f.lastModified() == mtime && f.length() != before,
-          "test setup: need same-mtime, different-length")
         graft.sources.Tables.load(spark, dir, "region")
       }
       assert(e.getMessage.contains("changed mid-session"))

@@ -41,6 +41,24 @@ abstract class StreamingParityBase extends AnyFunSuite {
   protected def ptest(name: String)(body: => Unit): Unit =
     test(s"$name [$providerTag]")(withProvider(body))
 
+  /** ADVICE r12 #4: the watermark-derived state-bound asserts compare
+    * state rows against lastProgress's REPORTED watermark, which is only
+    * consistent with eviction once the watermark-advance no-data
+    * micro-batch has run — behavior owned by
+    * spark.sql.streaming.noDataMicroBatches.enabled (default true). Pin
+    * it true for the assertion's session so a conf drift elsewhere can't
+    * make eviction lag the reported watermark by one batch and flake the
+    * bound. */
+  protected def withNoDataMicroBatches[A](body: => A): A = {
+    val k = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "true")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
   /** Run a streaming transform over a one-batch MemoryStream replay and
     * collect the complete/append result. */
   private def runStream(rows: Seq[Ev], mode: OutputMode)(
@@ -288,6 +306,7 @@ abstract class StreamingParityBase extends AnyFunSuite {
   }
 
   ptest("watermark eviction BOUNDS join state: late batches don't grow it") {
+   withNoDataMicroBatches {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     // The 100 TB streaming claim is that state is bounded by the
@@ -326,9 +345,11 @@ abstract class StreamingParityBase extends AnyFunSuite {
       assert(stateRows <= bound,
         s"state $stateRows exceeds the watermark-derived bound $bound")
     } finally q.stop()
+   }
   }
 
   ptest("watermarked 2h-window agg: closed windows evict, state stays bounded") {
+   withNoDataMicroBatches {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     // VERDICT r11 #3: `source_stream_window`'s registered row runs
@@ -392,6 +413,7 @@ abstract class StreamingParityBase extends AnyFunSuite {
           s"closed window ${r.getLong(0)} diverged from the batch twin: $r")
       }
     } finally q.stop()
+   }
   }
 
   ptest("chained stateful: stream-stream join then windowed agg, ONE query") {

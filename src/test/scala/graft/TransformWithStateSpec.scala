@@ -6,31 +6,16 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.Funnel
+import graft.streaming.{Funnel, FunnelProcessor}
 
-/** The same funnel state machine on Spark 4's transformWithState
+/** Spark 4 transformWithState coverage for the funnel state machine
   * (StatefulProcessor + RocksDB state store) — the successor API to
-  * flatMapGroupsWithState. One more witness that [[Funnel]] is
-  * runtime-agnostic: batch mapGroups, FMGWS, and TWS all agree. */
-class FunnelProcessor extends StatefulProcessor[
-    Long, (Long, String, Long), (Long, Long, Long, Long, Long, Long, Long)] {
-  @transient private var state: ValueState[Funnel.State] = _
-
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    state = getHandle.getValueState[Funnel.State](
-      "funnel", Encoders.product[Funnel.State], TTLConfig.NONE)
-
-  override def handleInputRows(key: Long,
-      rows: Iterator[(Long, String, Long)],
-      timerValues: TimerValues)
-      : Iterator[(Long, Long, Long, Long, Long, Long, Long)] = {
-    val init = Option(state.get()).getOrElse(Funnel.empty)
-    val st = rows.foldLeft(init)((acc, e) => Funnel.update(acc, e._2, e._3))
-    state.update(st)
-    Iterator.single(Funnel.finish(key, st))
-  }
-}
-
+  * flatMapGroupsWithState, registered since round 13 as
+  * `stream_transform_with_state` (the processor itself lives in
+  * graft.streaming.FunnelProcessor). Parity with the batch twin, state
+  * survival across a checkpoint restart, per-state TTL eviction, and
+  * the provider matrix (RocksDB mandated, HDFS-backed default rejected
+  * loudly) are each pinned here. */
 class TransformWithStateSpec extends AnyFunSuite {
   import TestSpark._
 
@@ -144,5 +129,128 @@ class TransformWithStateSpec extends AnyFunSuite {
         "restarted transformWithState != batch twin: ValueState lost " +
           "across the incarnation boundary")
     }
+  }
+
+  test("registered row == flatMapGroupsWithState row, and spans batches") {
+    // The round-13 registered query (real file-source stream, RocksDB
+    // pinned internally, maxFilesPerTrigger=1) must equal the
+    // stream_stateful_custom batch twin row-for-row — same funnel, same
+    // oracle SQL, different stateful API. Also guard the fixture
+    // property the cross-batch claim rests on: some user has events of
+    // both µs-parities (the file split), so ValueState really carried.
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, SF001)
+      .select(col("user_id"), unix_micros(col("ts")).as("es"))
+      .as[(Long, Long)].collect()
+    val spanning = ev.filter(_._2 % 2 == 0).map(_._1).toSet &
+      ev.filter(_._2 % 2 != 0).map(_._1).toSet
+    assert(spanning.nonEmpty,
+      "no user spans the parity split — the registered row would not " +
+        "exercise cross-batch state")
+    val tws = SparkEntry.queries("stream_transform_with_state")(spark, SF001)
+      .collect().map(_.toString).toSeq
+    val fmgws = SparkEntry.queries("stream_stateful_custom")(spark, SF001)
+      .collect().map(_.toString).toSeq
+    assert(tws == fmgws,
+      "transformWithState registered row != stream_stateful_custom twin")
+  }
+
+  test("per-state TTL evicts an idle funnel; NONE retains it") {
+    // The TTL axis of the new API (TTLConfig + TimeMode.ProcessingTime):
+    // key 1's funnel is written by incarnation ONE; after sleeping well
+    // past the TTL, incarnation TWO (same checkpoint — the restart-test
+    // pattern) touches the key again and must observe NULL state — its
+    // emitted row restarts counting from the new rows only. The control
+    // run (TTLConfig.NONE, same two incarnations, same sleep) must
+    // instead accumulate — separating "TTL evicted" from "state was
+    // never carried". One-directional timing: the test only relies on
+    // the sleep EXCEEDING the TTL (robust), never on racing under it.
+    // Trigger.AvailableNow incarnations self-terminate; a long-lived
+    // query + processAllAvailable does NOT quiesce under
+    // TimeMode.ProcessingTime (the processing-time clock keeps
+    // scheduling batches — observed as a checkpoint-rename busy loop).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import java.time.Duration
+    import org.apache.spark.sql.streaming.Trigger
+    // Lifecycle note (learned the hard way): under TimeMode.ProcessingTime
+    // the engine schedules micro-batches continuously (that is what lets
+    // TTL/timers fire without new input), so BOTH processAllAvailable and
+    // Trigger.AvailableNow's self-termination never quiesce — drive the
+    // query with a plain long-lived trigger and POLL the memory sink for
+    // the expected emission instead.
+    def awaitTrue(what: String)(pred: => Boolean): Unit = {
+      val end = System.currentTimeMillis + 60000
+      while (System.currentTimeMillis < end && !pred) Thread.sleep(200)
+      assert(pred, s"timed out waiting for $what")
+    }
+    def run(ttl: TTLConfig): Seq[(Long, Long)] = withRocksDb {
+      val mem = MemoryStream[(Long, String, Long)]
+      val name = s"graft_tws_ttl_${System.nanoTime()}"
+      val q = mem.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new FunnelProcessor(ttl),
+          TimeMode.ProcessingTime(), OutputMode.Update(),
+          Encoders.product[(Long, Long, Long, Long, Long, Long, Long)])
+        .toDF("user_id", "n_events", "n_clicks", "n_purchases",
+          "clicks_before_first_purchase", "first_es", "last_es")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).start()
+      def emitted(): Seq[(Long, Long)] =
+        spark.table(name).select("user_id", "n_events")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      try {
+        mem.addData(Seq((1L, "click", 100L), (1L, "click", 200L)))
+        awaitTrue("the batch-1 emission (1, 2)")(
+          emitted().contains((1L, 2L)))
+        Thread.sleep(2000) // >> the 500 ms TTL below
+        mem.addData(Seq((1L, "view", 300L)))
+        awaitTrue("a batch-2 emission for user 1")(
+          emitted().exists(e => e._1 == 1L && e._2 != 2L))
+        emitted()
+      } finally q.stop()
+    }
+    val evicted = run(TTLConfig(Duration.ofMillis(500)))
+    assert(evicted.contains((1L, 2L)) && evicted.contains((1L, 1L)),
+      s"TTL run: expected incarnation-1 n_events=2 then a RESTARTED " +
+        s"n_events=1 after expiry, got $evicted")
+    val retained = run(TTLConfig.NONE)
+    assert(retained.contains((1L, 2L)) && retained.contains((1L, 3L)),
+      s"NONE run: expected state to accumulate to n_events=3, " +
+        s"got $retained")
+  }
+
+  test("HDFS-backed default provider is rejected loudly, not silently") {
+    // TWS mandates RocksDB; the provider matrix for this API is
+    // therefore "RocksDB works (every other test here), default
+    // provider fails AT QUERY START with an attributable error" — pin
+    // the rejection so a future Spark upgrade that relaxes or worsens
+    // the behavior is caught. NOT wrapped in withRocksDb: the point is
+    // the suite session's default (HDFS-backed) provider.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    assert(!spark.conf.getOption(TestSpark.RocksProviderKey)
+        .exists(_.contains("RocksDB")),
+      "test precondition: session default provider must not be RocksDB")
+    val mem = MemoryStream[(Long, String, Long)]
+    mem.addData(Seq((1L, "click", 100L)))
+    val e = intercept[Exception] {
+      val q = mem.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new FunnelProcessor, TimeMode.None(),
+          OutputMode.Update(),
+          Encoders.product[(Long, Long, Long, Long, Long, Long, Long)])
+        .writeStream.format("memory")
+        .queryName(s"graft_tws_rej_${System.nanoTime()}")
+        .outputMode(OutputMode.Update()).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m => m.toLowerCase.contains("rocksdb") ||
+        m.toLowerCase.contains("provider")),
+      s"rejection error does not name the provider requirement: " +
+        s"${messages(e).take(2)}")
   }
 }
