@@ -115,6 +115,7 @@ object Bench {
     // band the load-adjudication rule reads.
     val matLayout = timed {
       graft.operators.Joins.materializeLayouts(spark, sfDir): Unit
+      graft.streaming.StreamingOps.twsInput(spark, sfDir): Unit
     }
     // GC attribution (VERDICT r8 "what's wrong"): the r8 driver bench
     // showed a 9.5× spike on UNCHANGED code at map positions 112–123 — a

@@ -822,7 +822,7 @@ object Scans {
     * catalog — the demo's state layout shrinks without touching any other
     * query (and the statestore batch read takes its partitioning from the
     * checkpoint itself, so results stay partition-count-independent). */
-  private def fewPartitionSession(s: org.apache.spark.sql.SparkSession,
+  private[graft] def fewPartitionSession(s: org.apache.spark.sql.SparkSession,
       partitions: Int): org.apache.spark.sql.SparkSession = {
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", partitions.toString)

@@ -378,14 +378,63 @@ object StreamingOps {
     * batches. TWS mandates the RocksDB state-store provider (the
     * HDFS-backed default is rejected at query start —
     * TransformWithStateSpec pins that rejection), so the provider +
-    * changelog-checkpointing confs are pinned around the query and
-    * restored after. Update-mode emissions are captured per batch via
+    * changelog-checkpointing confs are pinned on a session CLONE scoped
+    * to this query. Update-mode emissions are captured per batch via
     * foreachBatch with the batch id; the registered result is the LAST
     * emission per user — the final funnel state — which the batch-twin
     * oracle recomputes declaratively. Event-order note: [[Funnel.update]]
     * is arrival-order-insensitive (min/max/count aggregates and a
     * min-purchase-filtered click set), so batch boundaries never change
-    * the final row. */
+    * the final row.
+    *
+    * Cost shape (first sf0.1 sample 7.6 s, retune target ≤ ~1.5 s): the
+    * two-file input staging is the query's PRECONDITION, not its
+    * demonstration — memoized per (session, sfDir) in [[twsInput]] with
+    * the standard revalidateMemo self-heal — and the streaming query
+    * runs in a 4-shuffle-partition session clone (VERDICT r9 #1
+    * rationale: ~1.5k funnel keys need nowhere near 32 RocksDB store
+    * instances per micro-batch; the clone also scopes the mandatory
+    * provider confs with no restore-on-exit hazard). Results stay
+    * partition-count-independent — the CPUS=4/7/8/32 sweeps pin that. */
+  /** Memoized two-file input staging for `stream_transform_with_state`:
+    * the events projection split on event-time parity into exactly two
+    * one-file parquet halves (healthy = both halves still present), so
+    * spanning users exist and maxFilesPerTrigger=1 yields exactly two
+    * micro-batches. Same pid-keyed-scratch-under-session-key hazard and
+    * self-heal as Scans.fragmentedEvents. */
+  private val twsInCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), String]
+
+  private[graft] def twsInput(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    import graft.operators.Scans
+    val abs = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
+    Scans.revalidateMemo(twsInCache, (s, abs), f => f.isDirectory && {
+      val ls = f.listFiles()
+      ls != null && ls.count(_.getName.endsWith(".parquet")) >= 2
+    })
+    twsInCache.computeIfAbsent((s, abs), { _ =>
+      val inDir = Scans.scratch(s, "tws_in", d)
+      Scans.rmRecursive(new java.io.File(inDir))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("es"))
+      // two one-file halves split on event-time parity: both halves stay
+      // dense and any user with events of both µs-parities spans the
+      // micro-batch boundary, which is what makes cross-batch ValueState
+      // carriage observable in the final output.
+      ev.filter(pmod(col("es"), lit(2)) === 0).coalesce(1)
+        .write.mode("append").parquet(inDir)
+      ev.filter(pmod(col("es"), lit(2)) === 1).coalesce(1)
+        .write.mode("append").parquet(inDir)
+      graft.sources.SessionHooks.onApplicationEnd(s, s"tws-in-$abs") {
+        () => twsInCache.remove((s, abs)); ()
+      }
+      inDir
+    })
+  }
+
   private val transformWithState = Spec(
     "stream_transform_with_state",
     """WITH e AS (
@@ -405,55 +454,41 @@ object StreamingOps {
       |ORDER BY e.user_id""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
     import org.apache.spark.sql.types._
-    import s.implicits._
     val base = graft.operators.Scans.scratch(s, "tws", d)
     graft.operators.Scans.rmRecursive(new java.io.File(base)) // idempotent
-    val inDir = s"$base/in"; val chk = s"$base/chk"; val outDir = s"$base/out"
-    val ev = Tables.events(s, d)
-      .select(col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("es"))
-    // two one-file halves split on event-time parity: both halves stay
-    // dense and any user with events of both µs-parities spans the
-    // micro-batch boundary, which is what makes cross-batch ValueState
-    // carriage observable in the final output.
-    ev.filter(pmod(col("es"), lit(2)) === 0).coalesce(1)
-      .write.mode("append").parquet(inDir)
-    ev.filter(pmod(col("es"), lit(2)) === 1).coalesce(1)
-      .write.mode("append").parquet(inDir)
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val logKey =
-      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
-    val prev = Seq(provKey, logKey).map(k => k -> s.conf.getOption(k))
-    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming.state." +
-      "RocksDBStateStoreProvider")
-    s.conf.set(logKey, "true")
-    try {
-      val schema = StructType(Seq(StructField("user_id", LongType),
-        StructField("event_type", StringType), StructField("es", LongType)))
-      val q = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(inDir)
-        .as[(Long, String, Long)]
-        .groupByKey(_._1)
-        .transformWithState(new FunnelProcessor, TimeMode.None(),
-          OutputMode.Update(),
-          org.apache.spark.sql.Encoders
-            .product[(Long, Long, Long, Long, Long, Long, Long)])
-        .toDF("user_id", "n_events", "n_clicks", "n_purchases",
-          "clicks_before_first_purchase", "first_es", "last_es")
-        .writeStream
-        .option("checkpointLocation", chk)
-        .foreachBatch { (df: DataFrame, id: Long) =>
-          df.withColumn("batch_id", lit(id))
-            .write.mode("append").parquet(outDir)
-        }
-        .outputMode(OutputMode.Update())
-        .trigger(Trigger.AvailableNow()).start()
-      require(q.awaitTermination(180000),
-        "transformWithState query did not finish in 180 s")
-    } finally prev.foreach {
-      case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None)    => s.conf.unset(k)
-    }
+    val chk = s"$base/chk"; val outDir = s"$base/out"
+    val inDir = twsInput(s, d)
+    // 4-partition clone: RocksDB provider + changelog scoped HERE (TWS
+    // mandates RocksDB; a clone can't leak the conf into sibling queries)
+    val s2 = graft.operators.Scans.fewPartitionSession(s, 4)
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    s2.conf.set("spark.sql.streaming.stateStore.rocksdb." +
+      "changelogCheckpointing.enabled", "true")
+    import s2.implicits._
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("es", LongType)))
+    val q = s2.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new FunnelProcessor, TimeMode.None(),
+        OutputMode.Update(),
+        org.apache.spark.sql.Encoders
+          .product[(Long, Long, Long, Long, Long, Long, Long)])
+      .toDF("user_id", "n_events", "n_clicks", "n_purchases",
+        "clicks_before_first_purchase", "first_es", "last_es")
+      .writeStream
+      .option("checkpointLocation", chk)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        df.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(outDir)
+      }
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow()).start()
+    require(q.awaitTermination(180000),
+      "transformWithState query did not finish in 180 s")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("batch_id").desc)
     s.read.parquet(outDir)
