@@ -231,9 +231,8 @@ object Bench {
     // Full per-query map to stderr (driver ignores stderr): the stdout
     // line's budget keeps only the slowest ~60, and noise analysis
     // (BASELINE.md "noise floor") wants every query from both runs.
-    System.err.println("[bench] all_queries " + ordered
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}"))
+    System.err.println("[bench] all_queries " +
+      entryJson(ordered).mkString("{", ",", "}"))
     // Self-check BEFORE printing (selfCheck is also what BenchSpec runs
     // against its adversarial inputs): any framing/locale/truncation
     // regression fails loudly here instead of surfacing as a silent
@@ -263,13 +262,19 @@ object Bench {
     * 1300-char budget, failures (-1) always listed first.
     * `ordered` must be failures-first then slowest-first — the same order
     * pos15 and retimed align to. */
+  /** One serialization for the per-query `"name":time` entries — shared
+    * by the stdout JSON line and the stderr all_queries map so a format
+    * change can never make the two diverge (round-13 self-review). */
+  private def entryJson(ordered: Seq[(String, Double)]): Seq[String] =
+    ordered.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+
   private[graft] def renderLine(total: Double,
       ordered: Seq[(String, Double)], execIdx: Map[String, Int],
       retimed: Seq[Double], load1: (Double, Double),
       matPairs: Double, matPs: Double, matBpe: Double, matFrag: Double,
       matLayout: Double, gcSec: Double, annRecall: Double,
       ivfRecall: Double, shuffleMb: Double, sfDir: String): String = {
-    val entries = ordered.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val entries = entryJson(ordered)
     // Execution-order positions of the slowest queries (VERDICT r9 #3):
     // the r8/r9 spike adjudications hinged on whether the outliers were
     // ADJACENT in execution order (one machine-load window inflates a

@@ -235,9 +235,11 @@ object Joins {
     * (~2.5 s first-sample vs ~1.1 s retime) for pure setup cost. Memoized
     * exactly like Scans.fragmentedEvents — same pid-keyed-scratch-under-
     * session-key structure, so the same revalidateMemo self-heal applies:
-    * healthy = at least one `c_nationkey=` partition directory still
-    * holding a parquet shard (a partial delete of the directory tree must
-    * trip a rebuild, not a scan error). Pre-payable by Bench as
+    * healthy = the layout is COMPLETE per its exact `_graft_expected`
+    * stamp (Scans.healthyStamped) — an any-dir-present check would pass a
+    * partial delete of the partition tree and silently serve only the
+    * surviving nations' customers (round-13 self-review). Pre-payable by
+    * Bench as
     * `materialize_layout` so the timed line measures ONLY the pruned
     * join. */
   private val dppCache =
@@ -247,17 +249,13 @@ object Joins {
   private[graft] def dppCustomerLayout(s: org.apache.spark.sql.SparkSession,
       d: String): String = {
     val abs = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
-    Scans.revalidateMemo(dppCache, (s, abs), f => f.isDirectory && {
-      val parts = f.listFiles()
-      parts != null && parts.exists(p =>
-        p.getName.startsWith("c_nationkey=") &&
-          Scans.dirWith(_.endsWith(".parquet"))(p))
-    })
+    Scans.revalidateMemo(dppCache, (s, abs), Scans.healthyStamped)
     dppCache.computeIfAbsent((s, abs), { _ =>
       val loc = Scans.scratch(s, "dpp_customer", d)
       Tables.customer(s, d)
         .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
         .write.mode("overwrite").partitionBy("c_nationkey").parquet(loc)
+      Scans.stampExpected(loc)
       graft.sources.SessionHooks.onApplicationEnd(s, s"dpp-layout-$abs") {
         () => dppCache.remove((s, abs)); ()
       }
@@ -510,15 +508,20 @@ object Joins {
     def bucketize(base: String, df: => org.apache.spark.sql.DataFrame,
         key: String): String = {
       val name = s"${base}_$sfKey"
+      // Exact-completeness check (round-13 self-review): an any-file-
+      // present check would pass a partial external delete of the bucket
+      // files and the sort-merge join would silently read a table missing
+      // most of its buckets — drop + rebuild unless the live parquet
+      // count equals the `_graft_expected` stamp written at build time.
       if (s.catalog.tableExists(name) &&
-          !Scans.dirWith(_.endsWith(".parquet"))(
-            new java.io.File(s"$loc/$base")))
+          !Scans.healthyStamped(new java.io.File(s"$loc/$base")))
         s.sql(s"DROP TABLE IF EXISTS $name")
       if (!s.catalog.tableExists(name)) {
         df.write.mode("overwrite")
           .bucketBy(8, key).sortBy(key)
           .option("path", s"$loc/$base")
           .saveAsTable(name)
+        Scans.stampExpected(s"$loc/$base")
       }
       name
     }

@@ -246,17 +246,60 @@ object Scans {
       val ls = f.listFiles(); ls != null && ls.exists(c => p(c.getName))
     }
 
+  /** Recursive count of `.parquet` files under `f` (partitioned layouts
+    * nest them one directory per key value). */
+  private[graft] def countParquet(f: java.io.File): Int = {
+    val ls = f.listFiles()
+    if (ls == null) 0
+    else ls.map { c =>
+      if (c.isDirectory) countParquet(c)
+      else if (c.getName.endsWith(".parquet")) 1 else 0
+    }.sum
+  }
+
+  /** Exact-completeness stamp for memoized layout directories (round-13
+    * self-review). An any-shard-present health check ([[dirWith]]) passes
+    * a PARTIAL external delete — rmRecursive removes children in
+    * unspecified order, so a crashed cross-session delete can leave some
+    * shards standing — and the memo then silently serves a truncated
+    * layout: wrong ROWS, no error, the one failure mode the oracle can
+    * only catch if it happens during a Verify run. So the build stamps
+    * the exact recursive parquet-file count into a `_graft_expected`
+    * sidecar (underscore prefix ⇒ invisible to Spark's file index, like
+    * `_SUCCESS`), and [[healthyStamped]] requires the live count to EQUAL
+    * it — any partial delete (shards, partition dirs, or the sidecar
+    * itself) trips a rebuild instead of a truncated read. */
+  private[graft] def stampExpected(dir: String): Unit = {
+    val n = countParquet(new java.io.File(dir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_graft_expected"), n.toString)
+    ()
+  }
+
+  private[graft] def healthyStamped(f: java.io.File): Boolean =
+    f.isDirectory && {
+      val st = new java.io.File(f, "_graft_expected")
+      st.isFile && {
+        val expected =
+          try java.nio.file.Files.readString(st.toPath).trim.toInt
+          catch { case _: Exception => -1 }
+        expected > 0 && countParquet(f) == expected
+      }
+    }
+
   private[graft] def fragmentedEvents(s: org.apache.spark.sql.SparkSession,
       d: String): String = {
     val abs = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
-    // healthy = the 64-shard copy still has its parquet shards
-    revalidateMemo(fragCache, (s, abs), dirWith(_.endsWith(".parquet")))
+    // healthy = the 64-shard copy is COMPLETE (exact stamped count — a
+    // partial delete must rebuild, not silently compact fewer rows)
+    revalidateMemo(fragCache, (s, abs), healthyStamped)
     fragCache.computeIfAbsent((s, abs), { _ =>
       val frag = scratch(s, "compact_frag", d)
       Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("value"))
         .repartition(64)
         .write.mode("overwrite").parquet(frag)
+      stampExpected(frag)
       graft.sources.SessionHooks.onApplicationEnd(s, s"compact-frag-$abs") {
         () => fragCache.remove((s, abs)); ()
       }

@@ -410,10 +410,9 @@ object StreamingOps {
       d: String): String = {
     import graft.operators.Scans
     val abs = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
-    Scans.revalidateMemo(twsInCache, (s, abs), f => f.isDirectory && {
-      val ls = f.listFiles()
-      ls != null && ls.count(_.getName.endsWith(".parquet")) >= 2
-    })
+    // exact stamped count (round-13 self-review): both halves must be
+    // present AND whole, or the memo rebuilds
+    Scans.revalidateMemo(twsInCache, (s, abs), Scans.healthyStamped)
     twsInCache.computeIfAbsent((s, abs), { _ =>
       val inDir = Scans.scratch(s, "tws_in", d)
       Scans.rmRecursive(new java.io.File(inDir))
@@ -428,6 +427,7 @@ object StreamingOps {
         .write.mode("append").parquet(inDir)
       ev.filter(pmod(col("es"), lit(2)) === 1).coalesce(1)
         .write.mode("append").parquet(inDir)
+      Scans.stampExpected(inDir)
       graft.sources.SessionHooks.onApplicationEnd(s, s"tws-in-$abs") {
         () => twsInCache.remove((s, abs)); ()
       }
@@ -487,8 +487,14 @@ object StreamingOps {
       }
       .outputMode(OutputMode.Update())
       .trigger(Trigger.AvailableNow()).start()
-    require(q.awaitTermination(180000),
+    // stop() in finally (round-13 self-review, same shape as
+    // Scans.statefulCheckpoint): on the timeout path the query must not
+    // stay live holding RocksDB stores while a later invocation
+    // rmRecursive's its checkpoint out from under it. No-op if the query
+    // already terminated.
+    try require(q.awaitTermination(180000),
       "transformWithState query did not finish in 180 s")
+    finally q.stop()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("batch_id").desc)
     s.read.parquet(outDir)

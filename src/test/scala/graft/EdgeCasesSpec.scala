@@ -337,6 +337,68 @@ class EdgeCasesSpec extends AnyFunSuite {
     }
   }
 
+  test("memoized layouts self-heal after a PARTIAL external delete") {
+    // Round-13 self-review: the full-delete sweep above cannot catch the
+    // worse failure mode — a crashed cross-session rmRecursive removes
+    // children in unspecified order, so a layout can be left PARTIALLY
+    // standing, and an any-shard-present health check then serves a
+    // truncated layout: wrong rows, no error. Every memoized layout now
+    // stamps its exact parquet-file count (`_graft_expected`,
+    // Scans.healthyStamped); this deletes exactly ONE shard / partition
+    // directory / bucket file out from under each live memo and requires
+    // CONTENT-identical results — count equality is not enough, because
+    // the truncated read loses specific rows.
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    def layoutDirs(op: String): Array[java.io.File] = {
+      val prefix = s"graft_p${graft.operators.Scans.jvmTag}_${op}_"
+      tmp.listFiles().filter(f => f.isDirectory && f.getName.startsWith(prefix))
+    }
+    def deleteOne(dir: java.io.File, pick: java.io.File => Boolean): Unit = {
+      val victim = Option(dir.listFiles()).getOrElse(Array.empty)
+        .find(pick)
+      assert(victim.nonEmpty,
+        s"test setup: nothing to partially delete under $dir")
+      graft.operators.Scans.rmRecursive(victim.get)
+    }
+    val cases: Seq[(String, String, java.io.File => Boolean)] = Seq(
+      // one of the 64 fragmented-events shards
+      ("sink_compacted", "compact_frag", _.getName.endsWith(".parquet")),
+      // one whole c_nationkey= partition directory
+      ("join_dpp", "dpp_customer", _.getName.startsWith("c_nationkey=")),
+      // one of the two parity-half input files
+      ("stream_transform_with_state", "tws_in",
+        _.getName.endsWith(".parquet")))
+    cases.foreach { case (query, op, pick) =>
+      def rows(): Seq[String] =
+        SparkEntry.queries(query)(spark, TestSpark.SF001)
+          .collect().map(_.toString).sorted.toSeq
+      val first = rows()
+      val dirs = layoutDirs(op)
+      assert(dirs.nonEmpty, s"test setup: no $op layout dir found")
+      dirs.foreach(deleteOne(_, pick))
+      assert(rows() == first,
+        s"$query served a TRUNCATED $op layout after a partial delete — " +
+          "the health check is not exact-count")
+    }
+    // join_bucketed's layout lives under one _bucketed_ root with a
+    // subdirectory per table — delete one bucket FILE inside one table
+    def bucketRows(): Seq[String] =
+      SparkEntry.queries("join_bucketed")(spark, TestSpark.SF001)
+        .collect().map(_.toString).sorted.toSeq
+    val first = bucketRows()
+    val roots = layoutDirs("bucketed")
+    assert(roots.nonEmpty, "test setup: no bucketed layout root found")
+    roots.foreach { root =>
+      val table = Option(root.listFiles()).getOrElse(Array.empty)
+        .find(f => f.isDirectory && f.getName.startsWith("graft_bkt_"))
+      assert(table.nonEmpty, s"test setup: no bucket table dir under $root")
+      deleteOne(table.get, _.getName.endsWith(".parquet"))
+    }
+    assert(bucketRows() == first,
+      "join_bucketed read a table missing a bucket file after a partial " +
+        "delete — the health check is not exact-count")
+  }
+
   test("mid-session fixture regeneration fails loudly at the next load") {
     // ADVICE r10 #1: the memoized relations and the streaming schema pin
     // rest on the driver contract "fixtures are immutable for a session's
