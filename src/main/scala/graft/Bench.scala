@@ -116,6 +116,7 @@ object Bench {
     val matLayout = timed {
       graft.operators.Joins.materializeLayouts(spark, sfDir): Unit
       graft.streaming.StreamingOps.twsInput(spark, sfDir): Unit
+      graft.streaming.StreamingOps.twsTimerInput(spark, sfDir): Unit
     }
     // GC attribution (VERDICT r8 "what's wrong"): the r8 driver bench
     // showed a 9.5× spike on UNCHANGED code at map positions 112–123 — a
@@ -293,10 +294,16 @@ object Bench {
     // ≤ ~1.7 KB: fully inside the window with margin, while recording
     // ~50-55 of the slowest per-query timings.
     val budget = 1300
-    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    // PREFIX truncation, not best-fit (ADVICE r13 #1): stop at the first
+    // entry that does not fit. A continue-past-the-misfit loop could drop
+    // a long name inside the first 15 while keeping later short ones,
+    // silently misaligning pos15[i]/retimed[i] with the i-th key of the
+    // queries object.
     var used = 0
-    entries.foreach { e =>
-      if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+    val kept = entries.takeWhile { e =>
+      val fits = used + e.length + 1 <= budget
+      if (fits) used += e.length + 1
+      fits
     }
     val omitted = entries.length - kept.length
     val qs = kept.mkString("{", ",", "}")

@@ -271,6 +271,12 @@ object Scans {
     * itself) trips a rebuild instead of a truncated read. */
   private[graft] def stampExpected(dir: String): Unit = {
     val n = countParquet(new java.io.File(dir))
+    // Fail loudly at stamp time (ADVICE r13 #2): healthyStamped treats
+    // expected == 0 as unhealthy, so stamping a zero-file layout would
+    // create a memo that is silently rebuilt on EVERY invocation — a perf
+    // cliff with no error. A zero count here means the build itself wrote
+    // nothing; surface that as the build's failure, not as memo churn.
+    require(n > 0, s"layout build wrote no parquet files under $dir")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(dir, "_graft_expected"), n.toString)
     ()

@@ -73,6 +73,25 @@ class BenchSpec extends AnyFunSuite {
     }
   }
 
+  test("query map is a strict PREFIX of ordered — a misfit stops it") {
+    // ADVICE r13 #1: the budget loop must BREAK at the first entry that
+    // does not fit, never skip it and keep later shorter ones — the
+    // documented pos15[i]/retimed[i] correspondence with the i-th key of
+    // the queries object only holds under prefix truncation. Adversarial
+    // input: a 1400-char name in position 2 (wider than the whole
+    // budget), short names after it.
+    val ordered = Seq("first_query" -> -1.0, ("w" * 1400) -> 99999.999) ++
+      (0 until 50).map(i => f"tail_$i%02d" -> 1.0)
+    val line = render(ordered, Seq(1.0))
+    Bench.selfCheck(line)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    val qs = mapper.readTree(line).get("queries")
+    import scala.jdk.CollectionConverters._
+    val kept = qs.fieldNames.asScala.toSeq
+    assert(kept == Seq("first_query"),
+      s"budget loop kept entries past the first misfit: $kept")
+  }
+
   test("rendered line parses back to the values main computed") {
     // Round-trip sanity on the extraction (the refactor must not have
     // changed the serialization main used through round 12).

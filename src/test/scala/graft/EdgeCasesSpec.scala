@@ -317,6 +317,8 @@ class EdgeCasesSpec extends AnyFunSuite {
       "source_stream_file" -> "stream_src",
       "stream_incremental_restart" -> "increstart",
       "stream_transform_with_state" -> "tws",
+      "stream_tws_timers" -> "tws_timer",
+      "stream_tws_mapstate" -> "tws_map",
       "join_dpp" -> "dpp_customer", "join_bucketed" -> "bucketed")
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     consumers.foreach { case (query, op) =>
@@ -367,6 +369,9 @@ class EdgeCasesSpec extends AnyFunSuite {
       ("join_dpp", "dpp_customer", _.getName.startsWith("c_nationkey=")),
       // one of the two parity-half input files
       ("stream_transform_with_state", "tws_in",
+        _.getName.endsWith(".parquet")),
+      // one of the four chronological/sentinel files of the timer staging
+      ("stream_tws_timers", "tws_timer_in",
         _.getName.endsWith(".parquet")))
     cases.foreach { case (query, op, pick) =>
       def rows(): Seq[String] =

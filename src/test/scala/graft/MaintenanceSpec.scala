@@ -10,6 +10,53 @@ import org.scalatest.funsuite.AnyFunSuite
 class MaintenanceSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("profile_observe rides the query's own pass: metrics == direct agg") {
+    // The observed metrics must equal what a dedicated aggregate computes
+    // — same values, zero extra scan (the observe node is a CollectMetrics
+    // over the same lineitem read the downstream count consumes; the
+    // registered row's in-line require() already pins observed n_returned
+    // == downstream count on every invocation).
+    val got = SparkEntry.queries("profile_observe")(spark, SF001)
+      .collect()(0)
+    val direct = graft.sources.Tables.lineitem(spark, SF001).agg(
+      count(lit(1)).as("n_rows"),
+      count(when(col("l_returnflag") === "R", 1)).as("n_returned"),
+      graft.functions.Det.dsum(col("l_quantity")).as("sum_qty"))
+      .collect()(0)
+    assert(got.toString == direct.toString,
+      s"observed metrics $got != direct aggregate $direct")
+  }
+
+  test("observe has a streaming twin: metrics arrive via query progress") {
+    // The same observe() call on a streaming Dataset surfaces its
+    // per-batch metrics in StreamingQueryProgress.observedMetrics — the
+    // monitoring hook a 100 TB ingest job reads from its listener
+    // instead of re-aggregating the batch. (The named-observe form is
+    // used here: the Observation helper class is batch-only by design.)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val name = s"graft_obs_stream_${System.nanoTime()}"
+    val q = mem.toDF()
+      .observe("graft_metrics", count(lit(1)).as("n_rows"),
+        sum(col("value")).as("sum_v"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      mem.addData(1L to 100L)
+      q.processAllAvailable()
+      val metrics = q.recentProgress.toSeq.flatMap(p =>
+        Option(p.observedMetrics.get("graft_metrics"))).lastOption
+      assert(metrics.isDefined,
+        "no observedMetrics named graft_metrics in any query progress")
+      val m = metrics.get
+      assert(m.getAs[Long]("n_rows") == 100L
+          && m.getAs[Long]("sum_v") == 5050L,
+        s"streaming observed metrics wrong: $m")
+    } finally q.stop()
+  }
+
   test("merge_upsert applies update/delete/insert MERGE semantics exactly") {
     val base = graft.sources.Tables.orders(spark, SF001)
       .select(col("o_orderkey"), col("o_totalprice"))

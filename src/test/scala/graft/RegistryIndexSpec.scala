@@ -132,6 +132,43 @@ class RegistryIndexSpec extends AnyFunSuite {
         s"noOracle-but-unmarked: ${(noOracle -- daggered).toSeq.sorted}")
   }
 
+  test("§2 prose counts match the §2 tables and the live registry") {
+    // VERDICT r13 #4: the §2 status block and the "Inventory count" line
+    // each carry prose counts (table rows / query-backed / registry-wide)
+    // that went stale by one when the round-13 row was added — the §2.11
+    // pins above guard only the index. Derive every number from the live
+    // tree and require the prose to carry exactly it, so the next row
+    // addition cannot leave these lines stale again.
+    val lines = readLines(repoFile("SURVEY.md"))
+    val start = lines.indexWhere(_.startsWith("## §2."))
+    val end = lines.indexWhere(_.startsWith("### 2.11"))
+    assert(start >= 0 && end > start, "SURVEY.md §2 boundaries not found")
+    val sec = lines.slice(start, end)
+    val Row = """^\| `([a-z0-9_]+)`.*""".r
+    val tableNames = sec.collect { case Row(n) => n }
+    val dups = tableNames.groupBy(identity)
+      .collect { case (n, g) if g.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate §2 table rows: ${dups.toSeq.sorted}")
+    val queryBacked = tableNames.filterNot(_ == "sink_parquet")
+    val unregistered = queryBacked.toSet -- SparkEntry.queries.keySet
+    assert(unregistered.isEmpty,
+      s"§2 table rows not in the registry: ${unregistered.toSeq.sorted}")
+    val text = sec.mkString("\n")
+    val n = tableNames.size; val qb = queryBacked.size
+    val r = SparkEntry.queries.size
+    assert(text.contains(s"all $n rows below ($qb query-backed"),
+      s"§2 status block does not carry 'all $n rows below ($qb " +
+        "query-backed' — update it with the new row")
+    assert(text.contains(s"Inventory count: $n table rows** — $qb query-backed"),
+      s"§2 count line does not carry 'Inventory count: $n table rows** — " +
+        s"$qb query-backed' — update it with the new row")
+    assert(text.contains(s"carries $r registered queries"),
+      s"§2 status block does not carry 'carries $r registered queries'")
+    assert(text.contains(s"$r registered queries, $r with oracle SQL"),
+      s"§2 count line does not carry '$r registered queries, $r with " +
+        "oracle SQL'")
+  }
+
   test("heading operator count matches the table") {
     val m = """(\d+) operators""".r.findFirstMatchIn(heading)
     assert(m.isDefined, s"§2.11 heading carries no 'N operators' count: $heading")

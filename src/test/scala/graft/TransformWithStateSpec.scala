@@ -155,13 +155,121 @@ class TransformWithStateSpec extends AnyFunSuite {
       "transformWithState registered row != stream_stateful_custom twin")
   }
 
+  test("an event-time timer fires on watermark advance with NO input for its key") {
+    // The distinguishing TWS feature over flatMapGroupsWithState
+    // (VERDICT r13 #1): a registered per-key timer whose expiry callback
+    // runs when the WATERMARK passes it — driven by OTHER keys' events.
+    // Key 1 opens a session in batch 1 and never appears again; batches
+    // 2–3 carry only key 2, advancing the watermark past key 1's
+    // (last event + gap). SessionTimerProcessor.handleInputRows emits
+    // nothing, so key 1's emitted session row can ONLY have come from
+    // handleExpiredTimer — the timer-actually-fired witness.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.SessionTimerProcessor
+    withRocksDb {
+      val mem = MemoryStream[(Long, java.sql.Timestamp)]
+      def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+      val name = s"graft_tws_timer_${System.nanoTime()}"
+      val q = mem.toDS().toDF("user_id", "ts")
+        .withWatermark("ts", "0 seconds")
+        .select(col("user_id"), unix_micros(col("ts")).as("es"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new SessionTimerProcessor(1800000000L),
+          TimeMode.EventTime(), OutputMode.Append(),
+          Encoders.product[(Long, Long, Long, Long)])
+        .toDF("user_id", "session_start_us", "session_end_us", "n_events")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        mem.addData(Seq((1L, ts(0)), (1L, ts(5))))
+        q.processAllAvailable()
+        mem.addData(Seq((2L, ts(120)))) // watermark → 120 min after batch
+        q.processAllAvailable()
+        mem.addData(Seq((2L, ts(240)))) // batch runs with wm=120 > 35+ε
+        q.processAllAvailable()
+        val rows = spark.table(name)
+          .filter(col("user_id") === 1).collect()
+        assert(rows.length == 1,
+          s"expected exactly one closed session for key 1, got " +
+            s"${rows.length} — timer did not fire (or fired twice)")
+        val r = rows(0)
+        assert(r.getAs[Long]("session_start_us") == 0L
+            && r.getAs[Long]("session_end_us") == 5L * 60000000L + 1800000000L
+            && r.getAs[Long]("n_events") == 2L,
+          s"timer-closed session has wrong bounds/count: $r")
+      } finally q.stop()
+    }
+  }
+
+  test("stream_tws_timers == batch session_window sessionization") {
+    // The registered timer row must equal Spark's own session_window
+    // batch aggregation (the stream_session twin projected to the timer
+    // row's columns) — two independent sessionization implementations,
+    // one gap convention. Also pin the staging property the cross-batch
+    // claim rests on: some user has events on BOTH sides of the
+    // chronological cut, so the open session genuinely spans micro-batch
+    // boundaries and ListState must carry.
+    import spark.implicits._
+    val es = graft.sources.Tables.events(spark, SF001)
+      .select(col("user_id"), unix_micros(col("ts")).as("es"))
+      .as[(Long, Long)].collect()
+    val (mn, mx) = (es.map(_._2).min, es.map(_._2).max)
+    val cut = mn + (mx - mn) / 2
+    val spanning = es.filter(_._2 < cut).map(_._1).toSet &
+      es.filter(_._2 >= cut).map(_._1).toSet
+    assert(spanning.nonEmpty,
+      "no user spans the chronological cut — the registered row would " +
+        "not exercise cross-batch ListState carriage")
+    val got = SparkEntry.queries("stream_tws_timers")(spark, SF001)
+      .collect().map(_.toString).toSeq
+    assert(got.nonEmpty, "timer row emitted nothing — no timer ever fired")
+    val batch = graft.streaming.StreamingOps.sessionAgg(
+        graft.sources.Tables.events(spark, SF001))
+      .select(col("user_id"), col("session_start_us"),
+        col("session_end_us"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start_us"))
+      .collect().map(_.toString).toSeq
+    assert(got == batch,
+      "timer-closed sessions != batch session_window sessionization")
+  }
+
+  test("stream_tws_mapstate == batch group counts, and pairs span batches") {
+    // MapState variant: final per-(user, type) counters from the
+    // registered row must equal a plain batch GROUP BY — and some
+    // (user, type) pair must have events of both µs-parities (the
+    // twsInput file split), so a correct final count proves the map
+    // carried across the micro-batch boundary (counts are additive; a
+    // reset-to-empty bug undercounts every spanning pair).
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, SF001)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("es"))
+      .as[(Long, String, Long)].collect()
+    val spanningPairs = ev.filter(_._3 % 2 == 0).map(e => (e._1, e._2)).toSet &
+      ev.filter(_._3 % 2 != 0).map(e => (e._1, e._2)).toSet
+    assert(spanningPairs.nonEmpty,
+      "no (user, type) pair spans the parity split — the MapState row " +
+        "would not exercise cross-batch map carriage")
+    val got = SparkEntry.queries("stream_tws_mapstate")(spark, SF001)
+      .collect().map(_.toString).toSeq
+    val batch = graft.sources.Tables.events(spark, SF001)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("event_type"))
+      .collect().map(_.toString).toSeq
+    assert(got == batch, "MapState final counters != batch GROUP BY")
+  }
+
   test("per-state TTL evicts an idle funnel; NONE retains it") {
     // The TTL axis of the new API (TTLConfig + TimeMode.ProcessingTime):
-    // key 1's funnel is written by incarnation ONE; after sleeping well
-    // past the TTL, incarnation TWO (same checkpoint — the restart-test
-    // pattern) touches the key again and must observe NULL state — its
-    // emitted row restarts counting from the new rows only. The control
-    // run (TTLConfig.NONE, same two incarnations, same sleep) must
+    // ONE continuous query, two micro-batches (ADVICE r13 #4 — no
+    // checkpoint restart is involved; the query object stays live
+    // throughout). Batch 1 writes key 1's funnel; after sleeping well
+    // past the TTL, batch 2 touches the key again and must observe NULL
+    // state — its emitted row restarts counting from the new rows only.
+    // The control run (TTLConfig.NONE, same two batches, same sleep) must
     // instead accumulate — separating "TTL evicted" from "state was
     // never carried". One-directional timing: the test only relies on
     // the sleep EXCEEDING the TTL (robust), never on racing under it.
