@@ -118,6 +118,18 @@ object Bench {
       graft.streaming.StreamingOps.twsInput(spark, sfDir): Unit
       graft.streaming.StreamingOps.twsTimerInput(spark, sfDir): Unit
     }
+    // Materialize-phase-end loadavg (VERDICT r13 #7): the pre-paid
+    // builds above are inside the headline total but outside the
+    // per-query retime instrument, so a load window confined to this
+    // phase was the one section still adjudicated manually (the 301.8 s
+    // r10 run). [load1[0], load1_mat] brackets the materializations the
+    // same way [load1[0], load1[1]] brackets the whole bill: inflated
+    // materialize_* fields + load1_mat well above the self-load band +
+    // load1[1] recovered ⇒ the window sat here, per-query numbers are
+    // clean. (A REBUILD retime of the memoized layouts would cost ~12 s
+    // per run — 13 % of total — for the same verdict; the sample is
+    // free.)
+    val loadAfterMat = load1()
     // GC attribution (VERDICT r8 "what's wrong"): the r8 driver bench
     // showed a 9.5× spike on UNCHANGED code at map positions 112–123 — a
     // signature consistent with a transient machine-load or GC window.
@@ -227,8 +239,9 @@ object Bench {
     val ivfRecall = recallOf("llm_ann_ivf")
     val line = renderLine(total, ordered,
       SparkEntry.queries.keys.zipWithIndex.toMap, retimed,
-      (loadAtStart, loadAtEnd), matPairs, matPs, matBpe, matFrag, matLayout,
-      gcSec, annRecall, ivfRecall, benchShuffleBytes / 1e6, sfDir)
+      (loadAtStart, loadAtEnd), loadAfterMat, matPairs, matPs, matBpe,
+      matFrag, matLayout, gcSec, annRecall, ivfRecall,
+      benchShuffleBytes / 1e6, sfDir)
     // Full per-query map to stderr (driver ignores stderr): the stdout
     // line's budget keeps only the slowest ~60, and noise analysis
     // (BASELINE.md "noise floor") wants every query from both runs.
@@ -271,7 +284,7 @@ object Bench {
 
   private[graft] def renderLine(total: Double,
       ordered: Seq[(String, Double)], execIdx: Map[String, Int],
-      retimed: Seq[Double], load1: (Double, Double),
+      retimed: Seq[Double], load1: (Double, Double), load1Mat: Double,
       matPairs: Double, matPs: Double, matBpe: Double, matFrag: Double,
       matLayout: Double, gcSec: Double, annRecall: Double,
       ivfRecall: Double, shuffleMb: Double, sfDir: String): String = {
@@ -317,7 +330,7 @@ object Bench {
     def fmt2(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     val load1Json = s"[${fmt2(load1._1)},${fmt2(load1._2)}]"
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${entries.length},"omitted":$omitted,"pos15":$pos15,"retimed":$retimedJson,"load1":$load1Json,"materialize_pairs":${fmt(matPairs)},"materialize_ps":${fmt(matPs)},"materialize_bpe":${fmt(matBpe)},"materialize_frag":${fmt(matFrag)},"materialize_layout":${fmt(matLayout)},"gc_sec":${fmt(gcSec)},"ann_recall":${fmt(annRecall)},"ivf_recall":${fmt(ivfRecall)},"shuffle_mb":${fmt(shuffleMb)},"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${entries.length},"omitted":$omitted,"pos15":$pos15,"retimed":$retimedJson,"load1":$load1Json,"load1_mat":${fmt2(load1Mat)},"materialize_pairs":${fmt(matPairs)},"materialize_ps":${fmt(matPs)},"materialize_bpe":${fmt(matBpe)},"materialize_frag":${fmt(matFrag)},"materialize_layout":${fmt(matLayout)},"gc_sec":${fmt(gcSec)},"ann_recall":${fmt(annRecall)},"ivf_recall":${fmt(ivfRecall)},"shuffle_mb":${fmt(shuffleMb)},"sf":"$sfDir"}"""
   }
 
   /** Strict framing check on a rendered line: valid single-object JSON
@@ -333,7 +346,8 @@ object Bench {
         && tree.has("pos15") && tree.get("pos15").isArray
         && tree.has("retimed") && tree.get("retimed").isArray
         && tree.has("load1") && tree.get("load1").isArray
-        && tree.get("load1").size == 2,
+        && tree.get("load1").size == 2
+        && tree.has("load1_mat") && tree.get("load1_mat").isNumber,
       "bench JSON self-check failed")
     require(line.length <= 1900,
       s"bench line ${line.length} chars risks the driver's 2000-char tail")

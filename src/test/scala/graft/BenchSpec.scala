@@ -24,7 +24,7 @@ class BenchSpec extends AnyFunSuite {
       ordered = ordered,
       execIdx = execIdx,
       retimed = retimed,
-      load1 = (999.99, 999.99),
+      load1 = (999.99, 999.99), load1Mat = 999.99,
       matPairs = -1.0, matPs = 9999.999, matBpe = -1.0, matFrag = 9999.999,
       matLayout = 9999.999, gcSec = 9999.999,
       annRecall = -1.0, ivfRecall = -1.0, shuffleMb = 99999.999,
@@ -103,6 +103,7 @@ class BenchSpec extends AnyFunSuite {
     assert(t.get("queries").get("a_query").asDouble == 1.234)
     assert(t.get("retimed").get(0).asDouble == 1.2)
     assert(t.get("materialize_layout").asDouble == 9999.999)
+    assert(t.get("load1_mat").asDouble == 999.99)
     assert(t.get("sf").asText == "/root/testdata/sf0.1")
   }
 }
