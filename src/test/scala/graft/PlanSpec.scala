@@ -505,4 +505,25 @@ class PlanSpec extends AnyFunSuite {
     assert(scans.head.inputRDD.getNumPartitions == 4,
       s"JDBC scan has ${scans.head.inputRDD.getNumPartitions} partitions")
   }
+
+  test("profile_observe's pipeline is ONE scan: CollectMetrics rides the pass") {
+    // The registered row returns the metrics as a driver-built row, so
+    // pin the plan of the PIPELINE it runs internally: observe + the
+    // downstream filter/count must share a single lineitem scan — the
+    // zero-extra-I/O property that makes observe the right tripwire at
+    // 100 TB (a second scan would double the job's read).
+    import org.apache.spark.sql.functions._
+    val obs = org.apache.spark.sql.Observation()
+    val observed = graft.sources.Tables.lineitem(spark, SF001).observe(obs,
+      count(lit(1)).as("n_rows"),
+      count(when(col("l_returnflag") === "R", 1)).as("n_returned"),
+      graft.functions.Det.dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("l_returnflag") === "R")
+    val p = observed.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("CollectMetrics"), p.take(1200))
+    assert(p.linesIterator.count(_.contains("Location: InMemoryFileIndex"))
+        == 1,
+      s"observe pipeline must not rescan lineitem: ${p.take(1200)}")
+  }
 }

@@ -203,6 +203,49 @@ class TransformWithStateSpec extends AnyFunSuite {
     }
   }
 
+  test("timer sessionization gap boundary: exactly-gap splits, gap−1µs merges") {
+    // The >= gap convention at µs precision — the classic off-by-one in
+    // any sessionizer, and the exact convention the DuckDB oracle and
+    // session_window share: two events spaced EXACTLY the 30-min gap
+    // must land in two sessions; spaced gap−1µs, in one.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.SessionTimerProcessor
+    val gap = 1800000000L
+    withRocksDb {
+      val mem = MemoryStream[(Long, Long)]
+      val name = s"graft_tws_gap_${System.nanoTime()}"
+      val q = mem.toDS().toDF("user_id", "es_in")
+        .select(col("user_id"), timestamp_micros(col("es_in")).as("ts"))
+        .withWatermark("ts", "0 seconds")
+        .select(col("user_id"), unix_micros(col("ts")).as("es"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new SessionTimerProcessor(gap),
+          TimeMode.EventTime(), OutputMode.Append(),
+          Encoders.product[(Long, Long, Long, Long)])
+        .toDF("user_id", "session_start_us", "session_end_us", "n_events")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        mem.addData(Seq((1L, 0L), (1L, gap), (2L, 0L), (2L, gap - 1)))
+        q.processAllAvailable()
+        mem.addData(Seq((9L, 86400000000L))) // sentinel advances watermark
+        q.processAllAvailable()
+        mem.addData(Seq((9L, 86400000001L))) // firing batch (wm = 1 day)
+        q.processAllAvailable()
+        val got = spark.table(name).filter(col("user_id") < 9)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).sortBy(t => (t._1, t._2)).toSeq
+        assert(got == Seq(
+          (1L, 0L, gap, 1L),               // exactly-gap: first closes alone
+          (1L, gap, 2 * gap, 1L),          // ...second is its own session
+          (2L, 0L, gap - 1 + gap, 2L)),    // gap−1µs: one 2-event session
+          s"gap-boundary sessionization wrong: $got")
+      } finally q.stop()
+    }
+  }
+
   test("stream_tws_timers == batch session_window sessionization") {
     // The registered timer row must equal Spark's own session_window
     // batch aggregation (the stream_session twin projected to the timer
