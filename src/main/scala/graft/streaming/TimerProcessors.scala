@@ -66,8 +66,11 @@ class SessionTimerProcessor(gapUs: Long)
     maxEs.update(mx)
     // one live timer per key, at (current max + gap): a batch that
     // extends the session must push the close-out forward, so stale
-    // timers are deleted, not accumulated
-    getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+    // timers are deleted, not accumulated. Materialized before deleting:
+    // deleteTimer while the listTimers iterator is still open would
+    // mutate the underlying store mid-iteration (store-implementation-
+    // dependent behavior this code must not lean on)
+    getHandle.listTimers().toList.foreach(t => getHandle.deleteTimer(t))
     getHandle.registerTimer(mx / 1000 + gapMs + 1)
     Iterator.empty
   }
