@@ -27,7 +27,69 @@ object Analytics {
     pointInTime, sqlTpchQ5, sqlTpchQ1, sqlTpchQ17, sqlTpchQ6, sqlTpchQ10,
     sqlTpchQ14, sqlTpchQ4, sqlTpchQ21, sqlTpchQ22, sqlTpchQ7, sqlTpchQ8,
     sqlTpchQ12, sqlTpchQ13, sqlTpchQ15, sqlTpchQ19, sqlTpchQ2, sqlTpchQ9,
-    sqlTpchQ11, sqlTpchQ16, sqlTpchQ20)
+    sqlTpchQ11, sqlTpchQ16, sqlTpchQ20, sqlParameterized, joinLateral)
+
+  /** Parameterized SQL (`spark.sql(text, args)`, named `:marker`
+    * binding — the Spark 3.4+ public surface): the injection-safe way a
+    * service layer runs user-scoped variants of one query text. The
+    * markers bind as FOLDABLE literals inside analysis — Catalyst still
+    * constant-folds, pushes the bound predicate into the scan, and the
+    * one query text amortizes plan caching across bindings, which is the
+    * operational point at 100 TB (a fleet of per-tenant queries that
+    * differ only in bound values shares one plan shape). String
+    * concatenation would get the same result and none of those
+    * guarantees. The oracle is the same text with the bindings inlined
+    * as literals — value-identical comparisons (no arithmetic on the
+    * bound params), so the row hash is exact. */
+  private val sqlParameterized = Spec(
+    "sql_parameterized",
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE o_totalprice > 150000.0 AND o_orderstatus = 'O'
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("graft_param_orders")
+    s.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM graft_param_orders
+        |WHERE o_totalprice > :minPrice AND o_orderstatus = :status
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+      Map("minPrice" -> 150000.0, "status" -> "O"))
+  }
+
+  /** Correlated LATERAL subquery join (SQL:2008 LATERAL / CROSS APPLY;
+    * Spark ≥3.2 decorrelates it): top-3 orders per customer written the
+    * way an analyst writes it — a per-row dependent subquery with ORDER
+    * BY + LIMIT — rather than the window-function idiom
+    * (`win_topk_per_group`). Catalyst rewrites the correlated limit into
+    * a partitioned rank under the hood, so the executed plan is the same
+    * shuffle-on-key + per-group top-k that survives 100 TB; what this
+    * row pins is that the DECORRELATION of the lateral form is
+    * semantics-preserving, checked hash-exact against DuckDB's own
+    * LATERAL execution. Inner-join semantics: order-less customers drop
+    * on both engines. */
+  private val joinLateral = Spec(
+    "join_lateral",
+    """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+      |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin) {
+    (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("graft_lat_customer")
+    Tables.orders(s, d).createOrReplaceTempView("graft_lat_orders")
+    s.sql(
+      """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        |FROM graft_lat_customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM graft_lat_orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+        |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin)
+  }
 
   /** Rolling 3-day distinct users — the "weekly/monthly active users"
     * family, which is NOT a window-function sum: distinct counts cannot

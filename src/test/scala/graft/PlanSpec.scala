@@ -506,6 +506,26 @@ class PlanSpec extends AnyFunSuite {
       s"JDBC scan has ${scans.head.inputRDD.getNumPartitions} partitions")
   }
 
+  test("join_lateral decorrelates to WindowGroupLimit, never a nested loop") {
+    // The lateral ORDER BY+LIMIT subquery must become the partitioned
+    // top-k (WindowGroupLimit partial+final + row_number) — a per-row
+    // re-execution (nested loop / cartesian) would be quadratic at scale.
+    val p = plan("join_lateral")
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin")
+        && !p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("sql_parameterized binds fold to literals pushed into the scan") {
+    // The named-marker bindings must reach PushedFilters as plain
+    // literals — parameterization cannot cost pushdown.
+    val p = plan("sql_parameterized")
+    assert(p.contains("GreaterThan(o_totalprice,150000.0)")
+        && p.contains("EqualTo(o_orderstatus,O)"),
+      p.linesIterator.filter(_.contains("PushedFilters"))
+        .mkString("\n"))
+  }
+
   test("profile_observe's pipeline is ONE scan: CollectMetrics rides the pass") {
     // The registered row returns the metrics as a driver-built row, so
     // pin the plan of the PIPELINE it runs internally: observe + the
