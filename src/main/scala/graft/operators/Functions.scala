@@ -23,7 +23,59 @@ import graft.sources.Tables
 object Functions {
   def specs: Seq[Spec] = Seq(fnString, fnDate, fnMath, fnArray, fnMap,
     fnJson, fnUdfScalar, fnUdtfExplode, fnRegex, fnEncode, fnVariant,
-    fnAvroRoundtrip)
+    fnAvroRoundtrip, fnCsvRoundtrip, fnXmlRoundtrip)
+
+  /** CSV record serde (`to_csv`/`from_csv` + an explicit StructType) —
+    * the text-line sibling of [[fnAvroRoundtrip]]'s binary wire path:
+    * struct → one CSV line → struct, the per-record codec under every
+    * "CSV lines on a queue / in a text column" ingest. Round-trip
+    * identity is NOT trivial for doubles (render + reparse), which is
+    * exactly why it's oracle-checked: Java's shortest-representation
+    * double formatting reparses to the identical bits, and a locale or
+    * quoting regression would break the row hash. Map-only; both
+    * directions are Catalyst built-ins (codegen'd). */
+  private val fnCsvRoundtrip = Spec(
+    "fn_csv_roundtrip",
+    """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+      |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("s_suppkey", LongType),
+      StructField("s_name", StringType), StructField("s_acctbal", DoubleType)))
+    Tables.supplier(s, d)
+      .select(struct(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .as("rec"))
+      .select(to_csv(col("rec")).as("line"))
+      .select(from_csv(col("line"), schema, Map.empty[String, String])
+        .as("rec"))
+      .select(col("rec.s_suppkey").as("s_suppkey"),
+        col("rec.s_name").as("s_name"),
+        col("rec.s_acctbal").as("s_acctbal"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** XML record serde (`to_xml`/`from_xml`, native in Spark 4) — the
+    * third record codec next to Avro and CSV: struct → one XML element →
+    * struct, with entity escaping and tag-per-field structure exercised
+    * on real fixture strings. Identity oracle; map-only built-ins. */
+  private val fnXmlRoundtrip = Spec(
+    "fn_xml_roundtrip",
+    """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_orderpriority", StringType)))
+    Tables.orders(s, d)
+      .select(struct(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority")).as("rec"))
+      .select(to_xml(col("rec")).as("doc"))
+      .select(from_xml(col("doc"), schema,
+        new java.util.HashMap[String, String]()).as("rec"))
+      .select(col("rec.o_orderkey").as("o_orderkey"),
+        col("rec.o_orderstatus").as("o_orderstatus"),
+        col("rec.o_orderpriority").as("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+  }
 
   /** Avro wire-format serde — struct → Avro binary → struct, the
     * value-serde path every Kafka/stream-transport pipeline runs on each

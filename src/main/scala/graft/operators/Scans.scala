@@ -18,7 +18,50 @@ object Scans {
     sourceStreamWindow, sourceStreamRate, sourceStreamSocket,
     sinkStreamForeach,
     sinkCompacted, scanBinaryFile, scanCsvCorrupt, scanSchemaEvolve,
-    scanManifestPruned)
+    scanManifestPruned, sinkTableV2)
+
+  /** DataSourceV2 catalog write path (`DataFrameWriterV2`:
+    * `df.writeTo(t).using("parquet").createOrReplace()`) + `spark.table`
+    * read-back — the CATALOG-addressed sink, vs the path-addressed
+    * writes every other sink row uses. This is the surface a lakehouse
+    * deployment actually programs against (tables, not directories),
+    * and the same call targets any V2 catalog (Iceberg/Delta/JDBC) by
+    * changing only the table identifier. The built-in session catalog
+    * supports CREATE TABLE AS SELECT but not the ATOMIC REPLACE
+    * (`createOrReplace` fails with UNSUPPORTED_FEATURE.TABLE_OPERATION —
+    * staged replace needs a StagingTableCatalog like Iceberg's), so the
+    * idempotent form HERE is drop-if-exists + `create()`; on a staging
+    * catalog the same line becomes `createOrReplace()`. Table name is
+    * sfDir-keyed (same hazard class as pid-keyed scratch: two sfDirs in
+    * one session must not race one identifier). The read-back goes
+    * through the catalog, so the oracle hash-checks the whole
+    * write-catalog-read loop. */
+  private val sinkTableV2 = Spec(
+    "sink_table_v2",
+    """SELECT c_nationkey, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val key = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
+      .replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = s"graft_v2_custsum_$key"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    // The in-memory session catalog dies with its JVM but the managed
+    // table's FILES under the warehouse dir do not — for a fresh catalog
+    // the drop above is then a no-op and CTAS refuses the stale location
+    // (LOCATION_ALREADY_EXISTS). Clear it explicitly; with a durable
+    // metastore (production) the DROP alone removes the location.
+    val whConf = s.conf.get("spark.sql.warehouse.dir")
+    val whPath =
+      if (whConf.startsWith("file:")) new java.net.URI(whConf).getPath
+      else whConf
+    rmRecursive(new java.io.File(new java.io.File(whPath), tbl))
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        graft.functions.Det.dsum(col("c_acctbal")).as("sum_acctbal"))
+      .writeTo(tbl).using("parquet").create()
+    s.table(tbl).orderBy(col("c_nationkey"))
+  }
 
   /** Manifest-driven file pruning — the metadata layer every table format
     * (Iceberg manifests, Delta stats, Hive+stats) puts between the query
