@@ -27,7 +27,70 @@ object Analytics {
     pointInTime, sqlTpchQ5, sqlTpchQ1, sqlTpchQ17, sqlTpchQ6, sqlTpchQ10,
     sqlTpchQ14, sqlTpchQ4, sqlTpchQ21, sqlTpchQ22, sqlTpchQ7, sqlTpchQ8,
     sqlTpchQ12, sqlTpchQ13, sqlTpchQ15, sqlTpchQ19, sqlTpchQ2, sqlTpchQ9,
-    sqlTpchQ11, sqlTpchQ16, sqlTpchQ20, sqlParameterized, joinLateral)
+    sqlTpchQ11, sqlTpchQ16, sqlTpchQ20, sqlParameterized, joinLateral,
+    sqlRecursiveCte, sqlPipeSyntax)
+
+  /** WITH RECURSIVE (new public SQL surface in Spark 4): a recursive
+    * date spine — the anchor row plus one day per iteration — LEFT
+    * JOINed to per-day order counts, i.e. the recursion-based spelling
+    * of calendar densification (`gap_fill_daily` builds the same spine
+    * with `sequence`+explode). Zero-order days survive with n_orders=0,
+    * which is the property the join direction is for. The recursion is
+    * bounded by the WHERE in the recursive leg (14 iterations);
+    * Spark executes it as an iterative union of micro-plans, so the
+    * spine stays tiny while the fixture side is a normal pushed-filter
+    * scan — the shape that survives scale is "recursion over small
+    * dimension, join to big fact", never recursion over the fact. The
+    * DuckDB oracle runs its own native WITH RECURSIVE — two independent
+    * recursive executors must agree row-for-row. */
+  private val sqlRecursiveCte = Spec(
+    "sql_recursive_cte",
+    """WITH RECURSIVE spine(d) AS (
+      |  SELECT DATE '1995-03-01'
+      |  UNION ALL
+      |  SELECT d + INTERVAL 1 DAY FROM spine WHERE d < DATE '1995-03-14')
+      |SELECT CAST(d AS VARCHAR) AS day, COUNT(o_orderkey) AS n_orders
+      |FROM spine LEFT JOIN orders ON CAST(o_orderdate AS DATE) = d
+      |GROUP BY d ORDER BY day""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("graft_rec_orders")
+    s.sql(
+      """WITH RECURSIVE spine(d) AS (
+        |  SELECT DATE '1995-03-01'
+        |  UNION ALL
+        |  SELECT date_add(d, 1) FROM spine WHERE d < DATE '1995-03-14')
+        |SELECT CAST(d AS STRING) AS day, COUNT(o_orderkey) AS n_orders
+        |FROM spine LEFT JOIN graft_rec_orders
+        |  ON CAST(o_orderdate AS DATE) = d
+        |GROUP BY d ORDER BY day""".stripMargin)
+  }
+
+  /** SQL pipe syntax (`|>`, new public SQL surface in Spark 4): the
+    * top-to-bottom dataflow spelling of FROM → WHERE → AGGREGATE →
+    * ORDER BY. Same Catalyst plan as the classic form — the parser
+    * desugars each stage onto the running relation, so filters still
+    * push to the scan and the aggregate is still two-phase; what this
+    * row pins is that the new surface is semantics-identical to the
+    * classic SQL the oracle runs (DuckDB has no pipe syntax — the
+    * equivalence IS the check). */
+  private val sqlPipeSyntax = Spec(
+    "sql_pipe_syntax",
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE o_orderstatus = 'F'
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("graft_pipe_orders")
+    s.sql(
+      """FROM graft_pipe_orders
+        ||> WHERE o_orderstatus = 'F'
+        ||> AGGREGATE COUNT(*) AS n,
+        |     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |       AS sum_price
+        |   GROUP BY o_orderpriority
+        ||> SELECT o_orderpriority, n, sum_price
+        ||> ORDER BY o_orderpriority""".stripMargin)
+  }
 
   /** Parameterized SQL (`spark.sql(text, args)`, named `:marker`
     * binding — the Spark 3.4+ public surface): the injection-safe way a
