@@ -18,7 +18,59 @@ object Aggregates {
     aggApproxDistinct, aggRollup, aggCube, aggGroupingSets, aggCollect,
     aggCustomTyped, aggStringConcat, aggMode, aggFiltered, aggUnpivot,
     aggSketchHll, aggGroupingId, aggSketchQuantile, aggBitmapDistinct,
-    aggSketchCms)
+    aggSketchCms, aggBitmapNative, aggListagg)
+
+  /** The NATIVE bitmap-aggregate family (Spark 3.5+:
+    * `bitmap_bucket_number` / `bitmap_bit_position` /
+    * `bitmap_construct_agg` / `bitmap_or_agg` / `bitmap_count`) — the
+    * built-in spelling of what `agg_bitmap_distinct` hand-rolls with
+    * 63-bit long buckets: EXACT distinct counting via mergeable fixed
+    * 4 KB bitmap segments. Two-level shape: construct per
+    * (group, bucket) with map-side partial aggregation, then OR-merge
+    * the buckets per group and count bits — OR is idempotent, so the
+    * merge tree can be reshaped freely by AQE and re-runs, the property
+    * that makes bitmap rollups safe to materialize incrementally at
+    * 100 TB. The oracle is a plain COUNT(DISTINCT): the whole
+    * bucket/position/merge pipeline must land on the exact answer. */
+  private val aggBitmapNative = Spec(
+    "agg_bitmap_native",
+    """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    // +1: the bitmap position functions' domain is 1-based positive
+    // integers — the fixture's custkey 0 otherwise aliases into another
+    // key's bit and the exact count silently drops by one (caught by
+    // the COUNT(DISTINCT) oracle on first registration)
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"),
+        expr("bitmap_bucket_number(o_custkey + 1)").as("bk"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(o_custkey + 1))")
+        .as("b"))
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("bitmap_count(bitmap_or_agg(b))").as("n_cust"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** `listagg(...) WITHIN GROUP (ORDER BY ...)` — the ANSI ordered
+    * string aggregation added as a built-in in Spark 4 (before it, the
+    * idiom was array_join(array_sort(collect_list(...))), which
+    * `agg_string_concat` keeps for comparison). The WITHIN GROUP order
+    * is what makes the result deterministic under any partitioning —
+    * without it a string agg is shuffle-order-dependent and can never
+    * be oracle-checked. DuckDB's twin is string_agg(x, sep ORDER BY x),
+    * compared byte-for-byte. */
+  private val aggListagg = Spec(
+    "agg_listagg",
+    """SELECT c_nationkey,
+      |  string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segs
+      |FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_mktsegment")).distinct()
+      .groupBy(col("c_nationkey"))
+      .agg(expr("listagg(c_mktsegment, ',') WITHIN GROUP " +
+        "(ORDER BY c_mktsegment)").as("segs"))
+      .orderBy(col("c_nationkey"))
+  }
 
   /** Mergeable quantile sketch — the percentile partner to
     * `agg_sketch_hll`'s mergeable cardinality. The sketch is a

@@ -28,7 +28,33 @@ object Analytics {
     sqlTpchQ14, sqlTpchQ4, sqlTpchQ21, sqlTpchQ22, sqlTpchQ7, sqlTpchQ8,
     sqlTpchQ12, sqlTpchQ13, sqlTpchQ15, sqlTpchQ19, sqlTpchQ2, sqlTpchQ9,
     sqlTpchQ11, sqlTpchQ16, sqlTpchQ20, sqlParameterized, joinLateral,
-    sqlRecursiveCte, sqlPipeSyntax)
+    sqlRecursiveCte, sqlPipeSyntax, sqlSessionVariable)
+
+  /** SQL session variables (Spark 4: DECLARE / SET VARIABLE) — typed,
+    * session-scoped state referenced by name inside queries: the
+    * script-parameter mechanism for multi-statement SQL jobs, sibling to
+    * `sql_parameterized`'s per-call bindings. The variable reference is
+    * resolved to its VALUE during analysis (a foldable literal), so the
+    * predicate still reaches PushedFilters — same no-cost guarantee as
+    * the named markers. DECLARE OR REPLACE keeps re-invocation in one
+    * session idempotent; the oracle inlines the value. */
+  private val sqlSessionVariable = Spec(
+    "sql_session_variable",
+    """SELECT o_orderpriority, COUNT(*) AS n
+      |FROM orders
+      |WHERE o_totalprice > 150000.0
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("graft_var_orders")
+    s.sql("DECLARE OR REPLACE VARIABLE graft_min_price DOUBLE")
+    s.sql("SET VARIABLE graft_min_price = 150000.0")
+    s.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n
+        |FROM graft_var_orders
+        |WHERE o_totalprice > graft_min_price
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
 
   /** WITH RECURSIVE (new public SQL surface in Spark 4): a recursive
     * date spine — the anchor row plus one day per iteration — LEFT

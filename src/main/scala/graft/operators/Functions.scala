@@ -23,7 +23,38 @@ import graft.sources.Tables
 object Functions {
   def specs: Seq[Spec] = Seq(fnString, fnDate, fnMath, fnArray, fnMap,
     fnJson, fnUdfScalar, fnUdtfExplode, fnRegex, fnEncode, fnVariant,
-    fnAvroRoundtrip, fnCsvRoundtrip, fnXmlRoundtrip)
+    fnAvroRoundtrip, fnCsvRoundtrip, fnXmlRoundtrip, fnTryArith)
+
+  /** The `try_*` arithmetic family (Spark 3.5+/ANSI-mode companions):
+    * division by zero, BIGINT overflow — each yields NULL instead of a
+    * runtime error, which is what lets a 100 TB batch job survive the
+    * one poisoned row in shard 9 000 without an executor-killing
+    * exception and without globally disabling ANSI checks. The error
+    * cases are DATA-DRIVEN (o_orderkey mod classes), so both NULL and
+    * non-NULL paths appear in the output; the DuckDB oracle spells the
+    * same semantics with CASE guards, and the non-error divisions are
+    * identical IEEE doubles on both engines. */
+  private val fnTryArith = Spec(
+    "fn_try_arith",
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 3 = 0 THEN NULL
+      |       ELSE o_totalprice / (o_orderkey % 3) END AS safe_div,
+      |  CASE WHEN o_orderkey = 0 THEN 0
+      |       WHEN o_orderkey = 1 THEN 9223372036854775807
+      |       ELSE NULL END AS safe_mul,
+      |  CASE WHEN o_orderkey = 0 THEN 9223372036854775807
+      |       ELSE NULL END AS safe_add
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    // orderkey 0 (the fixture has one) does NOT overflow: 0·MAX = 0 and
+    // MAX+0 = MAX — the oracle spells out exactly which rows error
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        expr("try_divide(o_totalprice, o_orderkey % 3)").as("safe_div"),
+        expr("try_multiply(o_orderkey, 9223372036854775807L)")
+          .as("safe_mul"),
+        expr("try_add(9223372036854775807L, o_orderkey)").as("safe_add"))
+      .orderBy(col("o_orderkey"))
+  }
 
   /** CSV record serde (`to_csv`/`from_csv` + an explicit StructType) —
     * the text-line sibling of [[fnAvroRoundtrip]]'s binary wire path:
