@@ -28,7 +28,8 @@ object Analytics {
     sqlTpchQ14, sqlTpchQ4, sqlTpchQ21, sqlTpchQ22, sqlTpchQ7, sqlTpchQ8,
     sqlTpchQ12, sqlTpchQ13, sqlTpchQ15, sqlTpchQ19, sqlTpchQ2, sqlTpchQ9,
     sqlTpchQ11, sqlTpchQ16, sqlTpchQ20, sqlParameterized, joinLateral,
-    sqlRecursiveCte, sqlPipeSyntax, sqlSessionVariable)
+    sqlRecursiveCte, sqlPipeSyntax, sqlSessionVariable, sqlGroupByAll,
+    sqlIdentifierClause)
 
   /** SQL session variables (Spark 4: DECLARE / SET VARIABLE) — typed,
     * session-scoped state referenced by name inside queries: the
@@ -147,6 +148,62 @@ object Analytics {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
       Map("minPrice" -> 150000.0, "status" -> "O"))
+  }
+
+  /** `GROUP BY ALL` / `ORDER BY ALL` (public SQL surface since Spark
+    * 3.4/4): the analyst spelling that derives the grouping keys from
+    * the non-aggregate select items and the sort keys from the full
+    * output list. Pure parser sugar — it desugars to the explicit
+    * clauses during resolution, so the plan is the identical two-phase
+    * hash aggregate and nothing about pushdown or partial aggregation
+    * changes; what this row pins is that the sugar is
+    * semantics-identical to the classic form the oracle runs (the same
+    * equivalence-check pattern as `sql_pipe_syntax`). ORDER BY ALL
+    * orders by every output column left-to-right, which makes the row
+    * order fully deterministic without naming a key. */
+  private val sqlGroupByAll = Spec(
+    "sql_group_by_all",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY o_orderstatus, o_orderpriority
+      |ORDER BY o_orderstatus, o_orderpriority, n, sum_price""".stripMargin) {
+    (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("graft_gba_orders")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM graft_gba_orders
+        |GROUP BY ALL
+        |ORDER BY ALL""".stripMargin)
+  }
+
+  /** The `IDENTIFIER(:param)` clause (Spark 3.5+): injection-safe
+    * DYNAMIC NAME binding — the companion of `sql_parameterized`, which
+    * binds only VALUES. A service layer that fans one query text across
+    * per-tenant tables (`events_tenant_001` … at 100 TB, one physical
+    * table per tenant/region is the norm) either string-concatenates
+    * the table name into SQL (injection + no single query text to
+    * cache) or binds it through IDENTIFIER, which parses the bound
+    * string as a name at analysis time and rejects anything that is not
+    * one. The bound name resolves to the same relation a literal
+    * reference would — same scan, same pushdown; the oracle is the
+    * classic literal-name query. */
+  private val sqlIdentifierClause = Spec(
+    "sql_identifier_clause",
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |FROM customer GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("graft_ident_customer")
+    s.sql(
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM IDENTIFIER(:tbl)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+      Map("tbl" -> "graft_ident_customer"))
   }
 
   /** Correlated LATERAL subquery join (SQL:2008 LATERAL / CROSS APPLY;

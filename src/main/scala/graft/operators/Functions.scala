@@ -23,7 +23,8 @@ import graft.sources.Tables
 object Functions {
   def specs: Seq[Spec] = Seq(fnString, fnDate, fnMath, fnArray, fnMap,
     fnJson, fnUdfScalar, fnUdtfExplode, fnRegex, fnEncode, fnVariant,
-    fnAvroRoundtrip, fnCsvRoundtrip, fnXmlRoundtrip, fnTryArith)
+    fnAvroRoundtrip, fnCsvRoundtrip, fnXmlRoundtrip, fnTryArith,
+    fnNaFill, fnCollation)
 
   /** The `try_*` arithmetic family (Spark 3.5+/ANSI-mode companions):
     * division by zero, BIGINT overflow — each yields NULL instead of a
@@ -54,6 +55,68 @@ object Functions {
           .as("safe_mul"),
         expr("try_add(9223372036854775807L, o_orderkey)").as("safe_add"))
       .orderBy(col("o_orderkey"))
+  }
+
+  /** The `DataFrameNaFunctions` null-policy surface (`na.fill` /
+    * `na.replace` / `na.drop`) — the declarative spelling of the three
+    * null decisions every 100 TB ingest makes (impute, canonicalize,
+    * discard). All three desugar to plain Catalyst projections/filters
+    * (coalesce / CASE / IsNotNull), so they stay inside whole-stage
+    * codegen and the drop-filter still pushes down — nothing here is an
+    * opaque cleaning UDF. Nulls are manufactured data-driven (orderkey
+    * mod classes) so both policy paths appear in the output; the oracle
+    * spells the identical semantics with CASE/WHERE. The filled price is
+    * value-identical passthrough (no arithmetic), so the hash is exact. */
+  private val fnNaFill = Spec(
+    "fn_na_fill",
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 3 = 0 THEN -1.0 ELSE o_totalprice END AS price,
+      |  CASE WHEN o_orderpriority = '1-URGENT' THEN 'URGENT'
+      |       ELSE o_orderpriority END AS prio
+      |FROM orders WHERE o_orderkey % 5 <> 0
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 3 === 0, lit(null))
+          .otherwise(col("o_totalprice")).as("price"),
+        when(col("o_orderkey") % 5 === 0, lit(null))
+          .otherwise(col("o_orderpriority")).as("prio"))
+      .na.fill(Map("price" -> -1.0))
+      .na.replace("prio", Map("1-URGENT" -> "URGENT"))
+      .na.drop(Seq("prio"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** String collation (Spark 4's `COLLATE` type modifier via
+    * `functions.collate`): equality, DISTINCT, and grouping become
+    * collation-aware WITHOUT rewriting every comparison through
+    * `lower()` — the engine compares via ICU collation keys, hashes
+    * stay partition-consistent, and at 100 TB a case-insensitive
+    * distinct-count is one typed column instead of a normalize-rewrite
+    * of every consumer. The query case-mangles p_type data-driven (even
+    * keys lowered), then counts binary-distinct vs UTF8_LCASE-distinct
+    * (12 vs 6 on the fixture — the 2× collapse IS the witness) plus a
+    * collated equality hit-count against a lowercase literal matching
+    * rows of BOTH casings. The collated value itself is never emitted —
+    * under a collation two binary-different strings compare equal, so
+    * any representative choice (min/max/group key) would be
+    * tie-nondeterministic; counts are not. Oracle spells the same
+    * semantics via lower(). */
+  private val fnCollation = Spec(
+    "fn_collation",
+    """WITH m AS (SELECT CASE WHEN p_partkey % 2 = 0 THEN lower(p_type)
+      |                       ELSE p_type END AS t FROM part)
+      |SELECT COUNT(DISTINCT t) AS n_binary,
+      |  COUNT(DISTINCT lower(t)) AS n_lcase,
+      |  COUNT(CASE WHEN lower(t) = 'promo' THEN 1 END) AS n_eq
+      |FROM m""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .select(when(col("p_partkey") % 2 === 0, lower(col("p_type")))
+        .otherwise(col("p_type")).as("t"))
+      .agg(countDistinct(col("t")).as("n_binary"),
+        countDistinct(collate(col("t"), "UTF8_LCASE")).as("n_lcase"),
+        count(when(collate(col("t"), "UTF8_LCASE") === lit("promo"), 1))
+          .as("n_eq"))
   }
 
   /** CSV record serde (`to_csv`/`from_csv` + an explicit StructType) —

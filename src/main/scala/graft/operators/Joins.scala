@@ -19,7 +19,7 @@ object Joins {
   def specs: Seq[Spec] = Seq(
     innerHash, leftOuter, rightOuter, fullOuter, leftSemi, leftAnti,
     broadcastJoin, multiway, thetaRange, asOf, bucketed, nullSafe, salted,
-    dpp, fuzzy, bloom, rangeBin, skewAqe)
+    dpp, fuzzy, bloom, rangeBin, skewAqe, hintShj)
 
   /** Scoped session-conf override: saves the previous values, runs `body`,
     * restores (or unsets) on the way out. The caller must FORCE any plan it
@@ -669,6 +669,38 @@ object Joins {
       .agg(Det.dsum(col("l_extendedprice")).as("volume"),
         count(lit(1)).as("n_lines"))
       .orderBy(col("n_name"))
+  }
+
+  /** The SHUFFLE_HASH join-strategy hint (public since Spark 3.0,
+    * `Dataset.hint` / `/*+ SHUFFLE_HASH(t) */`): the middle rung of the
+    * join ladder at 100 TB — the dim side is too big to broadcast (so
+    * `join_broadcast`'s shape is off the table) but small enough per
+    * post-shuffle partition to hash-build, and SHUFFLE_HASH then skips
+    * the sort SMJ would impose on BOTH shuffled sides (an O(n log n)
+    * pass over the 100 TB fact side that buys nothing). The hint is on
+    * the build (customer) side; strategy hints take precedence over
+    * size-based selection, which is exactly their operational point —
+    * stats misestimates at scale pick SMJ where the engineer knows the
+    * per-partition build fits. Plan-pinned to ShuffledHashJoin (never
+    * broadcast, never SMJ) in PlanSpec; results are strategy-invariant,
+    * so the oracle is the plain join. */
+  private val hintShj = Spec(
+    "join_hint_shj",
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment")).hint("shuffle_hash"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+      .orderBy(col("c_mktsegment"))
   }
 
   /** TPC-H Q5-ish 5-way star join: fact table last so Catalyst/AQE

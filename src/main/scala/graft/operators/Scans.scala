@@ -18,7 +18,7 @@ object Scans {
     sourceStreamWindow, sourceStreamRate, sourceStreamSocket,
     sinkStreamForeach,
     sinkCompacted, scanBinaryFile, scanCsvCorrupt, scanSchemaEvolve,
-    scanManifestPruned, sinkTableV2)
+    scanManifestPruned, sinkTableV2, scanFileMetadata)
 
   /** DataSourceV2 catalog write path (`DataFrameWriterV2`:
     * `df.writeTo(t).using("parquet").createOrReplace()`) + `spark.table`
@@ -374,6 +374,36 @@ object Scans {
       s"compaction did not reduce file count: ${parquetFiles(frag)} -> " +
         s"${parquetFiles(out)}")
     s.read.parquet(out).orderBy(col("event_id"))
+  }
+
+  /** The `_metadata` hidden file-source column (public since Spark 3.2:
+    * file_name / file_path / file_size / file_modification_time /
+    * row_index, served straight from the scan's file index — no second
+    * listing, no extra IO, and it survives column pruning because it is
+    * materialized per-file, not per-row-read). At 100 TB this is the
+    * provenance surface: "which input shard produced these rows" joins,
+    * per-file row-count audits, and bad-file quarantine are all one
+    * `groupBy(_metadata.file_name)` away, where a path-parsing UDF over
+    * `input_file_name()` would be an opaque non-codegen string hack.
+    * The query reads the raw fixture file (no ts columns, so the
+    * `Tables` normalization is not needed) and emits per-file row counts
+    * + key ranges — the min/max-per-file shape a manifest/skipping layer
+    * consumes. file_name is oracle-checkable (the fixture is exactly one
+    * file); file_size/file_modification_time are environment-derived and
+    * are witnessed against java.io.File in EdgeCasesSpec instead of the
+    * oracle. */
+  private val scanFileMetadata = Spec(
+    "scan_file_metadata",
+    """SELECT 'lineitem.parquet' AS file_name, COUNT(*) AS n_rows,
+      |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+      |FROM lineitem""".stripMargin) { (s, d) =>
+    s.read.parquet(s"$d/lineitem.parquet")
+      .select(col("_metadata.file_name").as("file_name"), col("l_orderkey"))
+      .groupBy(col("file_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_orderkey")).as("min_key"),
+        max(col("l_orderkey")).as("max_key"))
+      .orderBy(col("file_name"))
   }
 
   /** Shared recursive delete for scratch/bucket cleanup (one definition —

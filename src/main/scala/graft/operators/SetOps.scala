@@ -9,7 +9,37 @@ import graft.sources.Tables
   * at scale. */
 object SetOps {
   def specs: Seq[Spec] = Seq(unionAll, unionDistinct, intersect, exceptOp,
-    intersectAll, exceptAll)
+    intersectAll, exceptAll, unionByName)
+
+  /** `unionByName(allowMissingColumns = true)` — the schema-evolution-
+    * tolerant concatenation. Positional `union` silently mis-binds the
+    * moment two branch schemas drift (same arity, different order ⇒
+    * wrong columns, zero errors), which at 100 TB is exactly what
+    * happens when a daily-append pipeline adds a column to new
+    * partitions only; by-name resolution pads the missing column with
+    * typed NULLs instead. The two branches here project DIFFERENT,
+    * differently-ordered column sets from orders (F-orders carry price,
+    * O-orders carry custkey), so a positional union would either throw
+    * or bind o_custkey under o_totalprice — the output nulls prove the
+    * by-name path ran. Plans as plain concatenation (no shuffle); the
+    * oracle spells the padding with explicit typed NULL branches. */
+  private val unionByName = Spec(
+    "set_union_byname",
+    """SELECT o_orderkey, o_totalprice, CAST(NULL AS BIGINT) AS o_custkey
+      |FROM orders WHERE o_orderstatus = 'F'
+      |UNION ALL
+      |SELECT o_orderkey, CAST(NULL AS DOUBLE), o_custkey
+      |FROM orders WHERE o_orderstatus = 'O'
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    o.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .unionByName(
+        o.filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey"), col("o_orderkey")),
+        allowMissingColumns = true)
+      .orderBy(col("o_orderkey"))
+  }
 
   /** Bag-semantics INTERSECT ALL: multiplicity = min of the two sides —
     * run on a duplicate-heavy projection (customer keys of multi-order

@@ -13,6 +13,21 @@ import graft.streaming.StreamingOps
 class EdgeCasesSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("_metadata file_size/file_name match the filesystem truth") {
+    // The oracle-checked half of scan_file_metadata covers file_name +
+    // per-file counts; file_size is environment-derived and can't be
+    // oracle-SQL'd — witness it against java.io.File here so the
+    // provenance column is proven real, not echoed.
+    val row = spark.read.parquet(s"$SF001/lineitem.parquet")
+      .select(col("_metadata.file_name").as("n"),
+        col("_metadata.file_size").as("sz"))
+      .distinct().collect()
+    assert(row.length == 1, s"expected one fixture file, got ${row.length}")
+    assert(row.head.getString(0) == "lineitem.parquet")
+    assert(row.head.getLong(1) ==
+      new java.io.File(s"$SF001/lineitem.parquet").length)
+  }
+
   test("aggregation over an empty slice returns zero groups, not a crash") {
     import spark.implicits._
     val empty = Seq.empty[(String, Double)].toDF("k", "v")

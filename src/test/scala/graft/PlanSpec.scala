@@ -516,6 +516,18 @@ class PlanSpec extends AnyFunSuite {
         && !p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("join_hint_shj plans a ShuffledHashJoin — not broadcast, not SMJ") {
+    // The row's point is the strategy hint overriding size-based
+    // selection: at sf0.001 customer is broadcast-sized, so WITHOUT the
+    // hint this would plan BHJ — seeing SHJ proves the hint won. SMJ
+    // would mean the hint was dropped entirely (the 100 TB regression:
+    // an extra sort pass over both shuffled sides).
+    val p = plan("join_hint_shj")
+    assert(p.contains("ShuffledHashJoin"), p.take(1500))
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      p.take(1500))
+  }
+
   test("sql_parameterized binds fold to literals pushed into the scan") {
     // The named-marker bindings must reach PushedFilters as plain
     // literals — parameterization cannot cost pushdown.
