@@ -13,12 +13,93 @@ import graft.sources.Tables
   * that scales linearly with data volume. Float determinism: every measure
   * goes through [[Det]] decimal accumulation.
   */
+/** Typed row for [[Aggregates.dsTypedApi]] — top-level so the product
+  * Encoder derives without a REPL-style outer-instance capture. */
+final case class TypedOrder(
+    o_orderkey: Long, o_custkey: Long, o_totalprice: Double)
+
 object Aggregates {
   def specs: Seq[Spec] = Seq(aggHashGroup, aggGlobal, aggDistinct,
     aggApproxDistinct, aggRollup, aggCube, aggGroupingSets, aggCollect,
     aggCustomTyped, aggStringConcat, aggMode, aggFiltered, aggUnpivot,
     aggSketchHll, aggGroupingId, aggSketchQuantile, aggBitmapDistinct,
-    aggSketchCms, aggBitmapNative, aggListagg)
+    aggSketchCms, aggBitmapNative, aggListagg, aggMaxBy, dsTypedApi)
+
+  /** `max_by` / `min_by` (Spark 3.0+ built-ins): the "row attribute at
+    * the extremum" aggregate — which ORDER had the highest price, not
+    * what the highest price was. Without it the idiom is a window
+    * row_number + filter (an extra sort) or a self-join back on the max
+    * (an extra shuffle + the duplicate-max bug); max_by folds it into
+    * the one existing two-phase hash aggregate, O(1) state per group.
+    * Ordering key is `struct(o_totalprice, o_orderkey)` — struct
+    * comparison is lexicographic, so equal prices tie-break on the key
+    * and the answer is DETERMINISTIC (bare max_by on a non-unique key is
+    * tie-nondeterministic, same trap as `fn_collation`'s representative;
+    * the fixture has duplicate prices at sf0.1). DuckDB's arg_max
+    * rejects a ROW ordering key, so the oracle spells the identical
+    * semantics as row_number over (price DESC, key DESC) = 1 — same
+    * answer, different plan, which is the point of the comparison. */
+  private val aggMaxBy = Spec(
+    "agg_max_by",
+    """WITH ranked AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+      |  FROM orders)
+      |SELECT o_orderpriority,
+      |  MAX(CASE WHEN rmax = 1 THEN o_orderkey END) AS top_order,
+      |  MIN(CASE WHEN rmin = 1 THEN o_orderkey END) AS bottom_order,
+      |  CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS top_price
+      |FROM ranked GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("max_by(o_orderkey, struct(o_totalprice, o_orderkey))")
+          .as("top_order"),
+        expr("min_by(o_orderkey, struct(o_totalprice, o_orderkey))")
+          .as("bottom_order"),
+        max(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("top_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** The typed `Dataset[T]` API end-to-end: case-class Encoder →
+    * `groupByKey` → `mapGroups` — the escape hatch for per-group logic
+    * no aggregate expression can express (sessionization with business
+    * rules, per-group model scoring). The COST is stated honestly: the
+    * lambda is an opaque box (no codegen, no partial aggregation — every
+    * row of a group deserializes to a JVM object on the reducer), so the
+    * shuffle carries full rows where `agg_hash_group` ships one partial
+    * per map partition. That is why this surface is ONE registered row
+    * and every expressible aggregate in the registry uses expressions;
+    * it scales when per-group cardinality is bounded (groupByKey
+    * partitions by key, so skew discipline is the same as any shuffle).
+    * Determinism inside the lambda: money sums fold over exact cent
+    * Longs ([[graft.functions.StatsBuf]] discipline), never doubles. */
+  private val dsTypedApi = Spec(
+    "ds_typed_api",
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price
+      |FROM orders GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    val sp = s
+    import sp.implicits._
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .as[TypedOrder]
+      .groupByKey(_.o_custkey)
+      .mapGroups { (custkey, rows) =>
+        var n = 0L
+        var cents = 0L
+        rows.foreach { r => n += 1; cents += Math.round(r.o_totalprice * 100) }
+        (custkey, n, cents / 100.0)
+      }
+      .toDF("o_custkey", "n_orders", "sum_price")
+      .orderBy(col("o_custkey"))
+  }
 
   /** The NATIVE bitmap-aggregate family (Spark 3.5+:
     * `bitmap_bucket_number` / `bitmap_bit_position` /

@@ -24,7 +24,56 @@ object Functions {
   def specs: Seq[Spec] = Seq(fnString, fnDate, fnMath, fnArray, fnMap,
     fnJson, fnUdfScalar, fnUdtfExplode, fnRegex, fnEncode, fnVariant,
     fnAvroRoundtrip, fnCsvRoundtrip, fnXmlRoundtrip, fnTryArith,
-    fnNaFill, fnCollation)
+    fnNaFill, fnCollation, fnStack, fnInterval)
+
+  /** The `stack(n, k1, v1, k2, v2, …)` generator — wide→long reshaping
+    * as a GENERATOR (one input row fans out to n output rows in the
+    * same codegen stage), the inverse of `pivot_status` and the
+    * expression-level sibling of `agg_unpivot`'s relational UNPIVOT.
+    * Map-only: no shuffle, no UNION re-scan of the input (the naive
+    * spelling scans the table once per measure — n scans where stack
+    * does one), which is the difference at 100 TB. Oracle spells the
+    * fan-out as the UNION ALL it replaces. */
+  private val fnStack = Spec(
+    "fn_stack",
+    """SELECT o_orderkey, 'price' AS metric, o_totalprice AS val
+      |FROM orders
+      |UNION ALL
+      |SELECT o_orderkey, 'cust', CAST(o_custkey AS DOUBLE) FROM orders
+      |ORDER BY o_orderkey, metric""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        expr("stack(2, 'price', o_totalprice, " +
+          "'cust', CAST(o_custkey AS DOUBLE)) AS (metric, val)"))
+      .orderBy(col("o_orderkey"), col("metric"))
+  }
+
+  /** Interval arithmetic (`make_dt_interval` day-time intervals and
+    * ANSI `INTERVAL 'n' MONTH` year-month intervals on timestamps) —
+    * SLA due-dates, retention horizons, calendar bucketing. The two
+    * interval families deliberately differ: day-time is a fixed
+    * number of microseconds (codegen'd long addition), year-month is
+    * calendar arithmetic with end-of-month clamping — both engines
+    * clamp (Jan 31 + 1 month = Feb 28/29), which the oracle verifies
+    * value-for-value across every fixture date. Emitted as strings:
+    * the comparator's timestamp path is engine-dtype-sensitive, and
+    * the string render is the exact same 'yyyy-MM-dd HH:mm:ss' on
+    * both engines. */
+  private val fnInterval = Spec(
+    "fn_interval",
+    """SELECT o_orderkey,
+      |  CAST(o_orderdate + INTERVAL 3 DAY + INTERVAL 12 HOUR
+      |       + INTERVAL 30 MINUTE AS VARCHAR) AS due,
+      |  CAST(o_orderdate + INTERVAL 2 MONTH AS VARCHAR) AS due_m
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        (col("o_orderdate") + expr("make_dt_interval(3, 12, 30, 0)"))
+          .cast("string").as("due"),
+        (col("o_orderdate") + expr("INTERVAL '2' MONTH"))
+          .cast("string").as("due_m"))
+      .orderBy(col("o_orderkey"))
+  }
 
   /** The `try_*` arithmetic family (Spark 3.5+/ANSI-mode companions):
     * division by zero, BIGINT overflow — each yields NULL instead of a

@@ -18,7 +18,7 @@ object Scans {
     sourceStreamWindow, sourceStreamRate, sourceStreamSocket,
     sinkStreamForeach,
     sinkCompacted, scanBinaryFile, scanCsvCorrupt, scanSchemaEvolve,
-    scanManifestPruned, sinkTableV2, scanFileMetadata)
+    scanManifestPruned, sinkTableV2, scanFileMetadata, sinkJsonLines)
 
   /** DataSourceV2 catalog write path (`DataFrameWriterV2`:
     * `df.writeTo(t).using("parquet").createOrReplace()`) + `spark.table`
@@ -404,6 +404,34 @@ object Scans {
         min(col("l_orderkey")).as("min_key"),
         max(col("l_orderkey")).as("max_key"))
       .orderBy(col("file_name"))
+  }
+
+  /** JSON-lines SINK + read-back (`DataFrameWriter.json` →
+    * `DataFrameReader.json` with a pinned schema): the write half of the
+    * JSON path — `scan_json` reads a fixture; this row proves the
+    * engine's own JSON output round-trips. JSON lines is the interchange
+    * format every 100 TB pipeline still speaks at its edges (export to a
+    * labeling vendor, event-bus replays), and the row pins the two
+    * things that break in practice: double render/reparse identity
+    * (shortest-representation formatting reparses to identical bits —
+    * same discipline as fn_csv_roundtrip) and schema pinning on
+    * read-back (inference over 100 TB of text is a full extra scan and
+    * can widen types; production read-back always pins). Partitioned
+    * write (4 shards) so the read-back lists a multi-file directory,
+    * not a single-file special case. */
+  private val sinkJsonLines = Spec(
+    "sink_json_lines",
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val out = scratch(s, "json_sink", d)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .repartition(4)
+      .write.mode("overwrite").json(out)
+    s.read.schema("o_orderkey BIGINT, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE")
+      .json(out)
+      .orderBy(col("o_orderkey"))
   }
 
   /** Shared recursive delete for scratch/bucket cleanup (one definition —

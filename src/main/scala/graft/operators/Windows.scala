@@ -20,7 +20,41 @@ import graft.sources.Tables
   */
 object Windows {
   def specs: Seq[Spec] = Seq(winRank, topkPerGroup, lagLead, runningFrame,
-    rangeFrame, firstLast, cumeDist, sessionGap, patternMatch)
+    rangeFrame, firstLast, cumeDist, sessionGap, patternMatch, locf)
+
+  /** Last-observation-carried-forward via `last(col, ignoreNulls=true)`
+    * over a running frame — the IGNORE NULLS window family that
+    * [[firstLast]]'s plain first/last/nth does not exercise, and the
+    * canonical gap-fill for sparse time series (sensor readings, price
+    * marks: every row sees the latest non-null value at-or-before it).
+    * One partitioned sort, no self-join, no per-gap subquery — the same
+    * single window pass `win_running_frame` costs, so it survives 100 TB
+    * wherever any windowed aggregate does. Nulls are manufactured
+    * data-driven (orderkey mod 3) so runs of 1+ consecutive gaps occur
+    * and leading-null groups stay null (the semantics edge the oracle
+    * pins). DuckDB spells it `last_value(x IGNORE NULLS)`. */
+  private val locf = Spec(
+    "win_locf",
+    """SELECT o_custkey, o_orderkey,
+      |  CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS p,
+      |  last_value(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+      |                  ELSE o_totalprice END IGNORE NULLS)
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS p_filled
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        when(col("o_orderkey") % 3 === 0, lit(null))
+          .otherwise(col("o_totalprice")).as("p"))
+      .select(col("o_custkey"), col("o_orderkey"), col("p"),
+        last(col("p"), ignoreNulls = true).over(w).as("p_filled"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
 
   /** Event-sequence pattern detection (the MATCH_RECOGNIZE use case on
     * plain window functions): find every strict view→click→purchase run
