@@ -23,7 +23,35 @@ object Aggregates {
     aggApproxDistinct, aggRollup, aggCube, aggGroupingSets, aggCollect,
     aggCustomTyped, aggStringConcat, aggMode, aggFiltered, aggUnpivot,
     aggSketchHll, aggGroupingId, aggSketchQuantile, aggBitmapDistinct,
-    aggSketchCms, aggBitmapNative, aggListagg, aggMaxBy, dsTypedApi)
+    aggSketchCms, aggBitmapNative, aggListagg, aggMaxBy, dsTypedApi,
+    aggBoolFamily)
+
+  /** The boolean aggregate family (`every`/`any`/`bool_or` and
+    * `count_if`, Spark 3.0+): data-quality invariants as one-pass
+    * aggregates — "every row in the partition satisfies X", "any row
+    * violates Y", "how many exceed Z" — the assertions a 100 TB
+    * validation stage runs per group WITHOUT a second filtered scan per
+    * predicate (four predicates here, still one two-phase hash
+    * aggregate; boolean partial state is one byte per group-predicate).
+    * The oracle spells every/any as DuckDB bool_and/bool_or and
+    * count_if as a FILTER count. */
+  private val aggBoolFamily = Spec(
+    "agg_bool_family",
+    """SELECT o_orderpriority,
+      |  bool_and(o_totalprice > 1000) AS all_over_1k,
+      |  bool_or(o_orderstatus = 'F') AS has_f,
+      |  COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+      |  bool_or(o_orderkey % 2 = 0) AS has_even
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("every(o_totalprice > 1000)").as("all_over_1k"),
+        expr("any(o_orderstatus = 'F')").as("has_f"),
+        expr("count_if(o_totalprice > 200000)").as("n_big"),
+        expr("bool_or(o_orderkey % 2 = 0)").as("has_even"))
+      .orderBy(col("o_orderpriority"))
+  }
 
   /** `max_by` / `min_by` (Spark 3.0+ built-ins): the "row attribute at
     * the extremum" aggregate — which ORDER had the highest price, not

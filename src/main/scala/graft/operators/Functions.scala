@@ -24,7 +24,83 @@ object Functions {
   def specs: Seq[Spec] = Seq(fnString, fnDate, fnMath, fnArray, fnMap,
     fnJson, fnUdfScalar, fnUdtfExplode, fnRegex, fnEncode, fnVariant,
     fnAvroRoundtrip, fnCsvRoundtrip, fnXmlRoundtrip, fnTryArith,
-    fnNaFill, fnCollation, fnStack, fnInterval)
+    fnNaFill, fnCollation, fnStack, fnInterval, fnSequenceArray, fnMask,
+    fnAesRoundtrip)
+
+  /** `sequence(start, stop)` + `explode` — DIMENSION GENERATION inside
+    * the engine (integer spines, retry schedules, per-row fan-out of a
+    * data-driven width). The generator runs in the same codegen stage
+    * as the scan — no driver-side `Seq.range` collect-and-parallelize,
+    * no join against a pre-built numbers table — and the fan-out width
+    * is a per-row expression, which a static spine table cannot express.
+    * Output size is sum(width) — bounded here by width ≤ 4; the
+    * size(…) column witnesses the array length the generator produced.
+    * DuckDB spells it unnest(generate_series(…)). */
+  private val fnSequenceArray = Spec(
+    "fn_sequence_array",
+    """SELECT o_orderkey,
+      |  unnest(generate_series(1, o_orderkey % 4 + 1)) AS step,
+      |  (o_orderkey % 4 + 1) AS width
+      |FROM orders
+      |ORDER BY o_orderkey, step""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        expr("sequence(1L, o_orderkey % 4 + 1)").as("steps"))
+      .select(col("o_orderkey"), explode(col("steps")).as("step"),
+        size(col("steps")).cast("bigint").as("width"))
+      .orderBy(col("o_orderkey"), col("step"))
+  }
+
+  /** `mask()` (Spark 3.4+) — structure-preserving PII masking: upper →
+    * 'X', lower → 'x', digits → 'n', other characters kept, so format
+    * validators and length-based joins still work on the masked column.
+    * This is the FUNCTION-level companion of `llm_pii_scrub`'s
+    * pattern-level scrubbing: one codegen'd expression, no regex
+    * engine, applied at read time in the privacy boundary every
+    * compliant 100 TB export crosses. Second column keeps letters and
+    * masks ONLY digits (`mask(c, NULL, NULL, '*', NULL)` — NULL means
+    * keep-category), the redact-account-numbers shape. The oracle
+    * spells both as regexp_replace class chains (fixture strings are
+    * ASCII; Spark's Unicode category and the oracle's [A-Z] class agree
+    * there). */
+  private val fnMask = Spec(
+    "fn_mask",
+    """SELECT c_custkey,
+      |  regexp_replace(regexp_replace(regexp_replace(
+      |    c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n',
+      |    'g') AS m_default,
+      |  regexp_replace(c_name, '[0-9]', '*', 'g') AS m_digits
+      |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        expr("mask(c_name)").as("m_default"),
+        expr("mask(c_name, NULL, NULL, '*', NULL)").as("m_digits"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** `aes_encrypt`/`aes_decrypt` (Spark 3.3+) — column-level encryption
+    * at rest, the lawful-basis path for keeping re-identifiable keys in
+    * a 100 TB lake (encrypt on write, decrypt under the key only in the
+    * authorized read path). ECB mode deliberately: GCM salts a random
+    * IV per call (right for production, untestable for a hash oracle) —
+    * ECB is deterministic, which here is the point: the round-trip
+    * identity AND the ciphertext length (PKCS#7 block padding:
+    * (len/16 + 1) * 16) are both oracle-checkable. The oracle computes
+    * the padding arithmetic; the engine produces real AES blocks. */
+  private val fnAesRoundtrip = Spec(
+    "fn_aes_roundtrip",
+    """SELECT o_orderkey, CAST(o_orderkey AS VARCHAR) AS rt,
+      |  (length(CAST(o_orderkey AS VARCHAR)) // 16 + 1) * 16 AS ct_len
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val key = "graft-0123456789"
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        expr(s"CAST(aes_decrypt(aes_encrypt(CAST(o_orderkey AS STRING), " +
+          s"'$key', 'ECB'), '$key', 'ECB') AS STRING)").as("rt"),
+        expr(s"CAST(octet_length(aes_encrypt(CAST(o_orderkey AS STRING), " +
+          s"'$key', 'ECB')) AS BIGINT)").as("ct_len"))
+      .orderBy(col("o_orderkey"))
+  }
 
   /** The `stack(n, k1, v1, k2, v2, …)` generator — wide→long reshaping
     * as a GENERATOR (one input row fans out to n output rows in the

@@ -19,7 +19,50 @@ object Joins {
   def specs: Seq[Spec] = Seq(
     innerHash, leftOuter, rightOuter, fullOuter, leftSemi, leftAnti,
     broadcastJoin, multiway, thetaRange, asOf, bucketed, nullSafe, salted,
-    dpp, fuzzy, bloom, rangeBin, skewAqe, hintShj)
+    dpp, fuzzy, bloom, rangeBin, skewAqe, hintShj, nullAwareAnti)
+
+  /** `NOT IN (subquery)` with a NULLABLE inner side — the classic
+    * three-valued-logic trap, and a DISTINCT physical operator: one NULL
+    * in the subquery makes `x NOT IN (…)` UNKNOWN for every x, so the
+    * result is EMPTY, and Spark must plan a NULL-AWARE anti join
+    * (BroadcastHashJoin LeftAnti with isNullAwareAntiJoin=true — the
+    * plain LeftAnti of `join_left_anti` would wrongly return rows). The
+    * row runs BOTH branches tagged in one output: 'clean' (null-free
+    * subquery — behaves like the anti join everyone expects) and
+    * 'poisoned' (one manufactured NULL — zero rows). At 100 TB this
+    * semantics bug ships silently in the other direction: a pipeline
+    * that "worked" on null-free dev data returns empty in prod the day
+    * the inner side grows a NULL, which is why the engine must implement
+    * the standard's semantics exactly, not the fast anti join. DuckDB's
+    * NOT IN follows the same standard — the equivalence is the check;
+    * the null-aware plan shape is pinned in PlanSpec. */
+  private val nullAwareAnti = Spec(
+    "join_null_aware_anti",
+    """SELECT 'clean' AS branch, c_custkey FROM customer
+      |WHERE c_custkey NOT IN
+      |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |UNION ALL
+      |SELECT 'poisoned', c_custkey FROM customer
+      |WHERE c_custkey NOT IN
+      |  (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+      |          ELSE o_custkey END
+      |   FROM orders WHERE o_orderstatus = 'F')
+      |ORDER BY branch, c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("graft_naaj_customer")
+    Tables.orders(s, d).createOrReplaceTempView("graft_naaj_orders")
+    s.sql(
+      """SELECT 'clean' AS branch, c_custkey FROM graft_naaj_customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM graft_naaj_orders
+        |   WHERE o_orderstatus = 'F')
+        |UNION ALL
+        |SELECT 'poisoned', c_custkey FROM graft_naaj_customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+        |          ELSE o_custkey END
+        |   FROM graft_naaj_orders WHERE o_orderstatus = 'F')
+        |ORDER BY branch, c_custkey""".stripMargin)
+  }
 
   /** Scoped session-conf override: saves the previous values, runs `body`,
     * restores (or unsets) on the way out. The caller must FORCE any plan it

@@ -528,6 +528,19 @@ class PlanSpec extends AnyFunSuite {
       p.take(1500))
   }
 
+  test("join_null_aware_anti: poisoned branch plans the NULL-AWARE anti") {
+    // BroadcastHashJoinExec prints its isNullAwareAntiJoin flag as a
+    // trailing ", true" after "LeftAnti, BuildRight" — the poisoned
+    // branch (nullable inner) must carry it; a plain LeftAnti there
+    // would return rows where the standard says empty.
+    val df = SparkEntry.queries("join_null_aware_anti")(spark, SF001)
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("LeftAnti"), s.take(1500))
+    assert(s.linesIterator.exists(l =>
+      l.contains("LeftAnti") && l.replaceAll("\\s+$", "").endsWith("true")),
+      s"no null-aware LeftAnti line:\n${s.take(1500)}")
+  }
+
   test("sql_parameterized binds fold to literals pushed into the scan") {
     // The named-marker bindings must reach PushedFilters as plain
     // literals — parameterization cannot cost pushdown.
