@@ -29,7 +29,49 @@ object Analytics {
     sqlTpchQ12, sqlTpchQ13, sqlTpchQ15, sqlTpchQ19, sqlTpchQ2, sqlTpchQ9,
     sqlTpchQ11, sqlTpchQ16, sqlTpchQ20, sqlParameterized, joinLateral,
     sqlRecursiveCte, sqlPipeSyntax, sqlSessionVariable, sqlGroupByAll,
-    sqlIdentifierClause)
+    sqlIdentifierClause, sqlNamedWindow)
+
+  /** The SQL `WINDOW` clause — ONE named frame definition shared by
+    * several window functions (here rank + a count share `w`; the running
+    * sum uses a second named window `w2` over the same ordering with an
+    * explicit ROWS frame — Spark's parser takes a frame only in a named
+    * definition, not as an inline `OVER (w ROWS …)` extension). Beyond the sugar (the analyst
+    * maintains one frame spec, not three copies that drift), the shared
+    * name makes the shared-sort intent explicit: all three functions
+    * evaluate in ONE Window operator over ONE partitioned sort — three
+    * inline OVER copies are only merged if they stay textually
+    * identical, and at 100 TB an extra sort per drifted copy is the
+    * regression. DuckDB supports the identical clause, so the oracle is
+    * the same text over the fixture view. */
+  private val sqlNamedWindow = Spec(
+    "sql_named_window",
+    """SELECT o_custkey, o_orderkey,
+      |  rank() OVER w AS rk,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    OVER w2 AS DOUBLE) AS run_price,
+      |  COUNT(*) OVER w AS n_seen
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |             ORDER BY o_orderdate, o_orderkey),
+      |       w2 AS (PARTITION BY o_custkey
+      |              ORDER BY o_orderdate, o_orderkey
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("graft_nw_orders")
+    s.sql(
+      """SELECT o_custkey, o_orderkey,
+        |  rank() OVER w AS rk,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER w2 AS DOUBLE) AS run_price,
+        |  COUNT(*) OVER w AS n_seen
+        |FROM graft_nw_orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey),
+        |       w2 AS (PARTITION BY o_custkey
+        |              ORDER BY o_orderdate, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  }
 
   /** SQL session variables (Spark 4: DECLARE / SET VARIABLE) — typed,
     * session-scoped state referenced by name inside queries: the

@@ -11,7 +11,7 @@ import graft.sources.Tables
   * is row-group/page skipping, the single biggest scan win.
   */
 object FilterProject {
-  def specs: Seq[Spec] = Seq(project, filterPred, filterDate)
+  def specs: Seq[Spec] = Seq(project, filterPred, filterDate, likeFamily)
 
   /** Column subset + computed column. Per-row double arithmetic is
     * bit-identical across engines (same IEEE ops in the same order), so no
@@ -46,6 +46,34 @@ object FilterProject {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_returnflag"), col("l_linestatus"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** The pattern-predicate family beyond [[filterPred]]'s plain LIKE-less
+    * conjunctions: `LIKE` with wildcards, `ILIKE` (case-insensitive,
+    * Spark 3.3+), `RLIKE` (regexp), and `LIKE … ESCAPE` (matching a
+    * literal `_`/`%`). Emitted as BOOLEAN COLUMNS over every row rather
+    * than as WHERE clauses, so both match and non-match paths of each
+    * predicate are hash-checked (a filter-only spelling would silently
+    * pass if a predicate degenerated to all-false). LIKE/ILIKE compile
+    * to codegen'd string matchers (prefix/suffix/contains specialize to
+    * startsWith/endsWith/contains — no regex engine); RLIKE is the one
+    * real regex and is priced accordingly at 100 TB. DuckDB: ILIKE
+    * native, RLIKE as regexp_matches. */
+  private val likeFamily = Spec(
+    "filter_like_family",
+    """SELECT p_partkey,
+      |  p_name LIKE '%widget%' AS is_widget,
+      |  p_name ILIKE 'COLD%' AS cold_ci,
+      |  regexp_matches(p_name, '^(small|large) ') AS sized,
+      |  p_name LIKE '%$_%' ESCAPE '$' AS has_underscore
+      |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        col("p_name").like("%widget%").as("is_widget"),
+        col("p_name").ilike("COLD%").as("cold_ci"),
+        col("p_name").rlike("^(small|large) ").as("sized"),
+        expr("p_name LIKE '%$_%' ESCAPE '$'").as("has_underscore"))
+      .orderBy(col("p_partkey"))
   }
 
   /** Event-time range predicate — the pattern partition pruning keys on

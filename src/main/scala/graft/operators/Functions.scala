@@ -25,7 +25,54 @@ object Functions {
     fnJson, fnUdfScalar, fnUdtfExplode, fnRegex, fnEncode, fnVariant,
     fnAvroRoundtrip, fnCsvRoundtrip, fnXmlRoundtrip, fnTryArith,
     fnNaFill, fnCollation, fnStack, fnInterval, fnSequenceArray, fnMask,
-    fnAesRoundtrip)
+    fnAesRoundtrip, fnArraySetOps)
+
+  /** Array SET algebra (`array_union` / `array_intersect` /
+    * `array_except` / `flatten` / `array_position`) — per-row set
+    * operations on array columns (tag lists, token sets, feature IDs),
+    * the family [[fnArray]]'s slice/transform row does not touch. All
+    * codegen'd expressions evaluated row-local — no explode + relational
+    * set op + re-collect (three shuffles for what one projection does),
+    * which is the 100 TB difference for per-document tag math. Arrays
+    * are data-driven with a duplicate planted (union/intersect/except
+    * all dedupe — Spark preserves first-occurrence order, DuckDB's
+    * list_distinct is order-unspecified, so both sides sort before the
+    * string join; the COMPARATOR rejects raw array columns by design).
+    * array_position is 1-based in both engines. */
+  private val fnArraySetOps = Spec(
+    "fn_array_set_ops",
+    """WITH m AS (SELECT o_orderkey,
+      |    [o_orderkey % 5, o_orderkey % 3, o_orderkey % 5] AS a,
+      |    [o_orderkey % 3, o_orderkey % 7] AS b
+      |  FROM orders)
+      |SELECT o_orderkey,
+      |  array_to_string(list_sort(list_distinct(a || b)), ',') AS un,
+      |  COALESCE(array_to_string(list_sort(list_distinct(
+      |    list_filter(a, x -> list_contains(b, x)))), ','), '') AS inter,
+      |  COALESCE(array_to_string(list_sort(list_distinct(
+      |    list_filter(a, x -> NOT list_contains(b, x)))), ','), '') AS exc,
+      |  array_to_string(flatten([a, b]), ',') AS flat,
+      |  list_position(a, o_orderkey % 3) AS pos
+      |FROM m ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    // DuckDB renders an empty list as NULL through array_to_string where
+    // Spark's array_join gives '' — COALESCE the two columns that can
+    // legitimately go empty (intersect/except).
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        array(col("o_orderkey") % 5, col("o_orderkey") % 3,
+          col("o_orderkey") % 5).as("a"),
+        array(col("o_orderkey") % 3, col("o_orderkey") % 7).as("b"))
+      .select(col("o_orderkey"),
+        array_join(sort_array(array_union(col("a"), col("b"))), ",")
+          .as("un"),
+        array_join(sort_array(array_intersect(col("a"), col("b"))), ",")
+          .as("inter"),
+        array_join(sort_array(array_except(col("a"), col("b"))), ",")
+          .as("exc"),
+        array_join(flatten(array(col("a"), col("b"))), ",").as("flat"),
+        array_position(col("a"), col("o_orderkey") % 3).as("pos"))
+      .orderBy(col("o_orderkey"))
+  }
 
   /** `sequence(start, stop)` + `explode` — DIMENSION GENERATION inside
     * the engine (integer spines, retry schedules, per-row fan-out of a

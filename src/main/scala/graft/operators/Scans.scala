@@ -18,7 +18,8 @@ object Scans {
     sourceStreamWindow, sourceStreamRate, sourceStreamSocket,
     sinkStreamForeach,
     sinkCompacted, scanBinaryFile, scanCsvCorrupt, scanSchemaEvolve,
-    scanManifestPruned, sinkTableV2, scanFileMetadata, sinkJsonLines)
+    scanManifestPruned, sinkTableV2, scanFileMetadata, sinkJsonLines,
+    sinkCsvOptions)
 
   /** DataSourceV2 catalog write path (`DataFrameWriterV2`:
     * `df.writeTo(t).using("parquet").createOrReplace()`) + `spark.table`
@@ -431,6 +432,37 @@ object Scans {
     s.read.schema("o_orderkey BIGINT, o_orderstatus STRING, " +
         "o_totalprice DOUBLE")
       .json(out)
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** CSV SINK with non-default dialect options (custom `sep`, `header`,
+    * quote-on-demand) + pinned-schema read-back — the csv sibling of
+    * [[sinkJsonLines]], closing the write half of the CSV path
+    * (`scan_csv` reads a fixture). The payload column is CONSTRUCTED to
+    * contain the delimiter itself, so the writer MUST quote and the
+    * reader MUST unquote for the round-trip to hash — a naive
+    * split-on-delimiter consumer breaks exactly here, which is the
+    * dialect bug this row pins. Double render/reparse identity as in
+    * fn_csv_roundtrip; 4-shard write so read-back lists a directory. */
+  private val sinkCsvOptions = Spec(
+    "sink_csv_options",
+    """SELECT o_orderkey, o_orderstatus || '|' || o_orderpriority AS tagged,
+      |  o_totalprice
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val out = scratch(s, "csv_sink", d)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        concat(col("o_orderstatus"), lit("|"), col("o_orderpriority"))
+          .as("tagged"),
+        col("o_totalprice"))
+      .repartition(4)
+      .write.mode("overwrite")
+      .option("sep", "|").option("header", "true")
+      .csv(out)
+    s.read
+      .schema("o_orderkey BIGINT, tagged STRING, o_totalprice DOUBLE")
+      .option("sep", "|").option("header", "true")
+      .csv(out)
       .orderBy(col("o_orderkey"))
   }
 
