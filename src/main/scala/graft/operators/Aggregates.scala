@@ -24,7 +24,31 @@ object Aggregates {
     aggCustomTyped, aggStringConcat, aggMode, aggFiltered, aggUnpivot,
     aggSketchHll, aggGroupingId, aggSketchQuantile, aggBitmapDistinct,
     aggSketchCms, aggBitmapNative, aggListagg, aggMaxBy, dsTypedApi,
-    aggBoolFamily)
+    aggBoolFamily, aggApproxTopK)
+
+  /** `approx_top_k` (Spark 4): heavy-hitters in one pass — the "which
+    * values dominate this column" scan a 100 TB profiler runs where an
+    * exact groupBy-count-sort would shuffle the full key set. The
+    * sketch tracks maxItemsTracked candidates (default 10⁴) with
+    * bounded memory and merges associatively (partial-aggregates like
+    * any sketch). On this column's 5-value domain the sketch is EXACT
+    * (domain ≪ tracked capacity), which is what makes the hash oracle
+    * legitimate; the output array is exploded and RE-SORTED by
+    * (count DESC, item) before emission because the sketch's own
+    * tie order between equal counts is unspecified — same
+    * representative-determinism discipline as `fn_collation`/
+    * `agg_max_by`. */
+  private val aggApproxTopK = Spec(
+    "agg_approx_topk",
+    """SELECT o_orderpriority AS item, COUNT(*) AS cnt
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY cnt DESC, item""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .agg(expr("approx_top_k(o_orderpriority, 5)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("item"), col("e.count").as("cnt"))
+      .orderBy(col("cnt").desc, col("item"))
+  }
 
   /** The boolean aggregate family (`every`/`any`/`bool_or` and
     * `count_if`, Spark 3.0+): data-quality invariants as one-pass

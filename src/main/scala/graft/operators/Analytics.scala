@@ -29,7 +29,40 @@ object Analytics {
     sqlTpchQ12, sqlTpchQ13, sqlTpchQ15, sqlTpchQ19, sqlTpchQ2, sqlTpchQ9,
     sqlTpchQ11, sqlTpchQ16, sqlTpchQ20, sqlParameterized, joinLateral,
     sqlRecursiveCte, sqlPipeSyntax, sqlSessionVariable, sqlGroupByAll,
-    sqlIdentifierClause, sqlNamedWindow)
+    sqlIdentifierClause, sqlNamedWindow, pivotMultiAgg)
+
+  /** Pivot with MULTIPLE aggregates per pivoted value (`pivot(col,
+    * values).agg(count, sum)` → `{value}_{aggAlias}` column fan-out) —
+    * the wide KPI-matrix reshaping beyond [[pivotStatus]]'s single
+    * count. The values list is EXPLICIT, which at 100 TB is not style:
+    * an elided list makes Spark run a distinct-scan job over the pivot
+    * column before it can even resolve the schema — a full extra pass —
+    * and an unbounded value domain fans out unboundedly many columns.
+    * Explicit values = one two-phase aggregate, schema known at plan
+    * time. The oracle spells the fan-out as CASE-guarded aggregates
+    * named exactly like Spark's generated `F_n`/`F_sp` columns. */
+  private val pivotMultiAgg = Spec(
+    "pivot_multi_agg",
+    """SELECT o_orderpriority,
+      |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F_n,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F'
+      |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS F_sp,
+      |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O_n,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O'
+      |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS O_sp,
+      |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P_n,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P'
+      |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS P_sp
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sp"))
+      .orderBy(col("o_orderpriority"))
+  }
 
   /** The SQL `WINDOW` clause — ONE named frame definition shared by
     * several window functions (here rank + a count share `w`; the running

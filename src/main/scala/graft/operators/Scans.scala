@@ -19,7 +19,7 @@ object Scans {
     sinkStreamForeach,
     sinkCompacted, scanBinaryFile, scanCsvCorrupt, scanSchemaEvolve,
     scanManifestPruned, sinkTableV2, scanFileMetadata, sinkJsonLines,
-    sinkCsvOptions)
+    sinkCsvOptions, scanRecursiveLookup)
 
   /** DataSourceV2 catalog write path (`DataFrameWriterV2`:
     * `df.writeTo(t).using("parquet").createOrReplace()`) + `spark.table`
@@ -463,6 +463,49 @@ object Scans {
       .schema("o_orderkey BIGINT, tagged STRING, o_totalprice DOUBLE")
       .option("sep", "|").option("header", "true")
       .csv(out)
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** `recursiveFileLookup` + `pathGlobFilter` — reading a manifest-less
+    * NESTED directory tree while skipping non-data sidecars. Spark's
+    * default listing treats subdirectories as partition structure and
+    * stops; `recursiveFileLookup=true` walks arbitrary nesting (the
+    * "vendor dropped files wherever" lake reality), and
+    * `pathGlobFilter='*.parquet'` excludes the _SUCCESS/.txt/.json
+    * sidecars that would otherwise either fail the reader or silently
+    * corrupt the scan. The fixture tree is built in scratch: orders
+    * split across `y=1996/m=01`-style nested dirs PLUS two planted
+    * sidecar files that MUST be skipped (a `notes.txt` and a decoy
+    * `manifest.json`); the require() proves the decoys exist so the
+    * filter is doing real work. At 100 TB the same two options are the
+    * difference between one distributed listing and a driver-side
+    * crawl script. */
+  private val scanRecursiveLookup = Spec(
+    "scan_recursive_lookup",
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val root = scratch(s, "rec_lookup", d)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    o.filter(col("o_orderkey") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$root/y=1996/m=01")
+    o.filter(col("o_orderkey") % 2 === 1)
+      .write.mode("overwrite").parquet(s"$root/y=1997/deep/m=02")
+    // plant non-data sidecars the glob must skip
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "y=1996", "notes.txt"),
+      "vendor notes, not data".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "manifest.json"),
+      """{"decoy":true}""".getBytes("UTF-8"))
+    require(new java.io.File(s"$root/y=1996/notes.txt").exists &&
+      new java.io.File(s"$root/manifest.json").exists,
+      "sidecar decoys missing — the glob filter would be untested")
+    s.read
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.parquet")
+      .schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+      .parquet(root)
       .orderBy(col("o_orderkey"))
   }
 
