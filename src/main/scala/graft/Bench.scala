@@ -117,6 +117,7 @@ object Bench {
       graft.operators.Joins.materializeLayouts(spark, sfDir): Unit
       graft.streaming.StreamingOps.twsInput(spark, sfDir): Unit
       graft.streaming.StreamingOps.twsTimerInput(spark, sfDir): Unit
+      graft.streaming.StreamingOps.updInput(spark, sfDir): Unit
     }
     // Materialize-phase-end loadavg (VERDICT r13 #7): the pre-paid
     // builds above are inside the headline total but outside the

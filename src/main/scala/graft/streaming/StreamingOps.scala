@@ -31,7 +31,7 @@ object StreamingOps {
   def specs: Seq[Spec] = Seq(tumbling, sliding, session, watermarkLate,
     dedup, statefulCustom, streamStream, streamStatic, streamStreamOuter,
     streamStreamFull, incrementalRestart, joinThenWindowSpec,
-    rocksdbState, transformWithState, twsTimers, twsMapState)
+    rocksdbState, transformWithState, twsTimers, twsMapState, updateMode)
 
   /** Shared transforms (batch twin == streaming form). */
 
@@ -433,6 +433,122 @@ object StreamingOps {
       }
       inDir
     })
+  }
+
+  /** Memoized two-file staging for `stream_update_mode`: the (user_id,
+    * es) projection split on µs parity — same split rule as [[twsInput]]
+    * so spanning users exist — but with ADMISSION-ORDER MTIMES stamped
+    * (the [[twsTimerInput]] discipline): unlike the funnel, whose final
+    * row is batch-order-insensitive, update-mode EMISSION SETS are
+    * defined per batch, so "even half is micro-batch 0" must be pinned,
+    * not assumed from write latency. Own layout rather than mutating
+    * twsInput's shared files: stamping mtimes on a layout other rows
+    * read would couple the rows through the filesystem. */
+  private val updInCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), String]
+
+  private[graft] def updInput(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    import graft.operators.Scans
+    val abs = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
+    Scans.revalidateMemo(updInCache, (s, abs), Scans.healthyStamped)
+    updInCache.computeIfAbsent((s, abs), { _ =>
+      val inDir = Scans.scratch(s, "upd_in", d)
+      Scans.rmRecursive(new java.io.File(inDir))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("es"))
+      val halves = Seq(
+        ev.filter(pmod(col("es"), lit(2)) === 0),
+        ev.filter(pmod(col("es"), lit(2)) === 1))
+      var seen = Set.empty[String]
+      val t0 = System.currentTimeMillis()
+      halves.zipWithIndex.foreach { case (df, i) =>
+        df.coalesce(1).write.mode("append").parquet(inDir)
+        val files = new java.io.File(inDir).listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+        files.filterNot(f => seen(f.getName)).foreach { f =>
+          require(f.setLastModified(t0 + i * 10000L),
+            s"could not stamp admission-order mtime on $f")
+        }
+        seen = files.map(_.getName).toSet
+      }
+      Scans.stampExpected(inDir)
+      graft.sources.SessionHooks.onApplicationEnd(s, s"upd-in-$abs") {
+        () => updInCache.remove((s, abs)); ()
+      }
+      inDir
+    })
+  }
+
+  /** UPDATE output mode on a built-in streaming aggregate — the output-
+    * mode SEMANTICS row: per micro-batch, `groupBy(user_id).count()`
+    * emits ONLY the groups whose state changed in that batch. Complete
+    * mode would re-emit every group every batch (downstream rewrites the
+    * world each trigger — a non-starter at 100 TB key cardinality);
+    * append mode is illegal on an unwatermarked aggregate (results never
+    * finalize); update is the incremental contract CDC-style consumers
+    * key on. The registered output is the FULL per-batch emission
+    * ledger, (batch_id, user_id, cnt) — not just final state — so the
+    * hash pins exactly three things: batch 0 = even-parity partial
+    * counts for users seen there, batch 1 = TOTAL counts but ONLY for
+    * users with an odd-parity event, and — the semantics witness —
+    * even-only users are ABSENT from batch 1 (their state did not
+    * change; StreamingSpec asserts that absence explicitly). The oracle
+    * reconstructs both emission sets relationally from the parity rule.
+    * HDFS-default state store (built-in agg — no RocksDB mandate);
+    * 4-partition clone, same rationale as the TWS family. */
+  private val updateMode = Spec(
+    "stream_update_mode",
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS es FROM events),
+      |b0 AS (SELECT user_id, COUNT(*) AS cnt FROM e
+      |       WHERE es % 2 = 0 GROUP BY user_id),
+      |b1 AS (SELECT e.user_id, COUNT(*) AS cnt FROM e
+      |       WHERE e.user_id IN (SELECT user_id FROM e WHERE es % 2 = 1)
+      |       GROUP BY e.user_id)
+      |SELECT 0 AS batch_id, user_id, cnt FROM b0
+      |UNION ALL
+      |SELECT 1 AS batch_id, user_id, cnt FROM b1
+      |ORDER BY batch_id, user_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val base = graft.operators.Scans.scratch(s, "upd_mode", d)
+    graft.operators.Scans.rmRecursive(new java.io.File(base))
+    updateModeLedger(s, updInput(s, d), base)
+  }
+
+  /** The `stream_update_mode` streaming core, factored so
+    * StreamingSpec's absence witness can drive the IDENTICAL query over
+    * a synthetic staging with guaranteed single-batch-only keys (the
+    * fixture at sf0.001 happens to give every user events of both
+    * parities, which would make an absence assertion on the registered
+    * layout vacuous). Reads (user_id, es) parquet files one per
+    * micro-batch, update-mode groupBy-count, per-batch ledger out. */
+  private[graft] def updateModeLedger(s: org.apache.spark.sql.SparkSession,
+      inDir: String, base: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val chk = s"$base/chk"; val outDir = s"$base/out"
+    val s2 = graft.operators.Scans.fewPartitionSession(s, 4)
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("es", LongType)))
+    val q = s2.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .groupBy(col("user_id")).count()
+      .writeStream
+      .option("checkpointLocation", chk)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        df.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(outDir)
+      }
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    try require(q.awaitTermination(180000),
+      "update-mode query did not finish in 180 s")
+    finally q.stop()
+    s.read.parquet(outDir)
+      .select(col("batch_id"), col("user_id"), col("count").as("cnt"))
+      .orderBy(col("batch_id"), col("user_id"))
   }
 
   private val transformWithState = Spec(

@@ -479,6 +479,48 @@ abstract class StreamingParityBase extends AnyFunSuite {
 class StreamingSpec extends StreamingParityBase {
   protected def providerTag = "hdfs-default"
   protected def withProvider[A](body: => A): A = body
+
+  test("stream_update_mode: unchanged groups are ABSENT from batch 1") {
+    // The update-vs-complete witness, on a SYNTHETIC staging where the
+    // interesting key classes are guaranteed (the sf0.001 fixture gives
+    // every user events of both parities, so an absence assertion on the
+    // registered layout would be vacuous): u1 only in batch 0, u2 only
+    // in batch 1, u3 in both. Update mode must emit exactly
+    // b0 = {u1:1, u3:1} and b1 = {u2:1, u3:2} — u1's absence from b1 is
+    // the behavior complete mode would violate.
+    import TestSpark._
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_updmode_wit").toFile
+    try {
+      val in = new java.io.File(root, "in"); in.mkdirs()
+      def writeBatch(rows: Seq[(Long, Long)], name: String,
+          mtime: Long): Unit = {
+        val stage = java.nio.file.Files
+          .createTempDirectory("graft_updmode_stage")
+        rows.toDF("user_id", "es").coalesce(1)
+          .write.mode("overwrite").parquet(stage.toString)
+        val part = new java.io.File(stage.toString).listFiles()
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(fail(s"no part file under $stage"))
+        val dest = new java.io.File(in, name)
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        assert(dest.setLastModified(mtime), s"cannot stamp mtime on $dest")
+        graft.operators.Scans.rmRecursive(new java.io.File(stage.toString))
+      }
+      val t0 = System.currentTimeMillis() - 60000L
+      writeBatch(Seq((1L, 10L), (3L, 12L)), "b0.parquet", t0)
+      writeBatch(Seq((2L, 21L), (3L, 23L)), "b1.parquet", t0 + 10000L)
+      val ledger = StreamingOps
+        .updateModeLedger(spark, in.toString, s"$root/run")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(ledger == Set((0L, 1L, 1L), (0L, 3L, 1L),
+        (1L, 2L, 1L), (1L, 3L, 2L)),
+        s"update-mode ledger mismatch: $ledger — a (1,1,1) entry would " +
+          "mean complete-mode re-emission of the unchanged group u1")
+    } finally graft.operators.Scans.rmRecursive(root)
+  }
 }
 
 /** The identical §2.9 parity family under RocksDB + changelog
