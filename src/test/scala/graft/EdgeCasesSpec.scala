@@ -334,7 +334,10 @@ class EdgeCasesSpec extends AnyFunSuite {
       "stream_transform_with_state" -> "tws",
       "stream_tws_timers" -> "tws_timer",
       "stream_tws_mapstate" -> "tws_map",
-      "join_dpp" -> "dpp_customer", "join_bucketed" -> "bucketed")
+      "join_dpp" -> "dpp_customer", "join_bucketed" -> "bucketed",
+      "sink_json_lines" -> "json_sink", "sink_csv_options" -> "csv_sink",
+      "scan_recursive_lookup" -> "rec_lookup",
+      "stream_update_mode" -> "upd_mode")
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     consumers.foreach { case (query, op) =>
       val n1 = SparkEntry.queries(query)(spark, TestSpark.SF001).count()
@@ -387,7 +390,9 @@ class EdgeCasesSpec extends AnyFunSuite {
         _.getName.endsWith(".parquet")),
       // one of the four chronological/sentinel files of the timer staging
       ("stream_tws_timers", "tws_timer_in",
-        _.getName.endsWith(".parquet")))
+        _.getName.endsWith(".parquet")),
+      // one of the two parity-half files of the update-mode staging
+      ("stream_update_mode", "upd_in", _.getName.endsWith(".parquet")))
     cases.foreach { case (query, op, pick) =>
       def rows(): Seq[String] =
         SparkEntry.queries(query)(spark, TestSpark.SF001)
