@@ -29,7 +29,76 @@ object Analytics {
     sqlTpchQ12, sqlTpchQ13, sqlTpchQ15, sqlTpchQ19, sqlTpchQ2, sqlTpchQ9,
     sqlTpchQ11, sqlTpchQ16, sqlTpchQ20, sqlParameterized, joinLateral,
     sqlRecursiveCte, sqlPipeSyntax, sqlSessionVariable, sqlGroupByAll,
-    sqlIdentifierClause, sqlNamedWindow, pivotMultiAgg)
+    sqlIdentifierClause, sqlNamedWindow, pivotMultiAgg, sqlUnpivotClause,
+    sqlPivotClause)
+
+  /** The SQL `UNPIVOT` clause (Spark 3.4+) — the relational-syntax twin
+    * of [[graft.operators.Aggregates]]' `agg_unpivot` Dataset-API row:
+    * wide measure columns to (metric, value) rows IN the query text,
+    * where a migrating SQL user writes it. Same plan as the API form
+    * (an Expand node, one scan — not the N-scan UNION ALL the oracle
+    * spells), so the equivalence check is also a plan-shape statement:
+    * the clause costs nothing over the API. NULL measure values are
+    * dropped by UNPIVOT on both engines' semantics; the measures here
+    * are non-null fixture columns. */
+  private val sqlUnpivotClause = Spec(
+    "sql_unpivot_clause",
+    """SELECT metric,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  COUNT(value) AS n
+      |FROM (
+      |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+      |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+      |GROUP BY metric ORDER BY metric""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_unpiv_li")
+    s.sql(
+      """SELECT metric,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  COUNT(value) AS n
+        |FROM (SELECT l_orderkey, l_quantity, l_extendedprice, l_discount,
+        |             l_tax FROM graft_unpiv_li)
+        |UNPIVOT (value FOR metric IN
+        |  (l_quantity, l_extendedprice, l_discount, l_tax))
+        |GROUP BY metric ORDER BY metric""".stripMargin)
+  }
+
+  /** The SQL `PIVOT` clause (Spark 3.4+ as a table-expression suffix) —
+    * the query-text twin of [[pivotMultiAgg]]'s API form, with the same
+    * explicit IN-list discipline (no distinct pre-scan, plan-time
+    * schema) and per-(value, agg-alias) column fan-out; the aggregate
+    * pair here is COUNT + MAX so the row is not a restatement of the
+    * API row's COUNT + SUM. The pivoted MAX lands as DECIMAL(18,2) —
+    * the outer projection casts to DOUBLE for the comparator, value-
+    * identical. */
+  private val sqlPivotClause = Spec(
+    "sql_pivot_clause",
+    """SELECT o_orderpriority,
+      |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F_n,
+      |  CAST(MAX(CASE WHEN o_orderstatus = 'F'
+      |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS F_mx,
+      |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O_n,
+      |  CAST(MAX(CASE WHEN o_orderstatus = 'O'
+      |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS O_mx,
+      |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P_n,
+      |  CAST(MAX(CASE WHEN o_orderstatus = 'P'
+      |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS P_mx
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("graft_piv_orders")
+    s.sql(
+      """SELECT o_orderpriority,
+        |  F_n, CAST(F_mx AS DOUBLE) AS F_mx,
+        |  O_n, CAST(O_mx AS DOUBLE) AS O_mx,
+        |  P_n, CAST(P_mx AS DOUBLE) AS P_mx
+        |FROM (SELECT o_orderpriority, o_orderstatus, o_totalprice
+        |      FROM graft_piv_orders)
+        |PIVOT (COUNT(*) AS n,
+        |       MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS mx
+        |       FOR o_orderstatus IN ('F' AS F, 'O' AS O, 'P' AS P))
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
 
   /** Pivot with MULTIPLE aggregates per pivoted value (`pivot(col,
     * values).agg(count, sum)` → `{value}_{aggAlias}` column fan-out) —

@@ -19,7 +19,69 @@ object Joins {
   def specs: Seq[Spec] = Seq(
     innerHash, leftOuter, rightOuter, fullOuter, leftSemi, leftAnti,
     broadcastJoin, multiway, thetaRange, asOf, bucketed, nullSafe, salted,
-    dpp, fuzzy, bloom, rangeBin, skewAqe, hintShj, nullAwareAnti)
+    dpp, fuzzy, bloom, rangeBin, skewAqe, hintShj, nullAwareAnti,
+    sqlHintBroadcast, usingNatural)
+
+  /** The SQL COMMENT hint (`/*+ BROADCAST(alias) */`) — the query-text
+    * spelling of [[broadcastJoin]]'s `broadcast()` function call, which
+    * is the form a SQL-only user (a BI tool, a migration from the
+    * reference's SQL surface) actually has access to. The hint names
+    * the RELATION ALIAS and survives analysis into the same
+    * ResolvedHint the functions API produces — PlanSpec pins that the
+    * executed plan is a BroadcastHashJoin with no SortMergeJoin, i.e.
+    * the comment was a planner instruction, not a comment. */
+  private val sqlHintBroadcast = Spec(
+    "sql_hint_broadcast",
+    """SELECT n_name, COUNT(*) AS n_sup,
+      |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+    Tables.supplier(s, d).createOrReplaceTempView("graft_hint_supplier")
+    Tables.nation(s, d).createOrReplaceTempView("graft_hint_nation")
+    s.sql(
+      """SELECT /*+ BROADCAST(n) */ n_name, COUNT(*) AS n_sup,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM graft_hint_supplier s JOIN graft_hint_nation n
+        |  ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)
+  }
+
+  /** `JOIN … USING (col)` and `NATURAL JOIN` — the name-equated join
+    * sugar: USING equates the named column ONCE in the output (no
+    * `a.k = b.k` duplicate column to disambiguate downstream), NATURAL
+    * derives the join key set from every shared column name. Both
+    * desugar to the same hash equi-join as the explicit ON form — this
+    * is a resolution-rule surface, not a new operator — but the
+    * NATURAL form is also a loaded gun at 100 TB (a schema evolution
+    * that adds one shared column name silently changes the join key
+    * set), which is exactly why an engine must implement its
+    * resolution EXACTLY, not approximately: the row pins current
+    * semantics so any future drift is a hash break. Both branches
+    * tagged in one output; DuckDB implements the same SQL-standard
+    * sugar. */
+  private val usingNatural = Spec(
+    "join_using_natural",
+    """WITH a AS (SELECT o_orderkey, o_totalprice FROM orders
+      |           WHERE o_orderstatus = 'F'),
+      |     b AS (SELECT o_orderkey, o_orderpriority FROM orders)
+      |SELECT 'using' AS form, o_orderkey, o_totalprice, o_orderpriority
+      |FROM a JOIN b USING (o_orderkey)
+      |UNION ALL
+      |SELECT 'natural', o_orderkey, o_totalprice, o_orderpriority
+      |FROM a NATURAL JOIN b
+      |ORDER BY form, o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("graft_un_orders")
+    s.sql(
+      """WITH a AS (SELECT o_orderkey, o_totalprice FROM graft_un_orders
+        |           WHERE o_orderstatus = 'F'),
+        |     b AS (SELECT o_orderkey, o_orderpriority FROM graft_un_orders)
+        |SELECT 'using' AS form, o_orderkey, o_totalprice, o_orderpriority
+        |FROM a JOIN b USING (o_orderkey)
+        |UNION ALL
+        |SELECT 'natural', o_orderkey, o_totalprice, o_orderpriority
+        |FROM a NATURAL JOIN b
+        |ORDER BY form, o_orderkey""".stripMargin)
+  }
 
   /** `NOT IN (subquery)` with a NULLABLE inner side — the classic
     * three-valued-logic trap, and a DISTINCT physical operator: one NULL

@@ -541,6 +541,12 @@ class PlanSpec extends AnyFunSuite {
       s"no null-aware LeftAnti line:\n${s.take(1500)}")
   }
 
+  test("sql_hint_broadcast: the comment hint reaches the planner") {
+    val p = plan("sql_hint_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
   test("sql_parameterized binds fold to literals pushed into the scan") {
     // The named-marker bindings must reach PushedFilters as plain
     // literals — parameterization cannot cost pushdown.
