@@ -541,6 +541,20 @@ class PlanSpec extends AnyFunSuite {
       s"no null-aware LeftAnti line:\n${s.take(1500)}")
   }
 
+  test("sql_named_window: three functions fuse into ONE Window + shuffle") {
+    // The row's Scaladoc claims the shared name buys one Window operator
+    // over one partitioned sort — pin it: rank (w), count (w, default
+    // RANGE frame) and the running sum (w2, explicit ROWS frame) share
+    // (partition, order), so Spark fuses them into a single Window node
+    // behind a single hash exchange. Drift to 2+ Windows would mean an
+    // extra per-function pass at scale.
+    val p = plan("sql_named_window")
+    val windows = p.linesIterator.count(_.contains("Window ("))
+    val exchanges = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    assert(windows == 1, s"expected 1 fused Window node, got $windows:\n${p.take(1200)}")
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges")
+  }
+
   test("sql_hint_broadcast: the comment hint reaches the planner") {
     val p = plan("sql_hint_broadcast")
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
