@@ -28,6 +28,46 @@ class EdgeCasesSpec extends AnyFunSuite {
       new java.io.File(s"$SF001/lineitem.parquet").length)
   }
 
+  test("fn_interval: month arithmetic clamps end-of-month like the oracle") {
+    // fn_interval's Scaladoc claims both engines clamp calendar month
+    // addition (Jan 31 + 1 month = Feb 28/29). The fixture dates may
+    // never land on a month end, so the oracle sweep can pass without
+    // ever exercising the clamp — pin it here against DuckDB's own
+    // values for the four edge shapes (leap Feb target, non-leap Feb
+    // target, leap-day source, 31->31 no-clamp).
+    val got = spark.sql(
+      """SELECT
+        |  CAST(TIMESTAMP_NTZ '2000-01-31 00:00:00' + INTERVAL '1' MONTH AS STRING),
+        |  CAST(TIMESTAMP_NTZ '1999-01-31 00:00:00' + INTERVAL '1' MONTH AS STRING),
+        |  CAST(TIMESTAMP_NTZ '2000-02-29 10:30:00' + INTERVAL '12' MONTH AS STRING),
+        |  CAST(TIMESTAMP_NTZ '2000-03-31 00:00:00' + INTERVAL '2' MONTH AS STRING)
+        |""".stripMargin).first()
+    // expected literals are DuckDB's output for the same expressions
+    assert(got.getString(0) == "2000-02-29 00:00:00", got.toString)
+    assert(got.getString(1) == "1999-02-28 00:00:00", got.toString)
+    assert(got.getString(2) == "2001-02-28 10:30:00", got.toString)
+    assert(got.getString(3) == "2000-05-31 00:00:00", got.toString)
+  }
+
+  test("fn_aes_roundtrip: ciphertext is real — wrong key decrypts to NULL") {
+    // The registered row proves identity under the RIGHT key plus the
+    // PKCS#7 length; a stub that returned its input with padding could
+    // in principle fake both. Witness the encryption is real: the
+    // ciphertext differs from the plaintext bytes, and try_aes_decrypt
+    // under a DIFFERENT key yields NULL, not the plaintext.
+    val r = spark.sql(
+      """SELECT
+        |  aes_encrypt('graft-secret', 'graft-0123456789', 'ECB') AS ct,
+        |  CAST(try_aes_decrypt(
+        |    aes_encrypt('graft-secret', 'graft-0123456789', 'ECB'),
+        |    'wrong-key-000000', 'ECB') AS STRING) AS wrong""".stripMargin)
+      .first()
+    assert(!java.util.Arrays.equals(r.getAs[Array[Byte]]("ct"),
+      "graft-secret".getBytes("UTF-8")), "ciphertext equals plaintext")
+    assert(r.isNullAt(1),
+      s"wrong-key decrypt returned ${r.getString(1)} instead of NULL")
+  }
+
   test("aggregation over an empty slice returns zero groups, not a crash") {
     import spark.implicits._
     val empty = Seq.empty[(String, Double)].toDF("k", "v")
