@@ -25,7 +25,87 @@ object Functions {
     fnJson, fnUdfScalar, fnUdtfExplode, fnRegex, fnEncode, fnVariant,
     fnAvroRoundtrip, fnCsvRoundtrip, fnXmlRoundtrip, fnTryArith,
     fnNaFill, fnCollation, fnStack, fnInterval, fnSequenceArray, fnMask,
-    fnAesRoundtrip, fnArraySetOps)
+    fnAesRoundtrip, fnArraySetOps, fnMapHof, fnRounding)
+
+  /** Map HIGHER-ORDER functions (`transform_keys` / `transform_values` /
+    * `map_filter` / `map_zip_with`) — per-row map algebra as codegen'd
+    * lambdas, the map-typed sibling of [[fnArraySetOps]] and the family
+    * [[fnMap]]'s constructor/accessor row does not touch. The
+    * per-feature-map reweighting a 100 TB feature store does stays a
+    * projection (no explode → relational op → re-collect_map round
+    * trip, which is three shuffles and a non-deterministic rebuild
+    * order). Maps are UNORDERED on both engines, so every output
+    * serializes through entries SORTED BY KEY (array_sort on the entry
+    * structs — lexicographic on key then value) before joining; the
+    * oracle computes the same strings directly from the base columns
+    * the maps were built from, sidestepping DuckDB's different MAP
+    * builtin set entirely. */
+  private val fnMapHof = Spec(
+    "fn_map_hof",
+    """WITH m AS (SELECT o_orderkey,
+      |    o_orderkey % 5 AS x, o_orderkey % 3 AS y FROM orders)
+      |SELECT o_orderkey,
+      |  'A:' || x || ',B:' || y AS tk,
+      |  'a:' || (x * 2) || ',b:' || (y * 2) AS tv,
+      |  concat_ws(',',
+      |    CASE WHEN x >= 2 THEN 'a:' || x END,
+      |    CASE WHEN y >= 2 THEN 'b:' || y END) AS mf,
+      |  'a:' || x || ',b:' || (y + 10) || ',c:1' AS mz
+      |FROM m ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    def ser(m: org.apache.spark.sql.Column) =
+      array_join(transform(array_sort(map_entries(m)),
+        e => concat(e.getField("key"), lit(":"),
+          e.getField("value").cast("string"))), ",")
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        map(lit("a"), col("o_orderkey") % 5,
+          lit("b"), col("o_orderkey") % 3).as("m1"),
+        map(lit("b"), lit(10L), lit("c"), lit(1L)).as("m2"))
+      .select(col("o_orderkey"),
+        ser(expr("transform_keys(m1, (k, v) -> upper(k))")).as("tk"),
+        ser(expr("transform_values(m1, (k, v) -> v * 2)")).as("tv"),
+        ser(expr("map_filter(m1, (k, v) -> v >= 2)")).as("mf"),
+        ser(expr("map_zip_with(m1, m2, (k, v1, v2) -> " +
+          "coalesce(v1, 0L) + coalesce(v2, 0L))")).as("mz"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Rounding POLICY (`round` HALF_UP vs `bround` HALF_EVEN): the two
+    * modes genuinely differ on the fixture (any price with 5 in the
+    * hundredths place rounds differently at 1 decimal), and a financial
+    * pipeline at 100 TB must pick one deliberately — HALF_EVEN is the
+    * IEEE/banker's default that cancels systematic half-cent drift over
+    * billions of rows; HALF_UP is the retail convention. Both computed
+    * on the EXACT decimal (never the raw double — rounding a double's
+    * nearest-representable value flips edge cases), cast to double only
+    * for the comparator. DuckDB's own `round_even` macro is NOT usable
+    * as the oracle: it routes through DOUBLE internally and misrounds
+    * the borderline .x5 cents the row exists to pin (measured: 11
+    * divergences at sf0.001, e.g. 75914.65 → 75914.7), so the oracle
+    * spells banker's rounding EXACTLY in integer cents — ties pick the
+    * even 10-cent quotient. */
+  private val fnRounding = Spec(
+    "fn_rounding",
+    """WITH c AS (SELECT o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents FROM orders),
+      |q AS (SELECT o_orderkey, cents // 10 AS q, cents % 10 AS r FROM c)
+      |SELECT o_orderkey,
+      |  CAST(CASE WHEN r >= 5 THEN q + 1 ELSE q END AS DOUBLE) / 10
+      |    AS r_half_up,
+      |  CAST(CASE WHEN r > 5 THEN q + 1
+      |            WHEN r < 5 THEN q
+      |            WHEN q % 2 = 0 THEN q ELSE q + 1 END AS DOUBLE) / 10
+      |    AS r_half_even
+      |FROM q ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice").cast("decimal(18,2)"), 1).cast("double")
+          .as("r_half_up"),
+        bround(col("o_totalprice").cast("decimal(18,2)"), 1).cast("double")
+          .as("r_half_even"))
+      .orderBy(col("o_orderkey"))
+  }
 
   /** Array SET algebra (`array_union` / `array_intersect` /
     * `array_except` / `flatten` / `array_position`) — per-row set
