@@ -30,7 +30,52 @@ object Analytics {
     sqlTpchQ11, sqlTpchQ16, sqlTpchQ20, sqlParameterized, joinLateral,
     sqlRecursiveCte, sqlPipeSyntax, sqlSessionVariable, sqlGroupByAll,
     sqlIdentifierClause, sqlNamedWindow, pivotMultiAgg, sqlUnpivotClause,
-    sqlPivotClause)
+    sqlPivotClause, sqlLateralView, sqlScriptTransform)
+
+  /** HiveQL `LATERAL VIEW explode(…) t AS col` — the LEGACY generator
+    * syntax that a decade of production SQL still speaks (the modern
+    * forms are `fn_udtf_explode`'s select-list generator and
+    * `join_lateral`'s LATERAL subquery; this row pins the third,
+    * Hive-compat spelling). Resolves to the same Generate node as the
+    * select-list form — one scan, generator fused into the stage — so
+    * supporting it costs nothing; NOT supporting it breaks every
+    * migrated Hive query on day one. Data-driven fan-out width, DuckDB
+    * oracle via unnest(generate_series). */
+  private val sqlLateralView = Spec(
+    "sql_lateral_view",
+    """SELECT o_orderkey,
+      |  unnest(generate_series(1, o_orderkey % 3 + 1)) AS step
+      |FROM orders ORDER BY o_orderkey, step""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("graft_lv_orders")
+    s.sql(
+      """SELECT o_orderkey, step FROM graft_lv_orders
+        |LATERAL VIEW explode(sequence(1L, o_orderkey % 3 + 1)) t AS step
+        |ORDER BY o_orderkey, step""".stripMargin)
+  }
+
+  /** HiveQL `TRANSFORM(…) USING '<script>'` — the SCRIPT TRANSFORMATION
+    * operator: rows serialize to tab-separated lines on the child
+    * process's stdin, its stdout parses back under the declared output
+    * schema. The script here is POSIX `cat` (the identity), which makes
+    * the row a pure serde round-trip check of the operator itself —
+    * delimiters, row framing, string re-parse — with a trivial oracle.
+    * The 100 TB cost statement: one forked process per task with pipe
+    * serde on every row — orders of magnitude behind a codegen'd
+    * expression, which is why the engine supports it for legacy
+    * migration but nothing else in this registry uses it (same
+    * quarantine rationale as `fn_udf_scalar`). */
+  private val sqlScriptTransform = Spec(
+    "sql_script_transform",
+    """SELECT CAST(o_orderkey AS VARCHAR) AS k, o_orderstatus AS st,
+      |  CAST(o_totalprice AS VARCHAR) AS price
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("graft_st_orders")
+    s.sql(
+      """SELECT TRANSFORM(o_orderkey, o_orderstatus, o_totalprice)
+        |  USING 'cat' AS (k STRING, st STRING, price STRING)
+        |FROM graft_st_orders
+        |ORDER BY CAST(k AS BIGINT)""".stripMargin)
+  }
 
   /** The SQL `UNPIVOT` clause (Spark 3.4+) — the relational-syntax twin
     * of [[graft.operators.Aggregates]]' `agg_unpivot` Dataset-API row:
