@@ -392,13 +392,16 @@ object Scans {
     * consumes. file_name is oracle-checkable (the fixture is exactly one
     * file); file_size/file_modification_time are environment-derived and
     * are witnessed against java.io.File in EdgeCasesSpec instead of the
-    * oracle. */
+    * oracle. Routed through Tables.lineitem like every other row —
+    * `_metadata` resolves on the memoized file-source relation, and the
+    * raw-read alternative would bypass the guardMtime
+    * mid-session-regeneration tripwire (round-14 review). */
   private val scanFileMetadata = Spec(
     "scan_file_metadata",
     """SELECT 'lineitem.parquet' AS file_name, COUNT(*) AS n_rows,
       |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
       |FROM lineitem""".stripMargin) { (s, d) =>
-    s.read.parquet(s"$d/lineitem.parquet")
+    Tables.lineitem(s, d)
       .select(col("_metadata.file_name").as("file_name"), col("l_orderkey"))
       .groupBy(col("file_name"))
       .agg(count(lit(1)).as("n_rows"),

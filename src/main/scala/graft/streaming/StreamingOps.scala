@@ -444,6 +444,29 @@ object StreamingOps {
     * not assumed from write latency. Own layout rather than mutating
     * twsInput's shared files: stamping mtimes on a layout other rows
     * read would couple the rows through the filesystem. */
+  /** Shared staged-layout writer for the admission-order stagings
+    * ([[twsTimerInput]], [[updInput]] — one definition, round-14 review;
+    * the same drift class the r4 review flagged for rmRecursive): each
+    * piece lands as ONE parquet file, stamped with strictly increasing
+    * mtimes 10 s apart in write order, so the file source's
+    * oldest-first admission under maxFilesPerTrigger=1 replays the
+    * pieces as micro-batches in exactly this order. */
+  private def writeStampedPieces(inDir: String, pieces: Seq[DataFrame])
+      : Unit = {
+    var seen = Set.empty[String]
+    val t0 = System.currentTimeMillis()
+    pieces.zipWithIndex.foreach { case (df, i) =>
+      df.coalesce(1).write.mode("append").parquet(inDir)
+      val files = new java.io.File(inDir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      files.filterNot(f => seen(f.getName)).foreach { f =>
+        require(f.setLastModified(t0 + i * 10000L),
+          s"could not stamp admission-order mtime on $f")
+      }
+      seen = files.map(_.getName).toSet
+    }
+  }
+
   private val updInCache =
     new java.util.concurrent.ConcurrentHashMap[
       (org.apache.spark.sql.SparkSession, String), String]
@@ -458,21 +481,9 @@ object StreamingOps {
       Scans.rmRecursive(new java.io.File(inDir))
       val ev = Tables.events(s, d)
         .select(col("user_id"), unix_micros(col("ts")).as("es"))
-      val halves = Seq(
+      writeStampedPieces(inDir, Seq(
         ev.filter(pmod(col("es"), lit(2)) === 0),
-        ev.filter(pmod(col("es"), lit(2)) === 1))
-      var seen = Set.empty[String]
-      val t0 = System.currentTimeMillis()
-      halves.zipWithIndex.foreach { case (df, i) =>
-        df.coalesce(1).write.mode("append").parquet(inDir)
-        val files = new java.io.File(inDir).listFiles()
-          .filter(_.getName.endsWith(".parquet"))
-        files.filterNot(f => seen(f.getName)).foreach { f =>
-          require(f.setLastModified(t0 + i * 10000L),
-            s"could not stamp admission-order mtime on $f")
-        }
-        seen = files.map(_.getName).toSet
-      }
+        ev.filter(pmod(col("es"), lit(2)) === 1)))
       Scans.stampExpected(inDir)
       graft.sources.SessionHooks.onApplicationEnd(s, s"upd-in-$abs") {
         () => updInCache.remove((s, abs)); ()
@@ -510,8 +521,6 @@ object StreamingOps {
       |UNION ALL
       |SELECT 1 AS batch_id, user_id, cnt FROM b1
       |ORDER BY batch_id, user_id""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.streaming.Trigger
-    import org.apache.spark.sql.types._
     val base = graft.operators.Scans.scratch(s, "upd_mode", d)
     graft.operators.Scans.rmRecursive(new java.io.File(base))
     updateModeLedger(s, updInput(s, d), base)
@@ -660,22 +669,10 @@ object StreamingOps {
       def sentinel(uid: Long, esUs: Long) =
         s.range(1).select(lit(uid).as("user_id"),
           timestamp_micros(lit(esUs)).as("ts"))
-      val pieces = Seq(
+      writeStampedPieces(inDir, Seq(
         ev.filter(col("es") < cut).select(col("user_id"), col("ts")),
         ev.filter(col("es") >= cut).select(col("user_id"), col("ts")),
-        sentinel(-1L, mx + 7200000000L))
-      var seen = Set.empty[String]
-      val t0 = System.currentTimeMillis()
-      pieces.zipWithIndex.foreach { case (df, i) =>
-        df.coalesce(1).write.mode("append").parquet(inDir)
-        val files = new java.io.File(inDir).listFiles()
-          .filter(_.getName.endsWith(".parquet"))
-        files.filterNot(f => seen(f.getName)).foreach { f =>
-          require(f.setLastModified(t0 + i * 10000L),
-            s"could not stamp admission-order mtime on $f")
-        }
-        seen = files.map(_.getName).toSet
-      }
+        sentinel(-1L, mx + 7200000000L)))
       Scans.stampExpected(inDir)
       graft.sources.SessionHooks.onApplicationEnd(s, s"tws-timer-in-$abs") {
         () => twsTimerCache.remove((s, abs)); ()
