@@ -30,7 +30,8 @@ object Analytics {
     sqlTpchQ11, sqlTpchQ16, sqlTpchQ20, sqlParameterized, joinLateral,
     sqlRecursiveCte, sqlPipeSyntax, sqlSessionVariable, sqlGroupByAll,
     sqlIdentifierClause, sqlNamedWindow, pivotMultiAgg, sqlUnpivotClause,
-    sqlPivotClause, sqlLateralView, sqlScriptTransform)
+    sqlPivotClause, sqlLateralView, sqlScriptTransform, sqlClusterBy,
+    sqlHintRebalance, sqlTablesample)
 
   /** HiveQL `LATERAL VIEW explode(…) t AS col` — the LEGACY generator
     * syntax that a decade of production SQL still speaks (the modern
@@ -1883,5 +1884,91 @@ object Analytics {
         |WHERE c_custkey IN (SELECT o_custkey FROM graft_sq_orders
         |                    WHERE o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** HiveQL `CLUSTER BY` (= DISTRIBUTE BY key SORT BY key): the explicit
+    * output-organization clause — "shuffle my result onto the key's hash
+    * partitioning and sort within each partition". At 100 TB this is how
+    * SQL users pre-organize a write so the NEXT job's join/merge reads
+    * runs of sorted keys without its own sort (the SQL spelling of
+    * `repartition(...).sortWithinPartitions(...)`, same RoundRobin/hash
+    * Exchange + partial Sort plan — PlanSpec pins exactly one hash
+    * exchange and a non-global sort). The clause does not change the row
+    * SET, so the oracle is the bare projection; determinism comes from
+    * the comparator's row sort. */
+  private val sqlClusterBy = Spec(
+    "sql_cluster_by",
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(l_quantity AS BIGINT) AS qty
+      |FROM lineitem WHERE l_orderkey < 2000""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_cb_lineitem")
+    s.sql(
+      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty
+        |FROM graft_cb_lineitem WHERE l_orderkey < 2000
+        |CLUSTER BY l_orderkey""".stripMargin)
+  }
+
+  /** The `REBALANCE` hint (Spark 3.2+, AQE-executed): the write-path
+    * skew tool — "make the output partitions even-sized, splitting any
+    * skewed ones", which AQE resolves at runtime from the actual map
+    * statistics rather than a static partition count. At 100 TB this is
+    * the one-line fix for the small-files/straggler-writer problem that
+    * a static `repartition(n)` can only guess at (n too low → huge
+    * files + stragglers; too high → file explosion). Row set unchanged
+    * — the oracle is the same aggregate without the hint; PlanSpec pins
+    * the REBALANCE_PARTITIONS_BY_COL shuffle origin in the plan. */
+  private val sqlHintRebalance = Spec(
+    "sql_hint_rebalance",
+    """SELECT l_orderkey, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS revenue
+      |FROM lineitem WHERE l_orderkey < 4000
+      |GROUP BY l_orderkey""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_rb_lineitem")
+    s.sql(
+      """SELECT /*+ REBALANCE(l_orderkey) */ l_orderkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM graft_rb_lineitem WHERE l_orderkey < 4000
+        |GROUP BY l_orderkey""".stripMargin)
+  }
+
+  /** `TABLESAMPLE` — the SQL sampling clause, in both forms: `(n ROWS)`
+    * (a deterministic-count prefix — GlobalLimit in the plan) and
+    * `(p PERCENT) REPEATABLE(seed)` (a Bernoulli Sample node: each row
+    * kept iff its seeded XORShift draw < p, evaluated per-partition with
+    * zero coordination — the only sampling shape that works at 100 TB,
+    * where "pick exactly k uniformly" would need a global pass).
+    * WHICH rows the PERCENT form keeps is engine-private (seeded RNG +
+    * partition layout), so the deterministic contract this row emits is
+    * the exact ROWS count plus within-band booleans for the PERCENT
+    * form (binomial n=count(lineitem), p=0.2: ±6σ band, the same
+    * boolean-witness pattern as `agg_approx_distinct`) and a
+    * sampled-⊆-source containment proof via anti-join. */
+  private val sqlTablesample = Spec(
+    "sql_tablesample",
+    """SELECT CAST(50 AS BIGINT) AS n_rows, TRUE AS pct_in_band,
+      |  CAST(0 AS BIGINT) AS n_outside""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_ts_lineitem")
+    s.sql(
+      """WITH rows_v AS (
+        |  SELECT COUNT(*) AS n_rows
+        |  FROM (SELECT * FROM graft_ts_lineitem TABLESAMPLE (50 ROWS))),
+        |pct AS (
+        |  SELECT * FROM graft_ts_lineitem TABLESAMPLE (20 PERCENT)
+        |    REPEATABLE (42)),
+        |total AS (SELECT COUNT(*) AS n FROM graft_ts_lineitem),
+        |band AS (
+        |  SELECT COUNT(*) BETWEEN
+        |      0.2 * n - 6 * sqrt(n * 0.2 * 0.8) AND
+        |      0.2 * n + 6 * sqrt(n * 0.2 * 0.8) AS pct_in_band
+        |  FROM pct CROSS JOIN total GROUP BY n),
+        |outside AS (
+        |  SELECT COUNT(*) AS n_outside FROM pct
+        |  WHERE NOT EXISTS (SELECT 1 FROM graft_ts_lineitem t
+        |                    WHERE t.l_orderkey = pct.l_orderkey
+        |                      AND t.l_linenumber = pct.l_linenumber))
+        |SELECT n_rows, pct_in_band, n_outside
+        |FROM rows_v CROSS JOIN band CROSS JOIN outside""".stripMargin)
   }
 }

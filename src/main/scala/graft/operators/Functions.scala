@@ -25,7 +25,8 @@ object Functions {
     fnJson, fnUdfScalar, fnUdtfExplode, fnRegex, fnEncode, fnVariant,
     fnAvroRoundtrip, fnCsvRoundtrip, fnXmlRoundtrip, fnTryArith,
     fnNaFill, fnCollation, fnStack, fnInterval, fnSequenceArray, fnMask,
-    fnAesRoundtrip, fnArraySetOps, fnMapHof, fnRounding)
+    fnAesRoundtrip, fnArraySetOps, fnMapHof, fnRounding, fnUrl,
+    fnTryCast, fnTimezone)
 
   /** Map HIGHER-ORDER functions (`transform_keys` / `transform_values` /
     * `map_filter` / `map_zip_with`) — per-row map algebra as codegen'd
@@ -756,5 +757,115 @@ object Functions {
         posexplode(split(col("text"), " ")).as(Seq("pos0", "word")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("word"))
       .orderBy(col("doc_id"), col("pos"))
+  }
+
+  /** URL function family (`parse_url` / `url_encode` / `url_decode`,
+    * all codegen'd built-ins): the log-sessionization shape — clickstream
+    * and crawl pipelines at 100 TB spend a scan extracting host/path/
+    * query-param from URL columns, and the built-ins keep that inside
+    * whole-stage codegen (a regex UDF here would also block pushdown of
+    * any predicate written over the extracted parts). The URL is built
+    * from part columns ('#' swapped out of p_brand — parse_url treats it
+    * as the fragment delimiter, which would truncate PATH). DuckDB has no
+    * parse_url, so the oracle recomputes each component from the same
+    * columns; url_encode is oracled as replace(' ','+') — valid because
+    * p_name is lowercase-ASCII + space (FixtureContractSpec pins the
+    * generator), and Java's URLEncoder leaves unreserved chars alone. */
+  private val fnUrl = Spec(
+    "fn_url",
+    """SELECT p_partkey,
+      |  'ex.com'                                                    AS host,
+      |  '/catalog/' || replace(p_brand, '#', '-') || '/' || p_partkey
+      |                                                              AS path,
+      |  'sz=' || p_size || '&ty=' || replace(p_type, ' ', '+')     AS query,
+      |  CAST(p_size AS VARCHAR)                                     AS sz,
+      |  replace(p_name, ' ', '+')                                   AS enc,
+      |  p_name                                                      AS dec
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    val url = concat(lit("https://ex.com/catalog/"),
+      translate(col("p_brand"), "#", "-"), lit("/"),
+      col("p_partkey").cast("string"), lit("?sz="),
+      col("p_size").cast("string"), lit("&ty="),
+      translate(col("p_type"), " ", "+"))
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        parse_url(url, lit("HOST")).as("host"),
+        parse_url(url, lit("PATH")).as("path"),
+        parse_url(url, lit("QUERY")).as("query"),
+        parse_url(url, lit("QUERY"), lit("sz")).as("sz"),
+        url_encode(col("p_name")).as("enc"),
+        url_decode(url_encode(col("p_name"))).as("dec"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** `try_cast` + the try_* conversion family (`try_to_timestamp`,
+    * `try_element_at`) — the NULL-on-error conversion semantics that make
+    * dirty-data ingestion survivable at 100 TB (the companion of
+    * `fn_try_arith`, which covers arithmetic): under Spark 4's
+    * ANSI-on default a single malformed cell would otherwise kill a
+    * 1000-executor job hours in; try_cast quarantines it as NULL to be
+    * counted/filtered downstream. DuckDB's TRY_CAST has identical
+    * semantics (parse failure AND numeric overflow → NULL), so the
+    * oracle is direct; try_element_at's 1-based, NULL-past-end indexing
+    * maps to DuckDB list indexing. ok_ts is emitted as TIMESTAMP_NTZ —
+    * the fixture convention (see `fn_date`): LTZ instants round-trip
+    * through the parquet dump as tz-aware and crash the comparator. */
+  private val fnTryCast = Spec(
+    "fn_try_cast",
+    """SELECT p_partkey,
+      |  TRY_CAST(p_type AS INTEGER)                     AS bad_int,
+      |  TRY_CAST(CAST(p_partkey AS VARCHAR) AS INTEGER) AS roundtrip,
+      |  TRY_CAST(p_size * 7 AS TINYINT)                 AS small,
+      |  TRY_CAST('2024-01-02 03:04:05' AS TIMESTAMP)    AS ok_ts,
+      |  TRY_CAST(p_name AS TIMESTAMP)                   AS bad_ts,
+      |  string_split(p_name, ' ')[1]                    AS w1,
+      |  string_split(p_name, ' ')[9]                    AS w9
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        expr("try_cast(p_type AS INT)").as("bad_int"),
+        expr("try_cast(CAST(p_partkey AS STRING) AS INT)").as("roundtrip"),
+        expr("try_cast(p_size * 7 AS TINYINT)").as("small"),
+        try_to_timestamp(lit("2024-01-02 03:04:05"))
+          .cast("timestamp_ntz").as("ok_ts"),
+        try_to_timestamp(col("p_name")).cast("timestamp_ntz").as("bad_ts"),
+        try_element_at(split(col("p_name"), " "), lit(1)).as("w1"),
+        try_element_at(split(col("p_name"), " "), lit(9)).as("w9"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Timezone shifts (`from_utc_timestamp` / `to_utc_timestamp` /
+    * `convert_timezone`) — event-time normalization, the first transform
+    * of any multi-region log pipeline. Fixed UTC offsets only: they make
+    * the semantics oracle-expressible as exact interval arithmetic in
+    * DuckDB, where a NAMED zone would drag two engines' (identical ICU
+    * vs JDK tzdb — but unpinned) databases into the hash. All outputs
+    * are cast to TIMESTAMP_NTZ before the dump (fixture convention, see
+    * `fn_try_cast`); under the pinned UTC session the cast preserves the
+    * instant's wall-clock reading, so the oracle is ts + INTERVAL. */
+  private val fnTimezone = Spec(
+    "fn_timezone",
+    """SELECT event_id,
+      |  ts + INTERVAL 330 MINUTE                        AS ist,
+      |  ts + INTERVAL 480 MINUTE                        AS from_pst,
+      |  ts + INTERVAL 300 MINUTE                        AS hop,
+      |  CAST(hour(ts + INTERVAL 330 MINUTE) AS INTEGER) AS ist_hour
+      |FROM events
+      |WHERE event_id < 400
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .filter(col("event_id") < 400)
+      .select(col("event_id"),
+        from_utc_timestamp(col("ts"), "+05:30")
+          .cast("timestamp_ntz").as("ist"),
+        to_utc_timestamp(col("ts"), "-08:00")
+          .cast("timestamp_ntz").as("from_pst"),
+        expr("convert_timezone('+02:00', '+07:00', CAST(ts AS TIMESTAMP_NTZ))")
+          .as("hop"),
+        hour(from_utc_timestamp(col("ts"), "+05:30"))
+          .cast("int").as("ist_hour"))
+      .orderBy(col("event_id"))
   }
 }

@@ -591,4 +591,29 @@ class PlanSpec extends AnyFunSuite {
         == 1,
       s"observe pipeline must not rescan lineitem: ${p.take(1200)}")
   }
+
+  test("sql_cluster_by: one keyed exchange + an in-partition (non-global) sort") {
+    // The row's Scaladoc claims CLUSTER BY = DISTRIBUTE BY + SORT BY: one
+    // hash repartition on the key and a sort that is local to each
+    // partition (global=false — the second Sort argument). A global sort
+    // here would be a silent extra range-exchange pass at 100 TB.
+    val p = plan("sql_cluster_by")
+    val exchanges = p.linesIterator
+      .count(_.contains("Arguments: hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges")
+    assert(p.contains("REPARTITION_BY_COL"), p.take(1200))
+    val sortArgs = p.linesIterator.toSeq
+      .dropWhile(!_.startsWith("(5) Sort")).drop(2).headOption.getOrElse("")
+    assert(sortArgs.contains("ASC NULLS FIRST], false"),
+      s"CLUSTER BY's sort must be non-global: $sortArgs\n${p.take(800)}")
+  }
+
+  test("sql_hint_rebalance: the hint plans an AQE rebalance shuffle") {
+    // REBALANCE resolves to a shuffle whose origin marks it as
+    // runtime-optimizable (AQE coalesces/splits output partitions from
+    // the map statistics). Pin the origin marker; without it the hint
+    // silently degraded to a plain repartition.
+    val p = plan("sql_hint_rebalance")
+    assert(p.contains("REBALANCE_PARTITIONS_BY_COL"), p.take(1500))
+  }
 }
