@@ -26,7 +26,7 @@ object Functions {
     fnAvroRoundtrip, fnCsvRoundtrip, fnXmlRoundtrip, fnTryArith,
     fnNaFill, fnCollation, fnStack, fnInterval, fnSequenceArray, fnMask,
     fnAesRoundtrip, fnArraySetOps, fnMapHof, fnRounding, fnUrl,
-    fnTryCast, fnTimezone)
+    fnTryCast, fnTimezone, fnDateParts, fnPrintf)
 
   /** Map HIGHER-ORDER functions (`transform_keys` / `transform_values` /
     * `map_filter` / `map_zip_with`) — per-row map algebra as codegen'd
@@ -867,5 +867,70 @@ object Functions {
         hour(from_utc_timestamp(col("ts"), "+05:30"))
           .cast("int").as("ist_hour"))
       .orderBy(col("event_id"))
+  }
+
+  /** Calendar-part family beyond `fn_date`'s basics: quarter / ISO week /
+    * day-of-week / day-of-year / add_months / next_day — the partition-key
+    * derivations of time-partitioned 100 TB layouts (weekly compaction
+    * windows, fiscal-quarter rollups, next-Monday SLA deadlines).
+    * Cross-engine notes baked into the oracle: Spark dayofweek is 1-based
+    * Sunday vs DuckDB 0-based (shift by one); both weekofyear and week()
+    * are ISO-8601; both add_months and `+ INTERVAL 1 MONTH` clamp to
+    * month end (Jan 31 → Feb 28); Spark next_day('MO') = first Monday
+    * STRICTLY after, replayed in DuckDB as isodow arithmetic with the
+    * 0→7 wrap. Dates emitted as VARCHAR (fixture convention — date
+    * dtypes round-trip differently through the comparator). */
+  private val fnDateParts = Spec(
+    "fn_date_parts",
+    """SELECT o_orderkey,
+      |  CAST(quarter(o_orderdate) AS INTEGER)        AS q,
+      |  CAST(week(o_orderdate) AS INTEGER)           AS woy,
+      |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER)  AS dow,
+      |  CAST(dayofyear(o_orderdate) AS INTEGER)      AS doy,
+      |  CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE)
+      |       AS VARCHAR)                             AS plus_month,
+      |  CAST(CAST(o_orderdate AS DATE) +
+      |    CAST(CASE WHEN (8 - isodow(o_orderdate)) % 7 = 0 THEN 7
+      |          ELSE (8 - isodow(o_orderdate)) % 7 END AS INTEGER)
+      |       AS VARCHAR)                             AS next_mon
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        quarter(col("o_orderdate")).cast("int").as("q"),
+        weekofyear(col("o_orderdate")).cast("int").as("woy"),
+        dayofweek(col("o_orderdate")).cast("int").as("dow"),
+        dayofyear(col("o_orderdate")).cast("int").as("doy"),
+        add_months(col("o_orderdate").cast("date"), 1)
+          .cast("string").as("plus_month"),
+        next_day(col("o_orderdate").cast("date"), "MO")
+          .cast("string").as("next_mon"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** `format_string` (a.k.a. `printf`) — C-style formatting as a
+    * codegen'd built-in: ID badging, fixed-width export records, hex
+    * debug keys. Both engines implement printf conversions, but their
+    * FLOAT tie-rounding differs (Java Formatter HALF_UP vs C
+    * round-half-even), so the row formats only integers and strings —
+    * exact in both — and leaves decimal formatting to the established
+    * decimal-cast conventions (`fn_rounding`). */
+  private val fnPrintf = Spec(
+    "fn_printf",
+    """SELECT o_orderkey,
+      |  printf('ORD-%09d', o_orderkey)                      AS badge,
+      |  printf('%s/%s', o_orderstatus, o_orderpriority)     AS tag,
+      |  printf('%016x', o_custkey)                          AS hexkey,
+      |  printf('[%8s]', o_orderstatus)                      AS padded
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        format_string("ORD-%09d", col("o_orderkey")).as("badge"),
+        format_string("%s/%s", col("o_orderstatus"),
+          col("o_orderpriority")).as("tag"),
+        format_string("%016x", col("o_custkey")).as("hexkey"),
+        format_string("[%8s]", col("o_orderstatus")).as("padded"))
+      .orderBy(col("o_orderkey"))
   }
 }

@@ -20,7 +20,7 @@ import graft.sources.Tables
 object LlmText {
   def specs: Seq[Spec] = Seq(dedupExact, dedupNgram, dedupCluster, textStats,
     langId, quality, tokenCount, fingerprint, tfidf, ngramLm, cooccur,
-    dedupIncremental, lmScore)
+    dedupIncremental, lmScore, urlCanonical)
 
   /** Perplexity-proxy quality scoring — rank every document by how
     * typical its word transitions are under the corpus's own bigram LM
@@ -781,5 +781,69 @@ object LlmText {
       .filter(col("rk") <= 5 && col("doc_id") < 100)
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rk"))
       .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** URL-canonicalization dedup — the step BEFORE text dedup in every
+    * crawl-corpus pipeline: the same page arrives under many URL
+    * spellings (scheme/host case, explicit default port, `www.`,
+    * tracking params, trailing slash, fragment), and collapsing those is
+    * a pure per-row string normalization + hash groupBy — map-side-cheap
+    * at 100 TB where content-based dedup (llm_dedup_near) costs a
+    * MinHash pass. The fixture has no URL column, so each doc
+    * deterministically fans out to two messy spellings of the same
+    * logical URL; the assertion is that canonicalization collapses
+    * exactly those (n_variants = 2 per doc). All steps are built-in
+    * regexp_replace chains (codegen'd, no UDF); the oracle replays the
+    * identical RE2-compatible patterns with DuckDB's 'g' flag matching
+    * Spark's replace-all default. */
+  private val urlCanonical = Spec(
+    "llm_url_canonical",
+    """WITH urls AS (
+      |  SELECT doc_id, unnest([
+      |    'HTTPS://WWW.' || upper(source) || '.COM:443/d/' || doc_id
+      |      || '/?utm_campaign=x&ref=abc#top',
+      |    'https://' || source || '.com/d/' || doc_id || '?ref=abc'
+      |  ]) AS url
+      |  FROM documents WHERE doc_id < 300),
+      |canon AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      regexp_replace(regexp_replace(regexp_replace(lower(url),
+      |        '#.*$', '', 'g'),
+      |        ':443/', '/', 'g'),
+      |        '^https://www\.', 'https://', 'g'),
+      |        'utm_[a-z]+=[^&#]*&?', '', 'g'),
+      |        '/\?', '?', 'g'),
+      |        '[?&]$', '', 'g'),
+      |        '/$', '', 'g') AS canonical
+      |  FROM urls)
+      |SELECT canonical, CAST(COUNT(*) AS BIGINT) AS n_variants,
+      |  MIN(doc_id) AS doc_id
+      |FROM canon GROUP BY canonical
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val v1 = concat(lit("HTTPS://WWW."), upper(col("source")),
+      lit(".COM:443/d/"), col("doc_id").cast("string"),
+      lit("/?utm_campaign=x&ref=abc#top"))
+    val v2 = concat(lit("https://"), col("source"), lit(".com/d/"),
+      col("doc_id").cast("string"), lit("?ref=abc"))
+    val canonical = Seq(
+      ("#.*$", ""),              // strip fragment
+      (":443/", "/"),            // strip explicit default port
+      ("^https://www\\.", "https://"), // strip www.
+      ("utm_[a-z]+=[^&#]*&?", ""),     // drop tracking params
+      ("/\\?", "?"),             // trailing slash before query
+      ("[?&]$", ""),             // dangling separator after utm drop
+      ("/$", ""))                // bare trailing slash
+      .foldLeft(lower(col("url"))) { case (c, (pat, rep)) =>
+        regexp_replace(c, pat, rep)
+      }
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), explode(array(v1, v2)).as("url"))
+      .select(col("doc_id"), canonical.as("canonical"))
+      .groupBy(col("canonical"))
+      .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("doc_id"))
+      .select(col("canonical"), col("n_variants"), col("doc_id"))
+      .orderBy(col("doc_id"))
   }
 }

@@ -11,7 +11,87 @@ import graft.sources.Tables
   */
 object Maintenance {
   def specs: Seq[Spec] = Seq(mergeUpsert, profileColumns, snapshotDiff,
-    zorderLayout, profileObserve)
+    zorderLayout, profileObserve, dsCheckpoint, profileAnalyzeStats)
+
+  /** Reliable `Dataset.checkpoint` — lineage truncation, the survival
+    * tool of ITERATIVE 100 TB jobs (connected components, LP relaxations,
+    * BPE-style loops): every iteration otherwise APPENDS to the logical
+    * plan, and at iteration ~50 the driver dies in the optimizer, not
+    * the executors. checkpoint(eager) materializes the partitions to the
+    * checkpoint directory (HDFS in production — survives executor loss,
+    * unlike localCheckpoint) and REPLACES the plan with a scan of them —
+    * witnessed in-line: the checkpointed frame's optimized plan must be
+    * a LogicalRDD leaf, no parquet relation left. The oracle sees the
+    * same rows the truncated plan serves, so the hash check proves the
+    * materialize-and-rescan round-trip is lossless. */
+  private val dsCheckpoint = Spec(
+    "ds_checkpoint",
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem WHERE l_orderkey < 5000
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    s.sparkContext.setCheckpointDir(Scans.scratch(s, "ckpt", d))
+    val cp = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 5000)
+      .select(col("l_returnflag"), col("l_quantity"))
+      .checkpoint()
+    val opt = cp.queryExecution.optimizedPlan.toString
+    require(opt.contains("LogicalRDD") && !opt.contains("Relation"),
+      s"checkpoint did not truncate the lineage:\n$opt")
+    cp.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Det.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** `ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS` + stats read-back —
+    * the CBO feed: at 100 TB, join reorder and broadcast-vs-shuffle
+    * decisions run off these catalog statistics, and a pipeline that
+    * never ANALYZEs plans every join blind (size-of-files guesses only).
+    * The row creates a managed copy (the `sink_table_v2` lifecycle),
+    * ANALYZEs it, and reads the stats back through the public DESCRIBE
+    * surfaces: table row count from `DESCRIBE EXTENDED`'s Statistics
+    * line, per-column min/max/null-count from
+    * `DESCRIBE EXTENDED tbl col`. Those four are EXACT by contract and
+    * hash-checked against the oracle recomputing them from the data;
+    * distinct_count is HLL-approximate by contract, so it ships as a
+    * within-±10%-band boolean (the `agg_approx_distinct` pattern). */
+  private val profileAnalyzeStats = Spec(
+    "profile_analyze_stats",
+    """SELECT COUNT(*) AS n_rows,
+      |  MIN(c_nationkey) AS min_key, MAX(c_nationkey) AS max_key,
+      |  CAST(0 AS BIGINT) AS n_nulls, TRUE AS ndv_in_band
+      |FROM customer""".stripMargin) { (s, d) =>
+    val key = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
+      .replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = s"graft_stats_customer_$key"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val whConf = s.conf.get("spark.sql.warehouse.dir")
+    val whPath =
+      if (whConf.startsWith("file:")) new java.net.URI(whConf).getPath
+      else whConf
+    Scans.rmRecursive(new java.io.File(new java.io.File(whPath), tbl))
+    Tables.customer(s, d).writeTo(tbl).using("parquet").create()
+    s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR COLUMNS c_nationkey")
+    val statsLine = s.sql(s"DESCRIBE TABLE EXTENDED $tbl")
+      .filter(col("col_name") === "Statistics")
+      .collect().headOption.map(_.getString(1)).getOrElse("")
+    val nRows = "([0-9]+) rows".r.findFirstMatchIn(statsLine)
+      .map(_.group(1).toLong)
+      .getOrElse(sys.error(s"no row count in catalog stats: '$statsLine'"))
+    val colStats = s.sql(s"DESCRIBE TABLE EXTENDED $tbl c_nationkey")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    def stat(name: String): String = colStats.getOrElse(name,
+      sys.error(s"ANALYZE left no '$name' stat: $colStats"))
+    val ndv = stat("distinct_count").toLong
+    val exact = Tables.customer(s, d)
+      .agg(countDistinct(col("c_nationkey"))).collect()(0).getLong(0)
+    import s.implicits._
+    Seq((nRows, stat("min").toLong, stat("max").toLong,
+      stat("num_nulls").toLong,
+      ndv >= (exact * 0.9).toLong && ndv <= (exact * 1.1).toLong))
+      .toDF("n_rows", "min_key", "max_key", "n_nulls", "ndv_in_band")
+  }
 
   /** Query-metrics via `Dataset.observe` + `Observation` (VERDICT r13
     * #3) — the monitoring surface a 100 TB pipeline uses for row-count /
