@@ -26,7 +26,8 @@ object Functions {
     fnAvroRoundtrip, fnCsvRoundtrip, fnXmlRoundtrip, fnTryArith,
     fnNaFill, fnCollation, fnStack, fnInterval, fnSequenceArray, fnMask,
     fnAesRoundtrip, fnArraySetOps, fnMapHof, fnRounding, fnUrl,
-    fnTryCast, fnTimezone, fnDateParts, fnPrintf)
+    fnTryCast, fnTimezone, fnDateParts, fnPrintf, fnStrToMap,
+    fnDatetimeFormat)
 
   /** Map HIGHER-ORDER functions (`transform_keys` / `transform_values` /
     * `map_filter` / `map_zip_with`) — per-row map algebra as codegen'd
@@ -931,6 +932,65 @@ object Functions {
           col("o_orderpriority")).as("tag"),
         format_string("%016x", col("o_custkey")).as("hexkey"),
         format_string("[%8s]", col("o_orderstatus")).as("padded"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** `str_to_map` — the Hive log-parsing idiom: `k:v,k:v` strings (access
+    * logs, k8s labels, legacy exports) parsed to a MAP in one codegen'd
+    * expression instead of a per-row UDF. The row is a genuine round-trip:
+    * the kv-string is BUILT from columns, parsed back, and read through
+    * element_at/size — the oracle sees only the original columns, so the
+    * hash proves build→parse→extract is lossless. Map values never leave
+    * the query (maps are comparator-hostile; the fn_map convention). */
+  private val fnStrToMap = Spec(
+    "fn_str_to_map",
+    """SELECT o_orderkey,
+      |  o_orderstatus            AS status,
+      |  o_orderpriority          AS prio,
+      |  CAST(2 AS INTEGER)       AS n_keys,
+      |  CAST(NULL AS VARCHAR)    AS missing
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val kv = concat(lit("status:"), col("o_orderstatus"),
+      lit(",prio:"), col("o_orderpriority"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        str_to_map(kv, lit(","), lit(":")).as("m"))
+      .select(col("o_orderkey"),
+        element_at(col("m"), "status").as("status"),
+        element_at(col("m"), "prio").as("prio"),
+        size(col("m")).as("n_keys"),
+        element_at(col("m"), "absent").as("missing"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** `date_format` / format-directed `to_date` — the pattern-based
+    * datetime formatting/parsing surface (ingest normalization of the
+    * dozens of exporter-specific date spellings a 100 TB lake receives,
+    * and the partition-path stamps it writes). Spark patterns are
+    * java.time (yyyy/MM/dd); the oracle maps each to DuckDB strftime/
+    * strptime %-directives — same rendered text, both exact. The parse
+    * direction re-reads Spark's own rendering, so the oracle only needs
+    * the identity on the original date. */
+  private val fnDatetimeFormat = Spec(
+    "fn_datetime_format",
+    """SELECT o_orderkey,
+      |  strftime(o_orderdate, '%Y/%m/%d')            AS slash,
+      |  strftime(o_orderdate, '%d-%b-%Y')            AS dmy,
+      |  strftime(o_orderdate, '%A')                  AS weekday,
+      |  strftime(o_orderdate, 'y=%Y/m=%m/d=%d')      AS part_path,
+      |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR)   AS reparsed
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy/MM/dd").as("slash"),
+        date_format(col("o_orderdate"), "dd-MMM-yyyy").as("dmy"),
+        date_format(col("o_orderdate"), "EEEE").as("weekday"),
+        date_format(col("o_orderdate"), "'y='yyyy'/m='MM'/d='dd")
+          .as("part_path"),
+        to_date(date_format(col("o_orderdate"), "yyyy/MM/dd"),
+          "yyyy/MM/dd").cast("string").as("reparsed"))
       .orderBy(col("o_orderkey"))
   }
 }
