@@ -27,7 +27,7 @@ object Functions {
     fnNaFill, fnCollation, fnStack, fnInterval, fnSequenceArray, fnMask,
     fnAesRoundtrip, fnArraySetOps, fnMapHof, fnRounding, fnUrl,
     fnTryCast, fnTimezone, fnDateParts, fnPrintf, fnStrToMap,
-    fnDatetimeFormat)
+    fnDatetimeFormat, fnXpath)
 
   /** Map HIGHER-ORDER functions (`transform_keys` / `transform_values` /
     * `map_filter` / `map_zip_with`) — per-row map algebra as codegen'd
@@ -992,5 +992,46 @@ object Functions {
         to_date(date_format(col("o_orderdate"), "yyyy/MM/dd"),
           "yyyy/MM/dd").cast("string").as("reparsed"))
       .orderBy(col("o_orderkey"))
+  }
+
+  /** The `xpath_*` family — Hive-compat XPath extraction over XML
+    * strings, the third XML surface beside `scan_xml` (file ingest) and
+    * `fn_xml_roundtrip` (schema-directed from_xml/to_xml): a decade of
+    * feed-processing SQL extracts fields with xpath one path at a time,
+    * no declared schema, including the node-set form (`xpath(...)` →
+    * array) that from_xml's struct binding cannot express over variable
+    * repetition. The XML is BUILT from part columns (letters/digits
+    * only — no escaping hazards), so the oracle sees only the original
+    * columns and the hash proves build→extract is lossless; the array
+    * result is serialized through array_join (maps/arrays never leave a
+    * query, the comparator convention). */
+  private val fnXpath = Spec(
+    "fn_xpath",
+    """SELECT p_partkey,
+      |  p_type                         AS typ,
+      |  p_partkey                      AS id_back,
+      |  CAST(p_size AS INTEGER)        AS size_back,
+      |  p_name                         AS tags_back,
+      |  CAST(length(p_name) - length(replace(p_name, ' ', '')) + 1
+      |       AS INTEGER)               AS n_tags
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    val xml = concat(
+      lit("<part><id>"), col("p_partkey").cast("string"),
+      lit("</id><size>"), col("p_size").cast("string"),
+      lit("</size><type>"), col("p_type"),
+      lit("</type><tags><t>"),
+      regexp_replace(col("p_name"), " ", "</t><t>"),
+      lit("</t></tags></part>"))
+    Tables.part(s, d)
+      .select(col("p_partkey"), xml.as("xml"))
+      .select(col("p_partkey"),
+        xpath_string(col("xml"), lit("/part/type")).as("typ"),
+        xpath_long(col("xml"), lit("/part/id")).as("id_back"),
+        xpath_int(col("xml"), lit("/part/size")).as("size_back"),
+        array_join(xpath(col("xml"), lit("/part/tags/t/text()")), " ")
+          .as("tags_back"),
+        size(xpath(col("xml"), lit("/part/tags/t"))).as("n_tags"))
+      .orderBy(col("p_partkey"))
   }
 }

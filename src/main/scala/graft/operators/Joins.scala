@@ -20,7 +20,36 @@ object Joins {
     innerHash, leftOuter, rightOuter, fullOuter, leftSemi, leftAnti,
     broadcastJoin, multiway, thetaRange, asOf, bucketed, nullSafe, salted,
     dpp, fuzzy, bloom, rangeBin, skewAqe, hintShj, nullAwareAnti,
-    sqlHintBroadcast, usingNatural)
+    sqlHintBroadcast, usingNatural, sqlHintMerge)
+
+  /** The `MERGE` join-strategy hint — the LAST of the four strategy
+    * hints to be registered (BROADCAST → [[sqlHintBroadcast]],
+    * SHUFFLE_HASH → [[hintShj]]; SHUFFLE_REPLICATE_NL is deliberately
+    * NOT demonstrated — a cartesian-strategy hint on real tables is an
+    * anti-pattern this engine should not normalize, and `join_cross`
+    * already exercises the NL path on a bounded demo). MERGE forces a
+    * sort-merge join where size-based selection would broadcast —
+    * exactly what an operator does when the "small" side is
+    * small-in-bytes but EXPLODES in the build (a broadcast OOM retried
+    * nightly), or when both sides are pre-sorted storage. At sf0.001
+    * nation is broadcast-sized, so SortMergeJoin appearing in the plan
+    * (PlanSpec-pinned, BHJ absent) proves the hint overrode the
+    * planner, the same falsification shape as [[hintShj]]. */
+  private val sqlHintMerge = Spec(
+    "sql_hint_merge",
+    """SELECT n_name, COUNT(*) AS n_cust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("graft_merge_customer")
+    Tables.nation(s, d).createOrReplaceTempView("graft_merge_nation")
+    s.sql(
+      """SELECT /*+ MERGE(n) */ n_name, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM graft_merge_customer c JOIN graft_merge_nation n
+        |  ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)
+  }
 
   /** The SQL COMMENT hint (`/*+ BROADCAST(alias) */`) — the query-text
     * spelling of [[broadcastJoin]]'s `broadcast()` function call, which

@@ -608,6 +608,15 @@ class PlanSpec extends AnyFunSuite {
       s"CLUSTER BY's sort must be non-global: $sortArgs\n${p.take(800)}")
   }
 
+  test("sql_hint_merge: the hint forces SMJ where size-based choice is BHJ") {
+    // At sf0.001 nation is broadcast-sized, so SortMergeJoin in the plan
+    // proves the MERGE hint overrode the planner's size-based selection
+    // (the same falsification shape as join_hint_shj).
+    val p = plan("sql_hint_merge")
+    assert(p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
   test("sql_hint_rebalance: the hint plans an AQE rebalance shuffle") {
     // REBALANCE resolves to a shuffle whose origin marks it as
     // runtime-optimizable (AQE coalesces/splits output partitions from
