@@ -27,7 +27,7 @@ object Functions {
     fnNaFill, fnCollation, fnStack, fnInterval, fnSequenceArray, fnMask,
     fnAesRoundtrip, fnArraySetOps, fnMapHof, fnRounding, fnUrl,
     fnTryCast, fnTimezone, fnDateParts, fnPrintf, fnStrToMap,
-    fnDatetimeFormat, fnXpath)
+    fnDatetimeFormat, fnXpath, fnExplodeOuter)
 
   /** Map HIGHER-ORDER functions (`transform_keys` / `transform_values` /
     * `map_filter` / `map_zip_with`) — per-row map algebra as codegen'd
@@ -1033,5 +1033,43 @@ object Functions {
           .as("tags_back"),
         size(xpath(col("xml"), lit("/part/tags/t"))).as("n_tags"))
       .orderBy(col("p_partkey"))
+  }
+
+  /** `posexplode_outer` — the OUTER generator variant: an empty or NULL
+    * array still emits ONE row (NULL pos/word) instead of silently
+    * dropping the parent. The semantics corner that matters at 100 TB:
+    * an inner explode over a tokenizer output quietly deletes every
+    * empty document from the pipeline — the parent-preserving outer form
+    * is what a fan-out that must keep row provenance uses
+    * ([[fnUdtfExplode]] pins the inner form). Empty and NULL branches
+    * are driven from p_size so all three paths carry data; the oracle
+    * spells the outer semantics as inner-unnest UNION ALL the
+    * empty/NULL parents. */
+  private val fnExplodeOuter = Spec(
+    "fn_explode_outer",
+    """WITH base AS (
+      |  SELECT p_partkey,
+      |    CASE WHEN p_size % 3 = 0 THEN []
+      |         WHEN p_size % 5 = 0 THEN NULL
+      |         ELSE string_split(p_name, ' ') END AS arr
+      |  FROM part)
+      |SELECT p_partkey,
+      |  CAST(generate_subscripts(arr, 1) - 1 AS INTEGER) AS pos,
+      |  unnest(arr) AS word
+      |FROM base WHERE len(arr) > 0
+      |UNION ALL
+      |SELECT p_partkey, NULL, NULL
+      |FROM base WHERE arr IS NULL OR len(arr) = 0
+      |ORDER BY p_partkey, pos""".stripMargin) { (s, d) =>
+    val arr = when(pmod(col("p_size"), lit(3)) === 0,
+        array().cast("array<string>"))
+      .when(pmod(col("p_size"), lit(5)) === 0,
+        lit(null).cast("array<string>"))
+      .otherwise(split(col("p_name"), " "))
+    Tables.part(s, d)
+      .select(col("p_partkey"), arr.as("arr"))
+      .select(col("p_partkey"),
+        posexplode_outer(col("arr")).as(Seq("pos", "word")))
+      .orderBy(col("p_partkey"), col("pos"))
   }
 }

@@ -11,7 +11,51 @@ import graft.sources.Tables
   */
 object Maintenance {
   def specs: Seq[Spec] = Seq(mergeUpsert, profileColumns, snapshotDiff,
-    zorderLayout, profileObserve, dsCheckpoint, profileAnalyzeStats)
+    zorderLayout, profileObserve, dsCheckpoint, profileAnalyzeStats,
+    dsCacheReuse)
+
+  /** `Dataset.cache` + multi-consumer reuse — the OTHER plan-sharing
+    * tool beside [[dsCheckpoint]] (cache keeps lineage and is
+    * memory/disk-evictable; checkpoint truncates and is durable): one
+    * filtered projection feeds two different aggregations, and the
+    * in-line witness requires BOTH consumers to read the
+    * InMemoryTableScan — the second consumer must not rescan the
+    * parquet. At 100 TB this is the fan-out pattern (one expensive
+    * substrate, N report consumers) where a missing cache N-plies the
+    * scan bill; Spark's cache registry keys on the logical plan, so
+    * repeated invocations share one materialization (the same property
+    * RelationCache uses for the fixture tables). */
+  private val dsCacheReuse = Spec(
+    "ds_cache_reuse",
+    """WITH base AS (
+      |  SELECT l_returnflag, l_linestatus, l_quantity
+      |  FROM lineitem WHERE l_orderkey < 8000)
+      |SELECT 'by_flag' AS grp, l_returnflag AS k, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM base GROUP BY l_returnflag
+      |UNION ALL
+      |SELECT 'by_status', l_linestatus, COUNT(*),
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |FROM base GROUP BY l_linestatus
+      |ORDER BY grp, k""".stripMargin) { (s, d) =>
+    val base = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 8000)
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+      .cache()
+    def agg(key: String, tag: String) = base.groupBy(col(key))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Det.dsum(col("l_quantity")).as("sum_qty"))
+      .select(lit(tag).as("grp"), col(key).as("k"), col("n"),
+        col("sum_qty"))
+    val out = agg("l_returnflag", "by_flag")
+      .unionAll(agg("l_linestatus", "by_status"))
+      .orderBy(col("grp"), col("k"))
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    require(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+      s"both consumers must read the cache:\n${p.take(1500)}")
+    out
+  }
 
   /** Reliable `Dataset.checkpoint` — lineage truncation, the survival
     * tool of ITERATIVE 100 TB jobs (connected components, LP relaxations,

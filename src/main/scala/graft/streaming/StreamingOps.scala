@@ -31,7 +31,57 @@ object StreamingOps {
   def specs: Seq[Spec] = Seq(tumbling, sliding, session, watermarkLate,
     dedup, statefulCustom, streamStream, streamStatic, streamStreamOuter,
     streamStreamFull, incrementalRestart, joinThenWindowSpec,
-    rocksdbState, transformWithState, twsTimers, twsMapState, updateMode)
+    rocksdbState, transformWithState, twsTimers, twsMapState, updateMode,
+    profileStreamProgress)
+
+  /** `StreamingQuery.recentProgress` — the per-micro-batch observability
+    * surface (`StreamingQueryProgress`: batchId, numInputRows, sink
+    * numOutputRows) that a 100 TB streaming deployment alarms on: input
+    * starvation, sink fan-out explosions, and batch skew all show up
+    * here before they show up in lag. Deterministic because the input is
+    * the memoized parity staging ([[updInput]]: one file per parity,
+    * admission-ordered, maxFilesPerTrigger=1 ⇒ exactly two data
+    * batches): batch 0 ingests the even-µs rows, batch 1 the odd-µs
+    * rows, and the complete-mode sink emits the cumulative distinct-user
+    * table each batch. The oracle recomputes all four numbers from
+    * `events` directly; trailing no-data batches are filtered by
+    * numInputRows > 0. */
+  private val profileStreamProgress = Spec(
+    "profile_stream_progress",
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS es FROM events)
+      |SELECT 0 AS batch_id,
+      |  (SELECT COUNT(*) FROM e WHERE es % 2 = 0)              AS n_in,
+      |  (SELECT COUNT(DISTINCT user_id) FROM e WHERE es % 2 = 0) AS n_out
+      |UNION ALL
+      |SELECT 1,
+      |  (SELECT COUNT(*) FROM e WHERE es % 2 = 1),
+      |  (SELECT COUNT(DISTINCT user_id) FROM e)
+      |ORDER BY batch_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val inDir = updInput(s, d)
+    val s2 = graft.operators.Scans.fewPartitionSession(s, 4)
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("es", LongType)))
+    val name = "graft_progress_" + java.nio.file.Paths.get(d)
+      .toAbsolutePath.normalize.toString.replaceAll("[^A-Za-z0-9]", "_")
+    val q = s2.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .groupBy(col("user_id")).count()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    try require(q.awaitTermination(180000),
+      "progress query did not finish in 180 s")
+    finally q.stop()
+    val rows = q.recentProgress.toSeq
+      .filter(_.numInputRows > 0)
+      .map(p => (p.batchId, p.numInputRows, p.sink.numOutputRows))
+    require(rows.map(_._1) == Seq(0L, 1L),
+      s"expected exactly data batches 0 and 1, got ${rows.map(_._1)}")
+    import s.implicits._
+    rows.toDF("batch_id", "n_in", "n_out").orderBy(col("batch_id"))
+  }
 
   /** Shared transforms (batch twin == streaming form). */
 
