@@ -31,7 +31,76 @@ object Analytics {
     sqlRecursiveCte, sqlPipeSyntax, sqlSessionVariable, sqlGroupByAll,
     sqlIdentifierClause, sqlNamedWindow, pivotMultiAgg, sqlUnpivotClause,
     sqlPivotClause, sqlLateralView, sqlScriptTransform, sqlClusterBy,
-    sqlHintRebalance, sqlTablesample)
+    sqlHintRebalance, sqlTablesample, sqlExecuteImmediate, sqlScripting)
+
+  /** `EXECUTE IMMEDIATE` (Spark 4) — dynamic SQL with bound parameters:
+    * the stored-procedure-era surface that service layers use when the
+    * query TEXT itself is data (a rules table, a per-tenant template).
+    * Completes the dynamic-SQL triple: `sql_parameterized` binds values
+    * into static text, `sql_identifier_clause` binds names, EXECUTE
+    * IMMEDIATE runs text that is itself a runtime value — still with
+    * injection-safe USING binds, never string concatenation. The inner
+    * query plans exactly as if typed directly (same pushdown), so the
+    * oracle is the classic literal form. */
+  private val sqlExecuteImmediate = Spec(
+    "sql_execute_immediate",
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_p
+      |FROM orders WHERE o_totalprice > 150000.0
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
+    (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("graft_ei_orders")
+    s.sql(
+      """EXECUTE IMMEDIATE
+        |  'SELECT o_orderstatus, COUNT(*) AS n,
+        |     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |       AS sum_p
+        |   FROM graft_ei_orders WHERE o_totalprice > :thr
+        |   GROUP BY o_orderstatus ORDER BY o_orderstatus'
+        |  USING 150000.0 AS thr""".stripMargin)
+  }
+
+  /** SQL scripting (Spark 4: `BEGIN … END` with DECLARE / WHILE / SET) —
+    * procedural control flow INSIDE the SQL surface, the migration
+    * target for warehouse stored procedures. The script is genuinely
+    * data-driven: a WHILE loop doubles a price threshold until the
+    * matching-order count drops under the cap, then the final SELECT
+    * aggregates above the threshold found — i.e. loop iteration count
+    * depends on the data, not the text. The oracle replays the loop
+    * declaratively: the smallest k with count(price > 150000·2^k) ≤ cap,
+    * spelled with an integer shift (1<<k), never libm pow — 150000·2^k
+    * stays exactly representable. Each loop condition is a tiny
+    * aggregate subquery (driver-scheduled like any scripting engine);
+    * the heavy lifting stays in the final distributed SELECT. */
+  private val sqlScripting = Spec(
+    "sql_scripting",
+    """WITH ks AS (SELECT k FROM range(0, 30) t(k)),
+      |counts AS (
+      |  SELECT k, (SELECT COUNT(*) FROM orders
+      |             WHERE o_totalprice > 150000.0 * (1::BIGINT << k)) AS c
+      |  FROM ks),
+      |kmin AS (SELECT MIN(k) AS k FROM counts WHERE c <= 100),
+      |thr AS (SELECT 150000.0 * (1::BIGINT << k) AS t FROM kmin)
+      |SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_p
+      |FROM orders, thr WHERE o_totalprice > thr.t
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
+    (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("graft_script_orders")
+    s.sql(
+      """BEGIN
+        |  DECLARE thr DOUBLE DEFAULT 150000.0;
+        |  WHILE (SELECT COUNT(*) FROM graft_script_orders
+        |         WHERE o_totalprice > thr) > 100 DO
+        |    SET thr = thr * 2;
+        |  END WHILE;
+        |  SELECT o_orderstatus, COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_p
+        |  FROM graft_script_orders WHERE o_totalprice > thr
+        |  GROUP BY o_orderstatus ORDER BY o_orderstatus;
+        |END""".stripMargin)
+  }
 
   /** HiveQL `LATERAL VIEW explode(…) t AS col` — the LEGACY generator
     * syntax that a decade of production SQL still speaks (the modern

@@ -20,7 +20,42 @@ import graft.sources.Tables
   */
 object Windows {
   def specs: Seq[Spec] = Seq(winRank, topkPerGroup, lagLead, runningFrame,
-    rangeFrame, firstLast, cumeDist, sessionGap, patternMatch, locf)
+    rangeFrame, firstLast, cumeDist, sessionGap, patternMatch, locf,
+    rangeInterval)
+
+  /** RANGE frame bounded by an INTERVAL literal over raw event-time —
+    * the SQL-text spelling of a trailing time window
+    * (`RANGE BETWEEN INTERVAL '10' MINUTE PRECEDING AND CURRENT ROW`).
+    * [[rangeFrame]] pins the same semantics over pre-derived epoch
+    * seconds (the DataFrame-API spelling, since `rangeBetween` takes
+    * longs); this row pins that the PARSER-level interval frame over a
+    * TIMESTAMP ordering column agrees with it — no epoch derivation
+    * column needed, which is how analysts write it. Same per-partition
+    * sort, same running frame scan; both engines implement the
+    * SQL-standard interval RANGE directly. */
+  private val rangeInterval = Spec(
+    "win_range_interval",
+    """SELECT event_id, user_id,
+      |  COUNT(*) OVER w AS n_trailing,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+      |    AS sum_trailing
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      |             RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING
+      |                       AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d).createOrReplaceTempView("graft_wri_events")
+    s.sql(
+      """SELECT event_id, user_id,
+        |  COUNT(*) OVER w AS n_trailing,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+        |    AS sum_trailing
+        |FROM graft_wri_events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL '10' MINUTE PRECEDING
+        |                       AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin)
+  }
 
   /** Last-observation-carried-forward via `last(col, ignoreNulls=true)`
     * over a running frame — the IGNORE NULLS window family that
