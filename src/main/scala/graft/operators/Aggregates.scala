@@ -24,7 +24,38 @@ object Aggregates {
     aggCustomTyped, aggStringConcat, aggMode, aggFiltered, aggUnpivot,
     aggSketchHll, aggGroupingId, aggSketchQuantile, aggBitmapDistinct,
     aggSketchCms, aggBitmapNative, aggListagg, aggMaxBy, dsTypedApi,
-    aggBoolFamily, aggApproxTopK)
+    aggBoolFamily, aggApproxTopK, aggWithinGroup)
+
+  /** `PERCENTILE_CONT` / `PERCENTILE_DISC … WITHIN GROUP (ORDER BY …)`
+    * — the ANSI ordered-set aggregate syntax for percentiles (the
+    * warehouse-SQL spelling; [[graft.operators.Analytics]]'s
+    * `agg_percentile` row pins the function-call spelling). DISC picks
+    * an ACTUAL element (first value with cume_dist ≥ p — no
+    * interpolation, so it is exact on any type), CONT interpolates
+    * (same IEEE a + (b−a)·frac both engines, the established
+    * percentile determinism argument). Same exact-sort-per-group cost
+    * model as the other exact percentiles: fine grouped, use the
+    * t-digest row for whole-table at 100 TB. */
+  private val aggWithinGroup = Spec(
+    "agg_within_group",
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5)        AS med_cont,
+      |  quantile_disc(l_quantity, 0.25)       AS q1_disc,
+      |  quantile_disc(l_extendedprice, 0.9)   AS p90_disc
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_wg_lineitem")
+    s.sql(
+      """SELECT l_returnflag,
+        |  percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)
+        |    AS med_cont,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)
+        |    AS q1_disc,
+        |  percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)
+        |    AS p90_disc
+        |FROM graft_wg_lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
 
   /** `approx_top_k` (Spark 4): heavy-hitters in one pass — the "which
     * values dominate this column" scan a 100 TB profiler runs where an

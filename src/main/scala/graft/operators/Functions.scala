@@ -27,7 +27,7 @@ object Functions {
     fnNaFill, fnCollation, fnStack, fnInterval, fnSequenceArray, fnMask,
     fnAesRoundtrip, fnArraySetOps, fnMapHof, fnRounding, fnUrl,
     fnTryCast, fnTimezone, fnDateParts, fnPrintf, fnStrToMap,
-    fnDatetimeFormat, fnXpath, fnExplodeOuter)
+    fnDatetimeFormat, fnXpath, fnExplodeOuter, fnNumberFormat)
 
   /** Map HIGHER-ORDER functions (`transform_keys` / `transform_values` /
     * `map_filter` / `map_zip_with`) — per-row map algebra as codegen'd
@@ -1071,5 +1071,34 @@ object Functions {
       .select(col("p_partkey"),
         posexplode_outer(col("arr")).as(Seq("pos", "word")))
       .orderBy(col("p_partkey"), col("pos"))
+  }
+
+  /** `format_number` + format-directed `to_number` — grouped display
+    * formatting and its parse inverse (the report/ingest pair: exports
+    * render '1,234,567.89', re-ingestion must parse it back). Exercised
+    * as a ROUND-TRIP on exact decimals (format_number on DECIMAL is
+    * exact; on raw doubles its HALF_UP tie behavior is the
+    * engine-private edge `fn_rounding` documents): to_number must
+    * recover the original decimal bit-for-bit. The rendered string
+    * itself is not emitted — its grouping is hash-checked via the comma
+    * COUNT, which the oracle derives from the integer-digit length —
+    * because DuckDB has no locale-grouped formatter to recompute the
+    * full text with. */
+  private val fnNumberFormat = Spec(
+    "fn_number_format",
+    """SELECT o_orderkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS back,
+      |  CAST((length(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR))
+      |        - 1) // 3 AS INTEGER)                          AS n_commas
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val dec = col("o_totalprice").cast("decimal(18,2)")
+    val fmt = format_number(dec, 2)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        to_number(fmt, lit("999,999,999,999.99")).cast("double").as("back"),
+        (length(fmt) - length(regexp_replace(fmt, ",", "")))
+          .cast("int").as("n_commas"))
+      .orderBy(col("o_orderkey"))
   }
 }
