@@ -20,7 +20,46 @@ object Joins {
     innerHash, leftOuter, rightOuter, fullOuter, leftSemi, leftAnti,
     broadcastJoin, multiway, thetaRange, asOf, bucketed, nullSafe, salted,
     dpp, fuzzy, bloom, rangeBin, skewAqe, hintShj, nullAwareAnti,
-    sqlHintBroadcast, usingNatural, sqlHintMerge)
+    sqlHintBroadcast, usingNatural, sqlHintMerge, optLevRule)
+
+  /** The engine's one custom optimizer rule, demonstrated end-to-end
+    * (`org.apache.spark.sql.graft.ThresholdLevenshtein` — see its
+    * Scaladoc for the rewrite table and the −1-sentinel trap): the
+    * fuzzy predicate is written the NAIVE way users write it
+    * (`levenshtein(a, b) <= 2`), the rule — installed through the
+    * public `spark.experimental.extraOptimizations` hook, and through
+    * `GraftExtensions.injectOptimizerRule` for conf-configured
+    * deployments — rewrites it to the banded thresholded kernel
+    * (O(k·n) per pair instead of O(n·m)), and the row REQUIRES the
+    * rewritten form in the optimized plan before returning, so a rule
+    * that silently stopped firing fails the row rather than just
+    * losing the speedup. Candidates are a bounded key block (the
+    * all-pairs generator is the demo; [[fuzzy]] owns the scale-safe
+    * blocked shape) and the oracle runs DuckDB's full levenshtein —
+    * results must be IDENTICAL to the naive spelling by construction. */
+  private val optLevRule = Spec(
+    "opt_levenshtein_rule",
+    """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      |FROM part a JOIN part b
+      |  ON a.p_partkey < b.p_partkey
+      | AND a.p_partkey < 200 AND b.p_partkey < 200
+      | AND levenshtein(a.p_name, b.p_name) <= 2
+      |ORDER BY key_a, key_b""".stripMargin) { (s, d) =>
+    org.apache.spark.sql.graft.ThresholdLevenshtein.install(s)
+    val p = Tables.part(s, d).filter(col("p_partkey") < 200)
+    val a = p.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+    val joined = a.join(b, col("key_a") < col("key_b") &&
+      levenshtein(col("name_a"), col("name_b")) <= 2)
+    val opt = joined.queryExecution.optimizedPlan.toString
+    require(opt.contains(", Some(2)) >= 0"),
+      s"ThresholdLevenshtein did not rewrite the naive predicate:\n" +
+        opt.take(1500))
+    joined.select(col("key_a"), col("key_b"),
+      levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+      .orderBy(col("key_a"), col("key_b"))
+  }
 
   /** The `MERGE` join-strategy hint — the LAST of the four strategy
     * hints to be registered (BROADCAST → [[sqlHintBroadcast]],

@@ -316,5 +316,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash64].getCanonicalName,
         "graft_simhash64"),
       (args: Seq[Expression]) => SimHash64(args(0))))
+    // The engine's one optimizer rewrite (see OptimizerRules.scala): the
+    // naive unbounded-levenshtein comparison → the banded thresholded
+    // kernel. Live sessions install it via ThresholdLevenshtein.install.
+    ext.injectOptimizerRule(_ => ThresholdLevenshtein)
   }
 }

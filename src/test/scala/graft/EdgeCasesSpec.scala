@@ -557,4 +557,41 @@ class EdgeCasesSpec extends AnyFunSuite {
       assert(e.getMessage.contains("changed mid-session"))
     } finally graft.operators.Scans.rmRecursive(new java.io.File(dir))
   }
+
+  test("ThresholdLevenshtein rewrite never admits a far pair (-1 sentinel trap)") {
+    // The WRONG rewrite of `levenshtein(a,b) <= k` is
+    // `levenshtein(a,b,k) <= k`: the thresholded kernel returns -1 for
+    // distance > k, and -1 <= k would admit EVERY far pair. Drive a
+    // corpus of known near and far pairs through the naive spelling on a
+    // rule-installed session and compare against hand-computed distances
+    // — plus the strict `< k` form, whose rewrite uses threshold k-1.
+    import spark.implicits._
+    org.apache.spark.sql.graft.ThresholdLevenshtein.install(spark)
+    val words = Seq("kitten", "sitting", "kitchen", "mitten",
+      "aardvark", "zzzzzzzzzz", "kitte", "")
+    def lev(x: String, y: String): Int = {
+      val d = Array.tabulate(x.length + 1, y.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+      d(x.length)(y.length)
+    }
+    val df = words.zipWithIndex.toDF("w", "i")
+    val pairs = df.as("a").join(df.as("b"),
+      col("a.i") < col("b.i"))
+      .select(col("a.w").as("wa"), col("b.w").as("wb"))
+    val le2 = pairs.filter(levenshtein(col("wa"), col("wb")) <= 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val lt3 = pairs.filter(levenshtein(col("wa"), col("wb")) < 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val all = for (i <- words.indices; j <- words.indices if i < j)
+      yield (words(i), words(j))
+    val expLe2 = all.filter { case (x, y) => lev(x, y) <= 2 }.toSet
+    assert(le2 == expLe2,
+      s"<=2 mismatch: got $le2 expected $expLe2")
+    assert(lt3 == expLe2, s"<3 (threshold k-1 path) mismatch: got $lt3")
+    assert(all.exists { case (x, y) => lev(x, y) > 2 },
+      "corpus must contain far pairs or the trap assertion is vacuous")
+  }
 }
