@@ -12,7 +12,37 @@ import graft.sources.Tables
 object Maintenance {
   def specs: Seq[Spec] = Seq(mergeUpsert, profileColumns, snapshotDiff,
     zorderLayout, profileObserve, dsCheckpoint, profileAnalyzeStats,
-    dsCacheReuse)
+    dsCacheReuse, profileCrosstab)
+
+  /** `df.stat.crosstab` — the pairwise contingency table
+    * (DataFrameStatFunctions): the two-column dependence profile a data
+    * audit runs before trusting a stratification or split key (a skewed
+    * status×priority cell is how a "random" split leaks label balance).
+    * One hash-aggregate pass + a driver-side pivot of the (small)
+    * distinct-pair set — at 100 TB the cost model is the pair
+    * CARDINALITY, not the row count, which is why the inputs must be
+    * low-cardinality columns (the same rule as any pivot). The priority
+    * is pre-mapped to its digit prefix: crosstab lifts VALUES into
+    * COLUMN NAMES, and '4-NOT SPECIFIED' contains a space parquet
+    * column names reject — value-derived names need sanitizing, which
+    * is itself part of the surface's contract. Oracle: five FILTER
+    * counts per status. */
+  private val profileCrosstab = Spec(
+    "profile_crosstab",
+    """SELECT o_orderstatus AS o_orderstatus_prio,
+      |  COUNT(*) FILTER (o_orderpriority LIKE '1%') AS "1",
+      |  COUNT(*) FILTER (o_orderpriority LIKE '2%') AS "2",
+      |  COUNT(*) FILTER (o_orderpriority LIKE '3%') AS "3",
+      |  COUNT(*) FILTER (o_orderpriority LIKE '4%') AS "4",
+      |  COUNT(*) FILTER (o_orderpriority LIKE '5%') AS "5"
+      |FROM orders GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderstatus"),
+        substring(col("o_orderpriority"), 1, 1).as("prio"))
+      .stat.crosstab("o_orderstatus", "prio")
+      .orderBy(col("o_orderstatus_prio"))
+  }
 
   /** `Dataset.cache` + multi-consumer reuse — the OTHER plan-sharing
     * tool beside [[dsCheckpoint]] (cache keeps lineage and is

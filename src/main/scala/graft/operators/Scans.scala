@@ -19,7 +19,42 @@ object Scans {
     sinkStreamForeach,
     sinkCompacted, scanBinaryFile, scanCsvCorrupt, scanSchemaEvolve,
     scanManifestPruned, sinkTableV2, scanFileMetadata, sinkJsonLines,
-    sinkCsvOptions, scanRecursiveLookup)
+    sinkCsvOptions, scanRecursiveLookup, sinkPartitionOverwrite)
+
+  /** DYNAMIC partition overwrite (`partitionOverwriteMode=dynamic`) —
+    * the incremental-job write mode at 100 TB: a daily recompute
+    * replaces ONLY the partitions present in its output, leaving every
+    * other partition's files untouched (static mode — the default —
+    * truncates the whole root first, which for an incremental job means
+    * deleting the other 364 days). Demonstrated as the real thing: full
+    * partitioned write, then a patch recomputing just the 'P' partition
+    * with dynamic overwrite, then one read-back. The hash check IS the
+    * mode witness — under static mode the O and F partitions would be
+    * gone and the row count alone would break; no plan inspection
+    * needed. Per-writer `.option` spelling (not a session conf) so the
+    * mode travels with the job that needs it. */
+  private val sinkPartitionOverwrite = Spec(
+    "sink_partition_overwrite",
+    """SELECT o_orderkey, o_orderstatus,
+      |  CASE WHEN o_orderstatus = 'P' THEN -1.0 ELSE o_totalprice END
+      |    AS price
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val tmp = scratch(s, "dyn_overwrite", d)
+    rmRecursive(new java.io.File(tmp))
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice").as("price"),
+        col("o_orderstatus"))
+    base.write.mode("overwrite")
+      .partitionBy("o_orderstatus").parquet(tmp)
+    base.filter(col("o_orderstatus") === "P")
+      .withColumn("price", lit(-1.0))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("o_orderstatus").parquet(tmp)
+    s.read.parquet(tmp)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("price"))
+      .orderBy(col("o_orderkey"))
+  }
 
   /** DataSourceV2 catalog write path (`DataFrameWriterV2`:
     * `df.writeTo(t).using("parquet").createOrReplace()`) + `spark.table`
