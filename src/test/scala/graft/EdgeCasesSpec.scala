@@ -594,4 +594,58 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(all.exists { case (x, y) => lev(x, y) > 2 },
       "corpus must contain far pairs or the trap assertion is vacuous")
   }
+
+  test("GraftExtensions wires functions AND the optimizer rule into a conf-built session") {
+    // The extensions deployment path (SQL-only clusters; see
+    // VectorExpressions.GraftExtensions): build a SECOND session over the
+    // shared context carrying GraftExtensions and assert both injection
+    // kinds took — graft_cosine resolves in SQL, and the naive
+    // levenshtein predicate is rewritten by ThresholdLevenshtein WITHOUT
+    // any install() call on this session. builder.withExtensions drives
+    // the SAME class the spark.sql.extensions conf instantiates (the
+    // conf itself is STATIC — it binds at SparkContext creation and
+    // cannot be exercised from a shared-context test JVM). The harness
+    // session is cleared and restored around the build because
+    // getOrCreate would otherwise return it unchanged.
+    import org.apache.spark.sql.SparkSession
+    val original = spark
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val ext = try SparkSession.builder()
+      .withExtensions(new org.apache.spark.sql.graft.GraftExtensions())
+      .getOrCreate()
+    finally {
+      SparkSession.setActiveSession(original)
+      SparkSession.setDefaultSession(original)
+    }
+    assert(ext ne original, "builder must have created a fresh session")
+    val cos = ext.sql(
+      "SELECT graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c")
+      .collect()(0).getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12, s"graft_cosine not wired: $cos")
+    // A real datasource scan, not a Seq-backed LocalRelation — the
+    // optimizer constant-folds a deterministic filter over a
+    // LocalRelation away entirely, leaving nothing to rewrite.
+    import org.apache.spark.sql.functions.{col, levenshtein, lit}
+    def lev(x: String, y: String): Int = {
+      val d = Array.tabulate(x.length + 1, y.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+      d(x.length)(y.length)
+    }
+    val q = ext.read.parquet(s"$SF001/part.parquet")
+      .select(col("p_name"))
+      .filter(levenshtein(col("p_name"), lit("cold widget")) <= 2)
+    assert(q.queryExecution.optimizedPlan.toString.contains(
+      ", Some(2)) >= 0"),
+      "injectOptimizerRule path did not rewrite the naive predicate:\n" +
+        q.queryExecution.optimizedPlan.toString)
+    val got = q.collect().map(_.getString(0)).toSet
+    val expected = ext.read.parquet(s"$SF001/part.parquet")
+      .select(col("p_name")).collect().map(_.getString(0))
+      .filter(n => lev(n, "cold widget") <= 2).toSet
+    assert(got == expected && got.contains("cold widget"),
+      s"rewritten result diverged: got $got expected $expected")
+  }
 }
