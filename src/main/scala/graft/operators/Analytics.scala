@@ -31,7 +31,37 @@ object Analytics {
     sqlRecursiveCte, sqlPipeSyntax, sqlSessionVariable, sqlGroupByAll,
     sqlIdentifierClause, sqlNamedWindow, pivotMultiAgg, sqlUnpivotClause,
     sqlPivotClause, sqlLateralView, sqlScriptTransform, sqlClusterBy,
-    sqlHintRebalance, sqlTablesample, sqlExecuteImmediate, sqlScripting)
+    sqlHintRebalance, sqlTablesample, sqlExecuteImmediate, sqlScripting,
+    sqlValuesInline)
+
+  /** `FROM VALUES … AS t(…)` — the inline-table constructor: the tiny
+    * hand-maintained dimension (code → label mappings, config knobs)
+    * that production SQL embeds directly instead of shipping a one-row
+    * file to the lake. Planner-wise it is a LocalRelation: joined
+    * against a fact side it broadcasts for free (no scan, no shuffle on
+    * the dim side), which is the right 100 TB shape for any dim that
+    * fits in the query text. The row maps order-status codes to labels
+    * through an inline VALUES join; DuckDB's VALUES lists are the same
+    * standard surface. */
+  private val sqlValuesInline = Spec(
+    "sql_values_inline",
+    """SELECT s.label, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_p
+      |FROM orders o
+      |JOIN (VALUES ('O', 'open'), ('F', 'filled'), ('P', 'partial'))
+      |  AS s(code, label)
+      |  ON o.o_orderstatus = s.code
+      |GROUP BY s.label ORDER BY s.label""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("graft_vi_orders")
+    s.sql(
+      """SELECT s.label, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_p
+        |FROM graft_vi_orders o
+        |JOIN (VALUES ('O', 'open'), ('F', 'filled'), ('P', 'partial'))
+        |  AS s(code, label)
+        |  ON o.o_orderstatus = s.code
+        |GROUP BY s.label ORDER BY s.label""".stripMargin)
+  }
 
   /** `EXECUTE IMMEDIATE` (Spark 4) — dynamic SQL with bound parameters:
     * the stored-procedure-era surface that service layers use when the

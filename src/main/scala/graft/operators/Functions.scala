@@ -27,7 +27,34 @@ object Functions {
     fnNaFill, fnCollation, fnStack, fnInterval, fnSequenceArray, fnMask,
     fnAesRoundtrip, fnArraySetOps, fnMapHof, fnRounding, fnUrl,
     fnTryCast, fnTimezone, fnDateParts, fnPrintf, fnStrToMap,
-    fnDatetimeFormat, fnXpath, fnExplodeOuter, fnNumberFormat)
+    fnDatetimeFormat, fnXpath, fnExplodeOuter, fnNumberFormat,
+    fnWidthBucket)
+
+  /** `width_bucket` — equi-width histogram binning as a single
+    * expression (the SQL-standard spelling of "which of n uniform
+    * buckets does this value fall in", with the under/overflow buckets
+    * 0 and n+1): the map-side half of any histogram at 100 TB — bucket
+    * per row, then ONE hash aggregate; `agg_histogram` builds the same
+    * thing from arithmetic, this row pins the built-in. Integer inputs
+    * ⇒ every intermediate is exactly representable, so the DuckDB
+    * replay (floor arithmetic with explicit under/overflow clamps —
+    * DuckDB has no width_bucket) is bit-deterministic. Both in-range
+    * and the overflow bucket are exercised (hi=41 puts p_size 41–50
+    * into bucket n+1). */
+  private val fnWidthBucket = Spec(
+    "fn_width_bucket",
+    """SELECT p_partkey,
+      |  CAST(CASE WHEN p_size >= 41 THEN 9
+      |            ELSE (p_size - 1) // 5 + 1 END AS BIGINT) AS bucket,
+      |  CAST((p_size - 1) // 5 + 1 AS BIGINT)               AS bucket10
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        expr("width_bucket(p_size, 1, 41, 8)").as("bucket"),
+        expr("width_bucket(p_size, 1, 51, 10)").as("bucket10"))
+      .orderBy(col("p_partkey"))
+  }
 
   /** Map HIGHER-ORDER functions (`transform_keys` / `transform_values` /
     * `map_filter` / `map_zip_with`) — per-row map algebra as codegen'd

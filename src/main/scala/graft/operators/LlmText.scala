@@ -20,7 +20,45 @@ import graft.sources.Tables
 object LlmText {
   def specs: Seq[Spec] = Seq(dedupExact, dedupNgram, dedupCluster, textStats,
     langId, quality, tokenCount, fingerprint, tfidf, ngramLm, cooccur,
-    dedupIncremental, lmScore, urlCanonical)
+    dedupIncremental, lmScore, urlCanonical, textNormalize)
+
+  /** Text normalization — the map-only pass that runs BEFORE every
+    * dedup/fingerprint stage of a crawl pipeline (llm_dedup_*,
+    * llm_fingerprint): casefold, strip punctuation, collapse runs of
+    * whitespace, trim. Without it, `Hello,  World!` and `hello world`
+    * land in different MinHash buckets and the dedup recall silently
+    * drops — normalization is a correctness input to dedup, not
+    * cosmetics. The fixture text is already clean, so each doc is first
+    * deterministically DIRTIED (case flips, injected punctuation,
+    * padded whitespace) and the row proves normalize(dirty) == the
+    * clean normal form — i.e. the chain is idempotent-to-the-fixture,
+    * witnessed per row with a boolean the oracle also computes. All
+    * built-in regexp_replace (codegen'd, RE2-compatible patterns both
+    * engines). */
+  private val textNormalize = Spec(
+    "llm_text_normalize",
+    """WITH dirty AS (
+      |  SELECT doc_id,
+      |    '  ' || upper(substr(text, 1, 8)) || substr(text, 9)
+      |      || '!!  ' AS raw, text
+      |  FROM documents WHERE doc_id < 300),
+      |norm AS (
+      |  SELECT doc_id, text,
+      |    trim(regexp_replace(regexp_replace(lower(raw),
+      |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS cleaned
+      |  FROM dirty)
+      |SELECT doc_id, cleaned, cleaned = text AS matches_clean
+      |FROM norm ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val raw = concat(lit("  "), upper(substring(col("text"), 1, 8)),
+      substring(col("text"), 9, 1000000), lit("!!  "))
+    val cleaned = trim(regexp_replace(regexp_replace(lower(raw),
+      "[^a-z0-9 ]", ""), " +", " "))
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), cleaned.as("cleaned"),
+        (cleaned === col("text")).as("matches_clean"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Perplexity-proxy quality scoring — rank every document by how
     * typical its word transitions are under the corpus's own bigram LM

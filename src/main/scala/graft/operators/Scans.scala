@@ -19,7 +19,45 @@ object Scans {
     sinkStreamForeach,
     sinkCompacted, scanBinaryFile, scanCsvCorrupt, scanSchemaEvolve,
     scanManifestPruned, sinkTableV2, scanFileMetadata, sinkJsonLines,
-    sinkCsvOptions, scanRecursiveLookup, sinkPartitionOverwrite)
+    sinkCsvOptions, scanRecursiveLookup, sinkPartitionOverwrite,
+    scanJsonMultiline)
+
+  /** `multiLine=true` JSON ingest — the pretty-printed / JSON-array
+    * shape every third-party API export arrives in. Structurally
+    * different from [[scanJson]]'s JSON-Lines: a multiline document is
+    * NOT line-splittable, so each FILE becomes one parse task (the
+    * option trades scan parallelism for format tolerance — at 100 TB
+    * you convert to JSONL once and keep multiLine only at the ingest
+    * edge; many smallish files restore parallelism, which is exactly
+    * the layout written here). The fixture is written by this row as a
+    * real pretty-printed JSON ARRAY per region (indented, one file per
+    * grouping — java.nio writes, not Spark's JSONL writer), read back
+    * with a pinned schema; the oracle recomputes from the base table. */
+  private val scanJsonMultiline = Spec(
+    "scan_json_multiline",
+    """SELECT r_regionkey, r_name FROM region
+      |ORDER BY r_regionkey""".stripMargin) { (s, d) =>
+    val dir = scratch(s, "json_ml", d)
+    rmRecursive(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    val rows = Tables.region(s, d)
+      .select(col("r_regionkey"), col("r_name"))
+      .collect() // region: 5 rows — the bounded dim table
+    rows.grouped(2).zipWithIndex.foreach { case (grp, i) =>
+      val body = grp.map { r =>
+        s"""  {\n    "r_regionkey": ${r.get(0)},\n    "r_name": "${r.getString(1)}"\n  }"""
+      }.mkString("[\n", ",\n", "\n]\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, s"part_$i.json"), body)
+    }
+    import org.apache.spark.sql.types._
+    s.read
+      .schema(StructType(Seq(StructField("r_regionkey", LongType),
+        StructField("r_name", StringType))))
+      .option("multiLine", "true")
+      .json(dir)
+      .orderBy(col("r_regionkey"))
+  }
 
   /** DYNAMIC partition overwrite (`partitionOverwriteMode=dynamic`) —
     * the incremental-job write mode at 100 TB: a daily recompute
