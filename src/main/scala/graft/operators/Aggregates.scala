@@ -24,7 +24,7 @@ object Aggregates {
     aggCustomTyped, aggStringConcat, aggMode, aggFiltered, aggUnpivot,
     aggSketchHll, aggGroupingId, aggSketchQuantile, aggBitmapDistinct,
     aggSketchCms, aggBitmapNative, aggListagg, aggMaxBy, dsTypedApi,
-    aggBoolFamily, aggApproxTopK, aggWithinGroup)
+    aggBoolFamily, aggApproxTopK, aggWithinGroup, aggRegression)
 
   /** `PERCENTILE_CONT` / `PERCENTILE_DISC … WITHIN GROUP (ORDER BY …)`
     * — the ANSI ordered-set aggregate syntax for percentiles (the
@@ -816,5 +816,47 @@ object Aggregates {
         col("st._2").as("mean_price"),
         col("st._3").as("var_price"))
       .orderBy(col("o_orderstatus"))
+  }
+
+  /** ANSI linear-regression aggregates (`regr_slope` / `regr_intercept` /
+    * `regr_r2` / `regr_avgx` / `regr_avgy` / `regr_count`) — the
+    * fit-a-trend-per-group primitive (price-vs-quantity elasticity per
+    * return flag here; drift-vs-time per feature in a training-data
+    * monitor). One pass, mergeable comoment state, two-phase hash
+    * aggregate — the whole fit costs exactly one shuffle of three
+    * comoments per group, which is the right 100 TB shape (a per-group
+    * `collect` + driver-side lstsq would be the wrong one).
+    *
+    * Oracle-parity: DuckDB implements the identical ANSI functions, but
+    * both engines accumulate comoments in streaming order, so the last
+    * bits differ. The emitted measures are chosen so the driver's
+    * round-to-6-decimals canonicalization absorbs that: slope (~1.5e3),
+    * intercept (~1e2), r2 (∈[0,1]), avgx (~25), avgy (~3.8e4) all carry
+    * relative error ~1e-11 ⇒ absolute error orders below 5e-7. The raw
+    * comoments (regr_sxx ~ 4e7) are deliberately NOT emitted — at that
+    * magnitude the same relative error would cross the rounding
+    * boundary. regr_count is exact. */
+  private val aggRegression = Spec(
+    "agg_regression",
+    """SELECT l_returnflag,
+      |  regr_slope(l_extendedprice, l_quantity)     AS slope,
+      |  regr_intercept(l_extendedprice, l_quantity) AS intercept,
+      |  regr_r2(l_extendedprice, l_quantity)        AS r2,
+      |  regr_avgx(l_extendedprice, l_quantity)      AS avg_qty,
+      |  regr_avgy(l_extendedprice, l_quantity)      AS avg_price,
+      |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        regr_slope(col("l_extendedprice"), col("l_quantity")).as("slope"),
+        regr_intercept(col("l_extendedprice"), col("l_quantity"))
+          .as("intercept"),
+        regr_r2(col("l_extendedprice"), col("l_quantity")).as("r2"),
+        regr_avgx(col("l_extendedprice"), col("l_quantity")).as("avg_qty"),
+        regr_avgy(col("l_extendedprice"), col("l_quantity")).as("avg_price"),
+        regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+      .orderBy(col("l_returnflag"))
   }
 }

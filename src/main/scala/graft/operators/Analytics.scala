@@ -32,7 +32,7 @@ object Analytics {
     sqlIdentifierClause, sqlNamedWindow, pivotMultiAgg, sqlUnpivotClause,
     sqlPivotClause, sqlLateralView, sqlScriptTransform, sqlClusterBy,
     sqlHintRebalance, sqlTablesample, sqlExecuteImmediate, sqlScripting,
-    sqlValuesInline)
+    sqlValuesInline, sqlTvfRange)
 
   /** `FROM VALUES … AS t(…)` — the inline-table constructor: the tiny
     * hand-maintained dimension (code → label mappings, config knobs)
@@ -2069,5 +2069,27 @@ object Analytics {
         |                      AND t.l_linenumber = pct.l_linenumber))
         |SELECT n_rows, pct_in_band, n_outside
         |FROM rows_v CROSS JOIN band CROSS JOIN outside""".stripMargin)
+  }
+
+  /** `FROM range(start, end, step)` — the table-valued-function FROM
+    * clause over Spark's synthetic `Range` leaf: rows are GENERATED
+    * per-partition inside whole-stage codegen (no scan, no input files,
+    * `numSlices` splits the interval arithmetically), which makes it
+    * the canonical 100 TB driver-free spine generator — calendar
+    * spines, id backfills, synthetic load — where materializing the
+    * same sequence as a parquet table would waste a write + read cycle.
+    * The aggregate on top shuffles 10 groups, nothing else. DuckDB has
+    * the same standard TVF (its column is named `range`, Spark's `id` —
+    * the oracle aliases them together). */
+  private val sqlTvfRange = Spec(
+    "sql_tvf_range",
+    """SELECT range % 10 AS bucket, COUNT(*) AS n,
+      |  CAST(SUM(range) AS BIGINT) AS total
+      |FROM range(0, 100000, 7)
+      |GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, _) =>
+    s.sql(
+      """SELECT id % 10 AS bucket, COUNT(*) AS n, SUM(id) AS total
+        |FROM range(0, 100000, 7)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin)
   }
 }

@@ -28,7 +28,7 @@ object Functions {
     fnAesRoundtrip, fnArraySetOps, fnMapHof, fnRounding, fnUrl,
     fnTryCast, fnTimezone, fnDateParts, fnPrintf, fnStrToMap,
     fnDatetimeFormat, fnXpath, fnExplodeOuter, fnNumberFormat,
-    fnWidthBucket)
+    fnWidthBucket, fnLuhn)
 
   /** `width_bucket` — equi-width histogram binning as a single
     * expression (the SQL-standard spelling of "which of n uniform
@@ -1126,6 +1126,35 @@ object Functions {
         to_number(fmt, lit("999,999,999,999.99")).cast("double").as("back"),
         (length(fmt) - length(regexp_replace(fmt, ",", "")))
           .cast("int").as("n_commas"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** `luhn_check` — the built-in mod-10 checksum validator (credit-card /
+    * IMEI / account-number style check digits). In a 100 TB ingest this
+    * is a data-quality tripwire: a single codegen'd scalar pass flags
+    * malformed identifiers at scan time, no UDF, no shuffle (the
+    * aggregate here just proves the per-row flags against a count).
+    * DuckDB has no Luhn built-in, so the oracle REPLAYS the algorithm
+    * in SQL — `list_transform(range(...))` walks the digit string from
+    * the right (negative string indexing), doubles every second digit
+    * with the >9 ⇒ −9 fold, and checks the sum mod 10 — an exact
+    * integer replay, no float anywhere. */
+  private val fnLuhn = Spec(
+    "fn_luhn",
+    """WITH t AS (SELECT o_orderkey, CAST(o_orderkey AS VARCHAR) AS s
+      |           FROM orders)
+      |SELECT o_orderkey,
+      |  (list_sum(list_transform(range(1, length(s) + 1),
+      |    i -> CASE WHEN i % 2 = 0
+      |      THEN CASE WHEN 2 * CAST(s[-i] AS INT) > 9
+      |           THEN 2 * CAST(s[-i] AS INT) - 9
+      |           ELSE 2 * CAST(s[-i] AS INT) END
+      |      ELSE CAST(s[-i] AS INT) END)) % 10 = 0) AS is_luhn
+      |FROM t ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        call_function("luhn_check", col("o_orderkey").cast("string"))
+          .as("is_luhn"))
       .orderBy(col("o_orderkey"))
   }
 }

@@ -20,7 +20,7 @@ object Joins {
     innerHash, leftOuter, rightOuter, fullOuter, leftSemi, leftAnti,
     broadcastJoin, multiway, thetaRange, asOf, bucketed, nullSafe, salted,
     dpp, fuzzy, bloom, rangeBin, skewAqe, hintShj, nullAwareAnti,
-    sqlHintBroadcast, usingNatural, sqlHintMerge, optLevRule)
+    sqlHintBroadcast, usingNatural, sqlHintMerge, optLevRule, bnljTheta)
 
   /** The engine's one custom optimizer rule, demonstrated end-to-end
     * (`org.apache.spark.sql.graft.ThresholdLevenshtein` — see its
@@ -964,5 +964,35 @@ object Joins {
       .agg(max(col("o_orderdate")).as("last_order_date"),
         count(col("o_orderkey")).as("n_prior_orders"))
       .orderBy(col("event_id"))
+  }
+
+  /** Pure non-equi join via `BroadcastNestedLoopJoin` — the one physical
+    * join operator the registry had not yet pinned POSITIVELY (every
+    * other row either has an equi anchor or proves BNLJ's absence; see
+    * `join_theta_range`, which exists precisely to show how to AVOID
+    * this plan). When the predicate has no equi conjunct at all, BNLJ
+    * with the small side broadcast is not a failure mode but the
+    * correct 100 TB shape: cost = |big| × |broadcast| comparisons,
+    * streamed, no shuffle of the big side — fine for a ≤O(100)-row
+    * broadcast side (nation: 25 rows), catastrophic otherwise, which is
+    * why PlanSpec pins BuildRight-on-nation here and bans BNLJ
+    * everywhere else. The query: for each supplier, how many nations
+    * rank strictly above its own (an open interval predicate nothing
+    * equi can anchor). */
+  private val bnljTheta = Spec(
+    "join_bnlj_theta",
+    """SELECT s_suppkey, COUNT(*) AS n_higher,
+      |  CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+      |FROM supplier JOIN nation ON s_nationkey < n_nationkey
+      |GROUP BY s_suppkey
+      |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+    val sup = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val nat = Tables.nation(s, d).select(col("n_nationkey"))
+    sup.join(broadcast(nat), col("s_nationkey") < col("n_nationkey"))
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n_higher"),
+        sum(col("n_nationkey")).as("key_sum"))
+      .orderBy(col("s_suppkey"))
   }
 }

@@ -54,6 +54,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("join_bnlj_theta pins BroadcastNestedLoopJoin with nation as build side") {
+    val p = plan("join_bnlj_theta")
+    // the pure non-equi predicate admits no hash/merge join; the correct
+    // shape is BNLJ streaming supplier against the broadcast 25-row nation
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(900))
+    assert(p.contains("BuildRight"), p.take(900))
+    assert(!p.contains("CartesianProduct"), p.take(900))
+  }
+
+  test("sql_tvf_range plans the synthetic Range leaf, no file scan") {
+    val p = plan("sql_tvf_range")
+    assert(p.contains("Range"), p.take(900))
+    assert(!p.contains("Scan parquet"), s"range TVF should not read files: $p")
+  }
+
   test("join_theta_range anchors on the equi key (hash join + residual), not BNLJ") {
     val p = plan("join_theta_range")
     assert(!p.contains("BroadcastNestedLoopJoin")
