@@ -24,7 +24,8 @@ object Aggregates {
     aggCustomTyped, aggStringConcat, aggMode, aggFiltered, aggUnpivot,
     aggSketchHll, aggGroupingId, aggSketchQuantile, aggBitmapDistinct,
     aggSketchCms, aggBitmapNative, aggListagg, aggMaxBy, dsTypedApi,
-    aggBoolFamily, aggApproxTopK, aggWithinGroup, aggRegression)
+    aggBoolFamily, aggApproxTopK, aggWithinGroup, aggRegression,
+    aggCorrCovar, dsMapPartitions)
 
   /** `PERCENTILE_CONT` / `PERCENTILE_DISC … WITHIN GROUP (ORDER BY …)`
     * — the ANSI ordered-set aggregate syntax for percentiles (the
@@ -858,5 +859,69 @@ object Aggregates {
         regr_avgy(col("l_extendedprice"), col("l_quantity")).as("avg_price"),
         regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
       .orderBy(col("l_returnflag"))
+  }
+
+  /** `corr` / `covar_pop` / `covar_samp` — the ANSI bivariate-statistics
+    * trio (the regr_* family's standalone siblings, same mergeable
+    * comoment state, same one-shuffle two-phase hash aggregate). Measure
+    * choice follows the agg_regression rounding argument: corr ∈ [−1,1]
+    * and covar(quantity, discount) ~O(10⁻²) keep the engines'
+    * last-ulp comoment differences orders below the driver's 6-decimal
+    * canonicalization; a covar over raw prices (~1e5) would not. */
+  private val aggCorrCovar = Spec(
+    "agg_corr_covar",
+    """SELECT l_returnflag,
+      |  corr(l_quantity, l_extendedprice)  AS r_qty_price,
+      |  covar_pop(l_quantity, l_discount)  AS cp_qty_disc,
+      |  covar_samp(l_quantity, l_discount) AS cs_qty_disc,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        corr(col("l_quantity"), col("l_extendedprice")).as("r_qty_price"),
+        covar_pop(col("l_quantity"), col("l_discount")).as("cp_qty_disc"),
+        covar_samp(col("l_quantity"), col("l_discount")).as("cs_qty_disc"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** `Dataset.mapPartitions` — the iterator-level escape hatch, used the
+    * one way it stays scale-correct: a hand-spelled MAP-SIDE COMBINE.
+    * Each partition folds its rows into a local (status → count, cents)
+    * hash map and emits one row per key, so the shuffle that follows
+    * carries O(partitions × statuses) rows instead of O(rows) — exactly
+    * what Catalyst's partial aggregation does automatically, spelled out
+    * for the cases (per-partition model scoring, batched RPC lookups,
+    * custom accumulators) where the per-row lambda genuinely cannot be
+    * an Expression. Money folds over exact cent Longs (the ds_typed_api
+    * discipline), so the partition-count-independence contract holds:
+    * the final re-aggregate is a sum of exact integers. */
+  private val dsMapPartitions = Spec(
+    "ds_map_partitions",
+    """SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price
+      |FROM orders GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    val sp = s
+    import sp.implicits._
+    Tables.orders(s, d)
+      .select(col("o_orderstatus"), col("o_totalprice"))
+      .as[(String, Double)]
+      .mapPartitions { it =>
+        val acc = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+        it.foreach { case (status, price) =>
+          val (n, cents) = acc.getOrElse(status, (0L, 0L))
+          acc.update(status, (n + 1, cents + Math.round(price * 100)))
+        }
+        acc.iterator.map { case (k, (n, cents)) => (k, n, cents) }
+      }
+      .toDF("o_orderstatus", "n_part", "cents_part")
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("n_part")).as("n_orders"),
+        (sum(col("cents_part")) / 100.0).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
   }
 }

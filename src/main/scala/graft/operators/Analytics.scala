@@ -32,7 +32,8 @@ object Analytics {
     sqlIdentifierClause, sqlNamedWindow, pivotMultiAgg, sqlUnpivotClause,
     sqlPivotClause, sqlLateralView, sqlScriptTransform, sqlClusterBy,
     sqlHintRebalance, sqlTablesample, sqlExecuteImmediate, sqlScripting,
-    sqlValuesInline, sqlTvfRange)
+    sqlValuesInline, sqlTvfRange, sqlStarExcept, graphPagerank,
+    tsInterpolateLinear)
 
   /** `FROM VALUES … AS t(…)` — the inline-table constructor: the tiny
     * hand-maintained dimension (code → label mappings, config knobs)
@@ -2091,5 +2092,188 @@ object Analytics {
       """SELECT id % 10 AS bucket, COUNT(*) AS n, SUM(id) AS total
         |FROM range(0, 100000, 7)
         |GROUP BY bucket ORDER BY bucket""".stripMargin)
+  }
+
+  /** `SELECT * EXCEPT (…)` + `ORDER BY ALL` — the two modern star-query
+    * conveniences (Spark 4 parses both). EXCEPT is not sugar-only at
+    * scale: the excluded columns are dropped at ANALYSIS time, so the
+    * projection reaches the parquet scan and the wide columns
+    * (`c_name`/`c_mktsegment` here — the string bulk of this fixture's
+    * customer) are never read (PlanSpec pins ReadSchema). `ORDER BY ALL`
+    * sorts by every projected column left-to-right in both engines;
+    * `c_custkey` leads, so the order is total. DuckDB spells EXCEPT as
+    * EXCLUDE. */
+  private val sqlStarExcept = Spec(
+    "sql_star_except",
+    """SELECT * EXCLUDE (c_name, c_mktsegment)
+      |FROM customer WHERE c_custkey % 100 = 0
+      |ORDER BY ALL""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("graft_se_customer")
+    s.sql(
+      """SELECT * EXCEPT (c_name, c_mktsegment)
+        |FROM graft_se_customer WHERE c_custkey % 100 = 0
+        |ORDER BY ALL""".stripMargin)
+  }
+
+  /** Weighted PageRank over the nation trade graph — iterative graph
+    * analytics expressed as pure DataFrame join+aggregate rounds. The
+    * 100 TB shape has two regimes and this query exercises both: (1) the
+    * EDGE DERIVATION aggregates the full fact table (lineitem ⋈ orders ⋈
+    * customer ⋈ supplier — the big shuffle, done ONCE) down to a
+    * nation→nation weight matrix; (2) the ITERATION then runs on the
+    * tiny derived graph, each round = one broadcast join of the current
+    * rank vector against the edge list + one groupBy(dst) — rank-vector
+    * joins stay broadcast because the vertex set (25 nations) is
+    * O(dimension), not O(facts). For a billion-vertex graph the same
+    * loop holds with the broadcast flipped to a shuffle join partitioned
+    * by vertex — the plan shape is the textbook Pregel-on-DataFrames.
+    * Formula: r'(v) = (1−d)/n + d·Σ_{(u,v)∈E} r(u)·w(u,v)/out(u),
+    * d = 0.85, 5 rounds from the uniform vector. No dangling-mass term:
+    * every nation both buys and sells in the fixture, and the oracle
+    * replays the identical recurrence (chained MATERIALIZED CTEs, the
+    * llm_ann_ivf pattern), so the definition is pinned, not assumed.
+    * Float discipline: ranks are O(1/25); the only order-dependent step
+    * is the Σ (error ~1e-15, absorbed by the driver's 6-decimal
+    * canonicalization); divisions/multiplies are written in the same
+    * association order in both engines. */
+  private val graphPagerank = Spec(
+    "graph_pagerank", {
+      val iter = (1 to 5).map { k =>
+        s"""r$k AS MATERIALIZED (
+           |  SELECT n.node,
+           |    CAST(0.15 AS DOUBLE) / nc.n_nodes + CAST(0.85 AS DOUBLE) *
+           |      COALESCE(SUM((r.rank * e.w) / e.out_w), CAST(0 AS DOUBLE))
+           |      AS rank
+           |  FROM nodes n CROSS JOIN nc
+           |  LEFT JOIN edgesn e ON e.dst = n.node
+           |  LEFT JOIN r${k - 1} r ON r.node = e.src
+           |  GROUP BY n.node, nc.n_nodes)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH edges AS MATERIALIZED (
+         |  SELECT c_nationkey AS src, s_nationkey AS dst,
+         |    CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  GROUP BY 1, 2),
+         |edgesn AS MATERIALIZED (
+         |  SELECT e.src, e.dst, e.w, o.out_w
+         |  FROM edges e
+         |  JOIN (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w
+         |        FROM edges GROUP BY src) o ON e.src = o.src),
+         |nodes AS MATERIALIZED (
+         |  SELECT src AS node FROM edges
+         |  UNION SELECT dst FROM edges),
+         |nc AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+         |r0 AS MATERIALIZED (
+         |  SELECT node, CAST(1.0 AS DOUBLE) / nc.n_nodes AS rank
+         |  FROM nodes CROSS JOIN nc),
+         |$iter
+         |SELECT node, rank FROM r5 ORDER BY node""".stripMargin
+    }) { (s, d) =>
+    val edges = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    // Cache the loop INVARIANTS (the Pregel discipline): without this the
+    // per-iteration lineage re-expands the 4-table edge derivation once
+    // per join — a 5-round loop planned 20 SortMergeJoins and an 857-node
+    // plan before the cache; with it the fact tables are scanned once and
+    // every iteration reads the O(nations²) cached edge list.
+    val edgesC = edges.cache()
+    val outW = edgesC.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+    val edgesN = edgesC.join(broadcast(outW), "src")
+    val nodes = edgesC.select(col("src").as("node"))
+      .union(edgesC.select(col("dst"))).distinct().cache()
+    val nCnt = nodes.agg(count(lit(1)).as("n_nodes"))
+    val r0 = nodes.crossJoin(broadcast(nCnt))
+      .select(col("node"), (lit(1.0) / col("n_nodes")).as("rank"))
+    val r5 = (1 to 5).foldLeft(r0) { (ranks, _) =>
+      val inMass = edgesN
+        .join(broadcast(ranks), col("src") === col("node"))
+        .select(col("dst"), ((col("rank") * col("w")) / col("out_w")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+      nodes.join(broadcast(inMass), col("node") === col("dst"), "left_outer")
+        .crossJoin(broadcast(nCnt))
+        .select(col("node"),
+          (lit(0.15) / col("n_nodes") +
+            lit(0.85) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
+    }
+    r5.orderBy(col("node"))
+  }
+
+  /** Linear time-weighted interpolation of a sparse measure — the
+    * time-series gap-filler that LOCF (`win_locf`) cannot express: each
+    * event's value is interpolated between the SURROUNDING purchase
+    * anchors, weighted by event-time distance. Two window passes per
+    * partition key (last-known-before via an UNBOUNDED PRECEDING frame,
+    * first-known-after via UNBOUNDED FOLLOWING — both IGNORE NULLS), no
+    * self-join: at 100 TB this is one shuffle by series key, then two
+    * sorted frame scans, versus the naive as-of-join-twice plan that
+    * shuffles the table three times. Rows before the first / after the
+    * last anchor stay NULL (no extrapolation); a row that IS an anchor
+    * interpolates to itself (prev = next = the row, fraction 0). The
+    * arithmetic (µs-delta ratio × value gap) is written in the identical
+    * IEEE association order in both engines, so the doubles match
+    * bit-for-bit. */
+  private val tsInterpolateLinear = Spec(
+    "ts_interpolate_linear",
+    """SELECT event_id, user_id, event_type,
+      |  CASE
+      |    WHEN pv IS NULL OR nv IS NULL THEN NULL
+      |    WHEN nt = pt THEN pv
+      |    ELSE pv + (CAST(tus - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+      |              * (nv - pv)
+      |  END AS v_interp
+      |FROM (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tus,
+      |    last_value(CASE WHEN event_type = 'purchase' THEN value END
+      |               IGNORE NULLS) OVER wp AS pv,
+      |    last_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END
+      |               IGNORE NULLS) OVER wp AS pt,
+      |    first_value(CASE WHEN event_type = 'purchase' THEN value END
+      |               IGNORE NULLS) OVER wn AS nv,
+      |    first_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END
+      |               IGNORE NULLS) OVER wn AS nt
+      |  FROM events
+      |  WINDOW
+      |    wp AS (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wn AS (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val wp = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val kv = when(col("event_type") === "purchase", col("value"))
+    val kt = when(col("event_type") === "purchase", unix_micros(col("ts")))
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"),
+        last(kv, ignoreNulls = true).over(wp).as("pv"),
+        last(kt, ignoreNulls = true).over(wp).as("pt"),
+        first(kv, ignoreNulls = true).over(wn).as("nv"),
+        first(kt, ignoreNulls = true).over(wn).as("nt"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        when(col("pv").isNull || col("nv").isNull, lit(null).cast("double"))
+          .when(col("nt") === col("pt"), col("pv"))
+          .otherwise(col("pv") +
+            ((col("tus") - col("pt")).cast("double") /
+              (col("nt") - col("pt")).cast("double")) *
+              (col("nv") - col("pv")))
+          .as("v_interp"))
+      .orderBy(col("event_id"))
   }
 }

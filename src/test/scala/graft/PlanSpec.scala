@@ -63,6 +63,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(900))
   }
 
+  test("sql_star_except prunes the excluded columns out of the scan") {
+    val p = plan("sql_star_except")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("c_custkey") && read.contains("c_acctbal"), read)
+    assert(!read.contains("c_name") && !read.contains("c_mktsegment"),
+      s"* EXCEPT failed to prune the scan: $read")
+  }
+
+  test("ts_interpolate_linear shares ONE shuffle across both window frames") {
+    val p = plan("ts_interpolate_linear")
+    // both IGNORE-NULLS frames partition+order identically, so Catalyst
+    // must plan them over a single hashpartitioning exchange — a second
+    // exchange would re-shuffle the full series table at scale
+    val shuffles = p.linesIterator
+      .count(_.contains("Arguments: hashpartitioning"))
+    assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n$p")
+  }
+
+  test("graph_pagerank caches the edge list and broadcasts every loop join") {
+    val p = plan("graph_pagerank")
+    // edge derivation: dims broadcast; loop invariants cached (the Pregel
+    // discipline); iterations: rank vector and in-mass join via BHJ —
+    // nothing in the loop may re-derive or shuffle the edge list
+    assert(p.contains("BroadcastHashJoin"), p.take(900))
+    assert(p.contains("InMemoryTableScan"),
+      s"edge-list cache missing from the loop plan: ${p.take(900)}")
+    assert(!p.contains("CartesianProduct"), p.take(900))
+    val smj = p.linesIterator.count(_.contains("SortMergeJoin"))
+    assert(smj == 0,
+      s"loop joins degraded to $smj SMJs (lineage re-expansion?):\n$p")
+  }
+
   test("sql_tvf_range plans the synthetic Range leaf, no file scan") {
     val p = plan("sql_tvf_range")
     assert(p.contains("Range"), p.take(900))
