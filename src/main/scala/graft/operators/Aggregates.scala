@@ -25,7 +25,7 @@ object Aggregates {
     aggSketchHll, aggGroupingId, aggSketchQuantile, aggBitmapDistinct,
     aggSketchCms, aggBitmapNative, aggListagg, aggMaxBy, dsTypedApi,
     aggBoolFamily, aggApproxTopK, aggWithinGroup, aggRegression,
-    aggCorrCovar, dsMapPartitions)
+    aggCorrCovar, dsMapPartitions, aggHigherMoments)
 
   /** `PERCENTILE_CONT` / `PERCENTILE_DISC … WITHIN GROUP (ORDER BY …)`
     * — the ANSI ordered-set aggregate syntax for percentiles (the
@@ -923,5 +923,48 @@ object Aggregates {
       .agg(sum(col("n_part")).as("n_orders"),
         (sum(col("cents_part")) / 100.0).as("sum_price"))
       .orderBy(col("o_orderstatus"))
+  }
+
+  /** `skewness` / `kurtosis` — the 3rd/4th-moment shape statistics
+    * (population skew g₁ = m₃/m₂^1.5, EXCESS kurtosis m₄/m₂² − 3), the
+    * distribution-drift tripwires a training-data monitor runs per
+    * feature per snapshot. Same one-pass mergeable central-moment state
+    * as var/regr — one shuffle of five comoments per group. Oracle:
+    * DuckDB's built-ins use the SAMPLE-corrected estimators, so the
+    * oracle instead REPLAYS the population definitions from exact
+    * integer power sums: l_discount is a 2-decimal in [0, 0.1], so
+    * d = round(100·x) is an exact integer ≤ 10 whose powers sum exactly
+    * in BIGINT — and both statistics are SCALE-INVARIANT, so
+    * skew(d) = skew(x) with no rescaling. The replay's float error vs
+    * Spark's streaming comoments is ~1e-9 absolute on O(1) statistics —
+    * orders under the driver's 6-decimal canonicalization. */
+  private val aggHigherMoments = Spec(
+    "agg_higher_moments",
+    """WITH p AS (
+      |  SELECT l_returnflag,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(CAST(SUM(d) AS BIGINT) AS DOUBLE)       AS s1,
+      |    CAST(CAST(SUM(d*d) AS BIGINT) AS DOUBLE)     AS s2,
+      |    CAST(CAST(SUM(d*d*d) AS BIGINT) AS DOUBLE)   AS s3,
+      |    CAST(CAST(SUM(d*d*d*d) AS BIGINT) AS DOUBLE) AS s4
+      |  FROM (SELECT l_returnflag,
+      |          CAST(round(l_discount * 100) AS BIGINT) AS d
+      |        FROM lineitem)
+      |  GROUP BY l_returnflag)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+      |  (s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+      |    / ((s2/n - (s1/n)*(s1/n)) * sqrt(s2/n - (s1/n)*(s1/n)))
+      |    AS skew_disc,
+      |  (s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+      |     - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+      |    / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3
+      |    AS kurt_disc
+      |FROM p ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        skewness(col("l_discount")).as("skew_disc"),
+        kurtosis(col("l_discount")).as("kurt_disc"))
+      .orderBy(col("l_returnflag"))
   }
 }

@@ -28,7 +28,7 @@ object Functions {
     fnAesRoundtrip, fnArraySetOps, fnMapHof, fnRounding, fnUrl,
     fnTryCast, fnTimezone, fnDateParts, fnPrintf, fnStrToMap,
     fnDatetimeFormat, fnXpath, fnExplodeOuter, fnNumberFormat,
-    fnWidthBucket, fnLuhn)
+    fnWidthBucket, fnLuhn, fnToNumber)
 
   /** `width_bucket` — equi-width histogram binning as a single
     * expression (the SQL-standard spelling of "which of n uniform
@@ -1155,6 +1155,34 @@ object Functions {
       .select(col("o_orderkey"),
         call_function("luhn_check", col("o_orderkey").cast("string"))
           .as("is_luhn"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** `to_number` — the PARSE direction of the formatted-number surface
+    * (`fn_number_format` covers the render direction): turn
+    * human/ledger-formatted strings ("1,234.56", "$1,234.56") back into
+    * exact decimals at scan time, codegen'd, no UDF. The round-trip here
+    * renders each price with `format_number` then parses it back through
+    * two format masks (grouped, and currency-prefixed) — so a parse that
+    * drops a grouping separator or mis-anchors the '$' breaks the hash
+    * against the oracle's direct DECIMAL cast. Spark's masks tolerate
+    * absent optional grouping commas, which is what makes one mask valid
+    * for every magnitude in the column. */
+  private val fnToNumber = Spec(
+    "fn_to_number",
+    """SELECT o_orderkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS parsed,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS parsed_cur
+      |FROM orders WHERE o_orderkey % 50 = 0
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val rendered = format_number(col("o_totalprice"), 2)
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey"),
+        to_number(rendered, lit("999,999,999.99"))
+          .cast("double").as("parsed"),
+        to_number(concat(lit("$"), rendered), lit("$999,999,999.99"))
+          .cast("double").as("parsed_cur"))
       .orderBy(col("o_orderkey"))
   }
 }

@@ -12,7 +12,33 @@ import graft.sources.Tables
 object Maintenance {
   def specs: Seq[Spec] = Seq(mergeUpsert, profileColumns, snapshotDiff,
     zorderLayout, profileObserve, dsCheckpoint, profileAnalyzeStats,
-    dsCacheReuse, profileCrosstab)
+    dsCacheReuse, profileCrosstab, profileAccumulator)
+
+  /** `LongAccumulator` — the executor→driver metrics side-channel
+    * (`Dataset.observe`'s older, action-scoped sibling; see
+    * [[profileObserve]]): counters updated inside a `foreach` action and
+    * read on the driver after it completes. Spark's contract makes this
+    * exact for ACTIONS — a task's accumulator updates are applied once
+    * per SUCCESSFUL task, never double-applied on retry — which is why
+    * the pattern is safe for row-count/invariant tripwires but must stay
+    * out of TRANSFORMATIONS (stage retries there can re-apply). The
+    * emitted row is the accumulator values themselves, so the oracle's
+    * plain COUNT aggregate checks the whole side-channel end-to-end. */
+  private val profileAccumulator = Spec(
+    "profile_accumulator",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(*) FILTER (o_totalprice > 100000) AS BIGINT)
+      |    AS n_large""".stripMargin + "\nFROM orders") { (s, d) =>
+    val nRows = s.sparkContext.longAccumulator("graft_acc_rows")
+    val nLarge = s.sparkContext.longAccumulator("graft_acc_large")
+    Tables.orders(s, d).select(col("o_totalprice")).foreach { r =>
+      nRows.add(1)
+      if (r.getDouble(0) > 100000) nLarge.add(1)
+    }
+    val sp = s
+    import sp.implicits._
+    Seq((nRows.value: Long, nLarge.value: Long)).toDF("n_rows", "n_large")
+  }
 
   /** `df.stat.crosstab` — the pairwise contingency table
     * (DataFrameStatFunctions): the two-column dependence profile a data

@@ -20,7 +20,7 @@ object Scans {
     sinkCompacted, scanBinaryFile, scanCsvCorrupt, scanSchemaEvolve,
     scanManifestPruned, sinkTableV2, scanFileMetadata, sinkJsonLines,
     sinkCsvOptions, scanRecursiveLookup, sinkPartitionOverwrite,
-    scanJsonMultiline)
+    scanJsonMultiline, scanPartitionPrune, sinkCodecZstd)
 
   /** `multiLine=true` JSON ingest — the pretty-printed / JSON-array
     * shape every third-party API export arrives in. Structurally
@@ -1343,5 +1343,54 @@ object Scans {
     s.read.parquet(out)
       .select(col("event_id"), col("user_id"), col("value"))
       .orderBy(col("event_id"))
+  }
+
+  /** Partition PRUNING on a hive-layout table — the static sibling of
+    * `join_dpp`'s dynamic pruning, over the same memoized
+    * customer-by-nation layout ([[Joins.dppCustomerLayout]]). A literal
+    * predicate on the partition column never touches row data: it prunes
+    * whole DIRECTORIES at planning time (PlanSpec pins the
+    * `PartitionFilters` entry), so at 100 TB the scan bill is
+    * |matching partitions| / |partitions| of the table regardless of row
+    * count — the reason ingest pays for a partitioned layout at all. The
+    * partition column comes back as the directory-inferred INT; it is
+    * cast to BIGINT only in the emitted projection, NEVER inside the
+    * filter (a cast above the partition-column reference can defeat the
+    * pruning rule — the join_dpp lesson). */
+  private val scanPartitionPrune = Spec(
+    "scan_partition_prune",
+    """SELECT c_custkey, c_acctbal, CAST(c_nationkey AS BIGINT) AS nation
+      |FROM customer WHERE c_nationkey IN (3, 7)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    s.read.parquet(Joins.dppCustomerLayout(s, d))
+      .filter(col("c_nationkey").isin(3, 7))
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("c_nationkey").cast("bigint").as("nation"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Explicit compression-codec selection on the parquet sink
+    * (`option("compression", "zstd")`) — a storage-efficiency lever that
+    * matters at 100 TB (zstd trades ~10-30 % smaller files than the
+    * snappy default for slightly more CPU — the right default for
+    * cold/archival tiers). The codec is WITNESSED in-band: parquet
+    * embeds the codec in the data-file name (`*.zstd.parquet`), so every
+    * emitted row carries `is_zstd` computed from `_metadata.file_name`
+    * and the oracle pins it TRUE — a silently-ignored option fails the
+    * hash, not just a comment. */
+  private val sinkCodecZstd = Spec(
+    "sink_codec_zstd",
+    """SELECT l_orderkey, l_linenumber, l_quantity, TRUE AS is_zstd
+      |FROM lineitem WHERE l_orderkey % 100 = 0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    val loc = scratch(s, "zstd_sink", d)
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 100 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .write.mode("overwrite").option("compression", "zstd").parquet(loc)
+    s.read.parquet(loc)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("_metadata.file_name").endsWith(".zstd.parquet").as("is_zstd"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 }

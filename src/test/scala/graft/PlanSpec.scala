@@ -63,6 +63,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(900))
   }
 
+  test("scan_partition_prune prunes directories via PartitionFilters") {
+    val p = plan("scan_partition_prune")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("c_nationkey"),
+      s"partition predicate not in PartitionFilters: $pf\n${p.take(600)}")
+    // the predicate must NOT fall through to row-level pushed filters
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(!pushed.contains("c_nationkey"),
+      s"partition predicate leaked into data filters: $pushed")
+  }
+
   test("sql_star_except prunes the excluded columns out of the scan") {
     val p = plan("sql_star_except")
     val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
