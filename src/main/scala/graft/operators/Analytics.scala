@@ -33,7 +33,7 @@ object Analytics {
     sqlPivotClause, sqlLateralView, sqlScriptTransform, sqlClusterBy,
     sqlHintRebalance, sqlTablesample, sqlExecuteImmediate, sqlScripting,
     sqlValuesInline, sqlTvfRange, sqlStarExcept, graphPagerank,
-    tsInterpolateLinear)
+    tsInterpolateLinear, sqlScriptingFor, sqlInsertInto)
 
   /** `FROM VALUES … AS t(…)` — the inline-table constructor: the tiny
     * hand-maintained dimension (code → label mappings, config knobs)
@@ -2275,5 +2275,91 @@ object Analytics {
               (col("nv") - col("pv")))
           .as("v_interp"))
       .orderBy(col("event_id"))
+  }
+
+  /** SQL scripting `FOR … DO … END FOR` (Spark 4) — the CURSOR loop that
+    * completes the scripting-control-flow pair: [[sqlScripting]] pins
+    * condition-driven WHILE; this row pins result-set iteration with
+    * loop-variable field access (`r.cnt`), the shape every migrated
+    * stored procedure with a cursor needs. The cursor query itself is
+    * one distributed aggregate (customers per region — shuffled,
+    * executor-side); only the ≤5-row result walks the driver, each
+    * iteration pure variable arithmetic. The position-weighted
+    * accumulator (i·cnt) makes the ITERATION ORDER observable in the
+    * hash — a FOR that ignored the cursor's ORDER BY would produce a
+    * different total — so the oracle replays it declaratively with
+    * row_number() over the same ordering. */
+  private val sqlScriptingFor = Spec(
+    "sql_scripting_for",
+    """SELECT CAST(SUM(rn * cnt) AS BIGINT) AS weighted_total,
+      |  CAST(COUNT(*) AS BIGINT) AS iters
+      |FROM (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY n_regionkey) AS rn, cnt
+      |  FROM (
+      |    SELECT n.n_regionkey, COUNT(*) AS cnt
+      |    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |    GROUP BY n.n_regionkey))""".stripMargin) { (s, d) =>
+    Tables.nation(s, d).createOrReplaceTempView("graft_for_nation")
+    Tables.customer(s, d).createOrReplaceTempView("graft_for_customer")
+    s.sql(
+      """BEGIN
+        |  DECLARE i BIGINT DEFAULT 0;
+        |  DECLARE acc BIGINT DEFAULT 0;
+        |  FOR r AS SELECT n.n_regionkey AS rk, COUNT(*) AS cnt
+        |           FROM graft_for_customer c
+        |           JOIN graft_for_nation n
+        |             ON c.c_nationkey = n.n_nationkey
+        |           GROUP BY n.n_regionkey
+        |           ORDER BY n.n_regionkey DO
+        |    SET i = i + 1;
+        |    SET acc = acc + i * r.cnt;
+        |  END FOR;
+        |  SELECT acc AS weighted_total, i AS iters;
+        |END""".stripMargin)
+  }
+
+  /** SQL `INSERT INTO` — the append-write DML surface: a managed table
+    * is CREATEd empty, filled by TWO complementary `INSERT … SELECT`
+    * slices (above/below a price threshold), then one
+    * `INSERT … VALUES` literal row. Three separate commits into the
+    * same table make APPEND semantics the thing the hash witnesses — an
+    * engine that overwrote per-INSERT would return only the sentinel
+    * row. At 100 TB each INSERT…SELECT is a normal distributed write
+    * (scan → filter → per-partition files committed atomically via the
+    * file-commit protocol); appends never rewrite existing files, which
+    * is exactly why the medallion bronze layer is built from them.
+    * Warehouse/catalog hygiene follows [[Scans]]' `sink_table_v2`: drop
+    * the table AND clear its stale warehouse location (the in-memory
+    * catalog dies with the JVM; the files do not). */
+  private val sqlInsertInto = Spec(
+    "sql_insert_into",
+    """SELECT st, COUNT(*) AS n,
+      |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_p
+      |FROM (
+      |  SELECT o_orderstatus AS st, o_totalprice AS price FROM orders
+      |  UNION ALL SELECT 'X', 1.0)
+      |GROUP BY st ORDER BY st""".stripMargin) { (s, d) =>
+    val key = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
+      .replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = s"graft_ins_orders_$key"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val whConf = s.conf.get("spark.sql.warehouse.dir")
+    val whPath =
+      if (whConf.startsWith("file:")) new java.net.URI(whConf).getPath
+      else whConf
+    Scans.rmRecursive(new java.io.File(new java.io.File(whPath), tbl))
+    s.sql(s"CREATE TABLE $tbl (st STRING, price DOUBLE) USING parquet")
+    Tables.orders(s, d).createOrReplaceTempView("graft_ins_src")
+    s.sql(s"""INSERT INTO $tbl
+             |SELECT o_orderstatus, o_totalprice FROM graft_ins_src
+             |WHERE o_totalprice > 150000.0""".stripMargin)
+    s.sql(s"""INSERT INTO $tbl
+             |SELECT o_orderstatus, o_totalprice FROM graft_ins_src
+             |WHERE o_totalprice <= 150000.0""".stripMargin)
+    s.sql(s"INSERT INTO $tbl VALUES ('X', 1.0D)")
+    s.table(tbl)
+      .groupBy(col("st"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("price")).as("sum_p"))
+      .orderBy(col("st"))
   }
 }

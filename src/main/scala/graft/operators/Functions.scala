@@ -28,7 +28,7 @@ object Functions {
     fnAesRoundtrip, fnArraySetOps, fnMapHof, fnRounding, fnUrl,
     fnTryCast, fnTimezone, fnDateParts, fnPrintf, fnStrToMap,
     fnDatetimeFormat, fnXpath, fnExplodeOuter, fnNumberFormat,
-    fnWidthBucket, fnLuhn, fnToNumber)
+    fnWidthBucket, fnLuhn, fnToNumber, fnReflect)
 
   /** `width_bucket` — equi-width histogram binning as a single
     * expression (the SQL-standard spelling of "which of n uniform
@@ -1183,6 +1183,33 @@ object Functions {
           .cast("double").as("parsed"),
         to_number(concat(lit("$"), rendered), lit("$999,999,999.99"))
           .cast("double").as("parsed_cur"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** `reflect` / `java_method` — the Hive-compat escape hatch that calls
+    * a static JVM method per row (result always stringified). Registered
+    * because a decade of migrated Hive SQL uses it, and QUARANTINED for
+    * the same reason as `fn_udf_scalar`: the call is a reflective
+    * invocation — no codegen, no pushdown through it, boxing on every
+    * row — so at 100 TB anything expressible as a built-in must be (both
+    * results here HAVE built-in spellings: `pmod`, `conv`; the row
+    * exists to pin the surface, not to recommend it). `Math.floorMod` on
+    * a deliberately sign-mixed argument pins the floor-vs-truncation
+    * distinction (Java `%` truncates; floorMod is what bucketing needs),
+    * replayed in DuckDB as ((x%7)+7)%7; `Long.toOctalString` replays as
+    * `to_base(k, 8)`. */
+  private val fnReflect = Spec(
+    "fn_reflect",
+    """SELECT o_orderkey,
+      |  CAST((((o_orderkey % 100 - 50) % 7) + 7) % 7 AS VARCHAR) AS mod7,
+      |  to_base(o_orderkey, 8) AS oct
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        reflect(lit("java.lang.Math"), lit("floorMod"),
+          col("o_orderkey") % 100L - 50L, lit(7L)).as("mod7"),
+        reflect(lit("java.lang.Long"), lit("toOctalString"),
+          col("o_orderkey")).as("oct"))
       .orderBy(col("o_orderkey"))
   }
 }

@@ -20,7 +20,7 @@ object Scans {
     sinkCompacted, scanBinaryFile, scanCsvCorrupt, scanSchemaEvolve,
     scanManifestPruned, sinkTableV2, scanFileMetadata, sinkJsonLines,
     sinkCsvOptions, scanRecursiveLookup, sinkPartitionOverwrite,
-    scanJsonMultiline, scanPartitionPrune, sinkCodecZstd)
+    scanJsonMultiline, scanPartitionPrune, sinkCodecZstd, sinkStreamTable)
 
   /** `multiLine=true` JSON ingest — the pretty-printed / JSON-array
     * shape every third-party API export arrives in. Structurally
@@ -1392,5 +1392,49 @@ object Scans {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("_metadata.file_name").endsWith(".zstd.parquet").as("is_zstd"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** `writeStream.toTable` — the streaming CATALOG sink: micro-batches
+    * append into a managed table instead of a raw path, so downstream
+    * batch readers address it as `spark.table(name)` with the catalog
+    * owning schema/location (at 100 TB: the bronze-layer landing table
+    * every medallion pipeline starts with). Per-invocation hygiene is
+    * the union of two prior lessons: the managed table's FILES outlive
+    * the in-memory catalog across JVMs ([[sinkTableV2]] — drop + clear
+    * the warehouse location), and a persisted CHECKPOINT would replay
+    * nothing into the freshly-dropped table on re-invocation, silently
+    * emitting zero rows — the checkpoint is removed with the table so
+    * offsets restart with it. Batch/stream parity is the oracle: the
+    * aggregate over the streamed-in table must hash-match the same
+    * aggregate straight off the fixture. */
+  private val sinkStreamTable = Spec(
+    "sink_stream_table",
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val key = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
+      .replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = s"graft_stream_land_$key"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val whConf = s.conf.get("spark.sql.warehouse.dir")
+    val whPath =
+      if (whConf.startsWith("file:")) new java.net.URI(whConf).getPath
+      else whConf
+    rmRecursive(new java.io.File(new java.io.File(whPath), tbl))
+    val cp = scratch(s, "stream_land_cp", d)
+    rmRecursive(new java.io.File(cp))
+    val q = eventsFileStream(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .writeStream
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(tbl)
+    q.awaitTermination()
+    s.table(tbl)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Det.dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
   }
 }
