@@ -28,7 +28,7 @@ object Functions {
     fnAesRoundtrip, fnArraySetOps, fnMapHof, fnRounding, fnUrl,
     fnTryCast, fnTimezone, fnDateParts, fnPrintf, fnStrToMap,
     fnDatetimeFormat, fnXpath, fnExplodeOuter, fnNumberFormat,
-    fnWidthBucket, fnLuhn, fnToNumber, fnReflect)
+    fnWidthBucket, fnLuhn, fnToNumber, fnReflect, fnIdGeneration)
 
   /** `width_bucket` — equi-width histogram binning as a single
     * expression (the SQL-standard spelling of "which of n uniform
@@ -1211,5 +1211,42 @@ object Functions {
         reflect(lit("java.lang.Long"), lit("toOctalString"),
           col("o_orderkey")).as("oct"))
       .orderBy(col("o_orderkey"))
+  }
+
+  /** Distributed ID assignment — `monotonically_increasing_id()`,
+    * `spark_partition_id()`, `uuid()`: how a 100 TB pipeline mints row
+    * ids WITHOUT a driver-side sequence or a global sort (mono ids embed
+    * the partition ordinal in the upper 31 bits, so every executor
+    * assigns locally with zero coordination — the whole point vs a
+    * `row_number() OVER ()` which would funnel the table through ONE
+    * window partition). The VALUES are partition-layout-dependent and
+    * uuid is random, so the row pins what IS deterministic — the
+    * CONTRACT: exact uniqueness of both id kinds, non-negativity, the
+    * pinned partition count under an explicit repartition(8), and the
+    * RFC-4122-v4 wire format of every uuid. The oracle predicts each
+    * witness exactly from COUNT(*); a collision, a dropped partition, or
+    * a malformed uuid anywhere in the column flips a boolean and fails
+    * the hash. */
+  private val fnIdGeneration = Spec(
+    "fn_id_generation",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(*) AS BIGINT) AS n_mono,
+      |  true AS mono_nonneg,
+      |  CAST(8 AS INT) AS n_pids,
+      |  CAST(COUNT(*) AS BIGINT) AS n_uuid,
+      |  true AS uuid_v4
+      |FROM orders""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .repartition(8)
+      .select(monotonically_increasing_id().as("mono"),
+        spark_partition_id().as("pid"), expr("uuid()").as("u"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("mono")).as("n_mono"),
+        (min(col("mono")) >= 0L).as("mono_nonneg"),
+        countDistinct(col("pid")).cast("int").as("n_pids"),
+        countDistinct(col("u")).as("n_uuid"),
+        every(col("u").rlike(
+          "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"))
+          .as("uuid_v4"))
   }
 }
