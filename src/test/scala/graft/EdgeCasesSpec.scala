@@ -377,7 +377,8 @@ class EdgeCasesSpec extends AnyFunSuite {
       "join_dpp" -> "dpp_customer", "join_bucketed" -> "bucketed",
       "sink_json_lines" -> "json_sink", "sink_csv_options" -> "csv_sink",
       "scan_recursive_lookup" -> "rec_lookup",
-      "stream_update_mode" -> "upd_mode")
+      "stream_update_mode" -> "upd_mode",
+      "sink_stream_table" -> "stream_land_cp")
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     consumers.foreach { case (query, op) =>
       val n1 = SparkEntry.queries(query)(spark, TestSpark.SF001).count()
@@ -647,5 +648,27 @@ class EdgeCasesSpec extends AnyFunSuite {
       .filter(n => lev(n, "cold widget") <= 2).toSet
     assert(got == expected && got.contains("cold widget"),
       s"rewritten result diverged: got $got expected $expected")
+  }
+
+  test("catalog-table writers are re-invocation idempotent") {
+    // The managed-table rows carry per-call lifecycle hygiene (DROP +
+    // warehouse-location clear; sink_stream_table additionally removes
+    // its checkpoint so offsets restart WITH the table — a persisted
+    // checkpoint over a freshly-dropped table would replay nothing and
+    // silently land zero rows). The Verify matrix exercises this across
+    // JVMs; this pins it in-session: run each writer twice and require
+    // CONTENT-identical results — the double-append / empty-replay
+    // failure modes both change row content, not just counts.
+    Seq("sink_table_v2", "sql_insert_into", "sink_stream_table")
+      .foreach { q =>
+        def rows(): Seq[String] =
+          SparkEntry.queries(q)(spark, TestSpark.SF001)
+            .collect().map(_.toString).sorted.toSeq
+        val first = rows()
+        assert(first.nonEmpty, s"$q returned no rows on first invocation")
+        assert(rows() == first,
+          s"$q is not re-invocation idempotent — stale table/checkpoint " +
+            "state leaked into the second run")
+      }
   }
 }
