@@ -20,7 +20,8 @@ object Joins {
     innerHash, leftOuter, rightOuter, fullOuter, leftSemi, leftAnti,
     broadcastJoin, multiway, thetaRange, asOf, bucketed, nullSafe, salted,
     dpp, fuzzy, bloom, rangeBin, skewAqe, hintShj, nullAwareAnti,
-    sqlHintBroadcast, usingNatural, sqlHintMerge, optLevRule, bnljTheta)
+    sqlHintBroadcast, usingNatural, sqlHintMerge, optLevRule, bnljTheta,
+    exchangeReuse, aqeCoalesce)
 
   /** The engine's one custom optimizer rule, demonstrated end-to-end
     * (`org.apache.spark.sql.graft.ThresholdLevenshtein` — see its
@@ -994,5 +995,104 @@ object Joins {
       .agg(count(lit(1)).as("n_higher"),
         sum(col("n_nationkey")).as("key_sum"))
       .orderBy(col("s_suppkey"))
+  }
+
+  /** `ReuseExchange` — ONE shuffle feeding two consumers: a derived
+    * aggregate referenced twice (the self-join every "which groups share
+    * a property" query has) plans as ONE scan + ONE aggregation + ONE
+    * shuffle, with the second reference served from the first's shuffle
+    * files (`ReusedExchange` in the physical plan). At 100 TB this is
+    * the difference between reading the fact table once or twice — and
+    * it is FREE as long as the two subtrees stay literally identical,
+    * which is why the CTE is written once and joined to itself rather
+    * than spelled twice with cosmetic differences (a differing alias
+    * set or filter order breaks subtree equality and silently doubles
+    * the scan). Broadcast is disabled for the row so the reuse shown is
+    * the SHUFFLE reuse a big derived aggregate actually needs (a
+    * broadcast-sized demo would reuse the broadcast instead — same
+    * rule, smaller stakes); the row REQUIRES the ReusedExchange node
+    * after execution, so a Catalyst change that stopped deduplicating
+    * fails the row rather than just doubling the cost. */
+  private val exchangeReuse = Spec(
+    "opt_exchange_reuse",
+    """WITH a AS (SELECT o_custkey AS k, COUNT(*) AS n
+      |           FROM orders GROUP BY o_custkey)
+      |SELECT x.n AS n, CAST(COUNT(*) AS BIGINT) AS pairs
+      |FROM a x JOIN a y ON x.n = y.n AND x.k <> y.k
+      |GROUP BY x.n ORDER BY x.n""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("graft_xr_orders")
+    withConfs(s, "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val out = s.sql(
+        """WITH a AS (SELECT o_custkey AS k, COUNT(*) AS n
+          |           FROM graft_xr_orders GROUP BY o_custkey)
+          |SELECT x.n AS n, COUNT(*) AS pairs
+          |FROM a x JOIN a y ON x.n = y.n AND x.k <> y.k
+          |GROUP BY x.n ORDER BY x.n""".stripMargin)
+      // count() would execute a DIFFERENT derived plan and leave out's
+      // own adaptive plan unfinalized (same trap skewAqeRun documents) —
+      // collect() executes THIS queryExecution.
+      out.collect()
+      val ep = finalPlanString(out)
+      // Non-adaptive plans print the reuse as a ReusedExchange node; the
+      // adaptive plan materializes it as the SAME ShuffleQueryStage id
+      // consumed twice (or an explicit reuse marker, version-dependent).
+      require(ep.contains("ReusedExchange") || reusedStageId(ep).nonEmpty,
+        "exchange reuse did not fire — the self-joined aggregate is " +
+          "being computed twice:\n" + ep.take(1500))
+      out
+    }
+  }
+
+  /** The adaptive root's toString prints only itself — unwrap to the
+    * final physical tree (same idiom as [[skewAqeRun]]). */
+  private def finalPlanString(df: DataFrame): String =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case p => p.toString
+    }
+
+  /** A shuffle-stage id that appears more than once in the printed final
+    * plan — AQE's rendering of exchange reuse. */
+  private def reusedStageId(ep: String): Option[String] = {
+    val ids = "ShuffleQueryStage (\\d+)".r.findAllMatchIn(ep)
+      .map(_.group(1)).toSeq
+    ids.groupBy(identity).collectFirst { case (id, hits) if hits.size > 1 => id }
+  }
+
+  /** AQE partition coalescing (`AQEShuffleRead coalesced`) — the third
+    * AQE surface the registry pins ([[skewAqe]] = skew split,
+    * `sql_hint_rebalance` = explicit rebalance): a low-cardinality
+    * aggregate shuffled at the static `spark.sql.shuffle.partitions`
+    * width leaves almost every reducer partition near-empty, and AQE
+    * merges them to the advisory size at RUNTIME from the real map
+    * output stats. At 100 TB this is what makes one global shuffle
+    * width livable: the same `shuffle.partitions=thousands` that a
+    * wide join needs would otherwise saddle every small aggregate in
+    * the pipeline with thousands of empty-task launches (scheduling
+    * overhead, tiny output files downstream). The row REQUIRES the
+    * coalesced read after execution AND that the output collapsed to
+    * fewer partitions than the static width. */
+  private val aqeCoalesce = Spec(
+    "opt_aqe_coalesce",
+    """SELECT o_orderstatus AS st, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_p
+      |FROM orders GROUP BY o_orderstatus ORDER BY st""".stripMargin) {
+    (s, d) =>
+    val out = Tables.orders(s, d)
+      .groupBy(col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("sum_p"))
+      .orderBy(col("st"))
+    out.collect() // executes THIS queryExecution (count() would not)
+    val ep = finalPlanString(out)
+    require(ep.contains("AQEShuffleRead coalesced"),
+      "AQE did not coalesce the near-empty reducer partitions:\n" +
+        ep.take(1500))
+    val parts = out.rdd.getNumPartitions
+    val static = s.conf.get("spark.sql.shuffle.partitions").toInt
+    require(parts < static,
+      s"coalesced output still has $parts partitions at static width " +
+        s"$static")
+    out
   }
 }
