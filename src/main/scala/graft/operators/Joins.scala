@@ -1031,7 +1031,7 @@ object Joins {
       // count() would execute a DIFFERENT derived plan and leave out's
       // own adaptive plan unfinalized (same trap skewAqeRun documents) —
       // collect() executes THIS queryExecution.
-      out.collect()
+      val rows = out.collect()
       val ep = finalPlanString(out)
       // Non-adaptive plans print the reuse as a ReusedExchange node; the
       // adaptive plan materializes it as the SAME ShuffleQueryStage id
@@ -1039,7 +1039,10 @@ object Joins {
       require(ep.contains("ReusedExchange") || reusedStageId(ep).nonEmpty,
         "exchange reuse did not fire — the self-joined aggregate is " +
           "being computed twice:\n" + ep.take(1500))
-      out
+      // Return the witnessed execution's own rows (the skewAqe idiom) —
+      // a plain `out` would re-execute the whole plan on the write.
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+        .orderBy(col("n"))
     }
   }
 
@@ -1083,7 +1086,7 @@ object Joins {
       .groupBy(col("o_orderstatus").as("st"))
       .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("sum_p"))
       .orderBy(col("st"))
-    out.collect() // executes THIS queryExecution (count() would not)
+    val rows = out.collect() // executes THIS queryExecution (count() would not)
     val ep = finalPlanString(out)
     require(ep.contains("AQEShuffleRead coalesced"),
       "AQE did not coalesce the near-empty reducer partitions:\n" +
@@ -1093,6 +1096,7 @@ object Joins {
     require(parts < static,
       s"coalesced output still has $parts partitions at static width " +
         s"$static")
-    out
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      .orderBy(col("st"))
   }
 }
