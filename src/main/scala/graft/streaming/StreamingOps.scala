@@ -32,7 +32,7 @@ object StreamingOps {
     dedup, statefulCustom, streamStream, streamStatic, streamStreamOuter,
     streamStreamFull, incrementalRestart, joinThenWindowSpec,
     rocksdbState, transformWithState, twsTimers, twsMapState, updateMode,
-    profileStreamProgress)
+    profileStreamProgress, foreachBatchUpsert)
 
   /** `StreamingQuery.recentProgress` — the per-micro-batch observability
     * surface (`StreamingQueryProgress`: batchId, numInputRows, sink
@@ -81,6 +81,86 @@ object StreamingOps {
       s"expected exactly data batches 0 and 1, got ${rows.map(_._1)}")
     import s.implicits._
     rows.toDF("batch_id", "n_in", "n_out").orderBy(col("batch_id"))
+  }
+
+  /** `foreachBatch` CDC UPSERT — the streaming keyed-merge landing every
+    * warehouse pipeline runs where a MERGE-capable table format is the
+    * usual sink: each micro-batch folds into a keyed base table
+    * (read base → union → re-aggregate per key → atomic swap), so the
+    * landed table always holds ONE row per key with (max event time,
+    * running count) — state the APPEND-mode file sink structurally
+    * cannot express (it can never retract a key's previous row). The
+    * two-batch parity staging ([[updInput]], maxFilesPerTrigger=1) makes
+    * the merge observable: batch 1 must REPLACE batch-0 rows for users
+    * spanning the parity split, and a `require` pins ≥2 data batches so
+    * the row can never silently degrade to a single-batch write.
+    * Exactly-once: foreachBatch is AT-LEAST-once, so the merge carries
+    * the canonical batch-id idempotence marker — a replayed id is
+    * skipped before touching state (max(es) alone is replay-idempotent;
+    * the running COUNT is not, which is exactly why real deployments
+    * ledger the batch id). At 100 TB the merge is a keyed shuffle of
+    * |base ∪ batch| per trigger — the reason production versions
+    * partition/bucket the base by the merge key and MERGE only touched
+    * partitions; the fold here is that same plan without the format
+    * sugar. The oracle is the whole-history aggregate: upserting batch
+    * by batch must land exactly where one global GROUP BY lands. */
+  private val foreachBatchUpsert = Spec(
+    "stream_foreachbatch_upsert",
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS es FROM events)
+      |SELECT user_id, MAX(es) AS last_es,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    import graft.operators.Scans
+    val inDir = updInput(s, d)
+    val s2 = Scans.fewPartitionSession(s, 4)
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("es", LongType)))
+    val out = Scans.scratch(s, "fbu_state", d)
+    Scans.rmRecursive(new java.io.File(out))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    val base = s"$out/state"
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = s2.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val marker = new java.io.File(s"$out/_done_$id")
+        if (!marker.exists()) { // at-least-once → idempotent via ledger
+          nBatches.incrementAndGet()
+          val sess = batch.sparkSession
+          val batchAgg = batch.groupBy(col("user_id"))
+            .agg(max(col("es")).as("last_es"),
+              count(lit(1)).as("n_events"))
+          val existing =
+            if (new java.io.File(base).exists()) sess.read.parquet(base)
+            else sess.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              batchAgg.schema)
+          val merged = existing.unionByName(batchAgg)
+            .groupBy(col("user_id"))
+            .agg(max(col("last_es")).as("last_es"),
+              sum(col("n_events")).cast("long").as("n_events"))
+          // write-then-swap: the merge READS base, so it lands in a tmp
+          // dir first; the swap happens only after the write committed
+          val tmp = s"$out/tmp_$id"
+          merged.write.mode("overwrite").parquet(tmp)
+          Scans.rmRecursive(new java.io.File(base))
+          require(new java.io.File(tmp).renameTo(new java.io.File(base)),
+            s"state swap failed for batch $id")
+          marker.createNewFile()
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    try require(q.awaitTermination(180000),
+      "upsert stream did not finish in 180 s")
+    finally q.stop()
+    require(nBatches.get >= 2,
+      s"only ${nBatches.get} data batch(es) — the merge path was never " +
+        "exercised across a batch boundary")
+    s.read.parquet(base).orderBy(col("user_id"))
   }
 
   /** Shared transforms (batch twin == streaming form). */

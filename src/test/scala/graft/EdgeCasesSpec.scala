@@ -378,7 +378,8 @@ class EdgeCasesSpec extends AnyFunSuite {
       "sink_json_lines" -> "json_sink", "sink_csv_options" -> "csv_sink",
       "scan_recursive_lookup" -> "rec_lookup",
       "stream_update_mode" -> "upd_mode",
-      "sink_stream_table" -> "stream_land_cp")
+      "sink_stream_table" -> "stream_land_cp",
+      "stream_foreachbatch_upsert" -> "fbu_state")
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     consumers.foreach { case (query, op) =>
       val n1 = SparkEntry.queries(query)(spark, TestSpark.SF001).count()
