@@ -25,7 +25,8 @@ object Aggregates {
     aggSketchHll, aggGroupingId, aggSketchQuantile, aggBitmapDistinct,
     aggSketchCms, aggBitmapNative, aggListagg, aggMaxBy, dsTypedApi,
     aggBoolFamily, aggApproxTopK, aggWithinGroup, aggRegression,
-    aggCorrCovar, dsMapPartitions, aggHigherMoments)
+    aggCorrCovar, dsMapPartitions, aggHigherMoments, aggTryArith,
+    aggAnyValue)
 
   /** `PERCENTILE_CONT` / `PERCENTILE_DISC … WITHIN GROUP (ORDER BY …)`
     * — the ANSI ordered-set aggregate syntax for percentiles (the
@@ -966,5 +967,66 @@ object Aggregates {
         skewness(col("l_discount")).as("skew_disc"),
         kurtosis(col("l_discount")).as("kurt_disc"))
       .orderBy(col("l_returnflag"))
+  }
+
+  /** `try_sum` (+ `try_avg` on the clean path) — the error-tolerant
+    * AGGREGATE twins of
+    * `fn_try_arith`'s scalar family: under ANSI mode (the Spark 4
+    * default) a LONG sum that overflows ABORTS the job; try_sum returns
+    * NULL for that aggregate instead, which is the difference between
+    * one poisoned group killing a 100 TB rollup and that group flagging
+    * itself. Two witnesses per group: the well-behaved decimal
+    * sum/avg must equal the plain aggregates (try_* is not allowed to
+    * cost accuracy on clean input — oracle = the Det twins), and a
+    * deliberately overflowing LONG column (every group sums ≥ 2 copies
+    * of Long.MaxValue/2 + 1; ≥ 493 rows/group at the smallest fixture)
+    * must come back NULL — the oracle spells the expected NULL as a
+    * typed literal. (try_avg cannot be overflow-witnessed on integral
+    * input: Average accumulates in DOUBLE, so it never overflows —
+    * measured here, not assumed.) */
+  private val aggTryArith = Spec(
+    "agg_try_arith",
+    s"""SELECT o_orderstatus, COUNT(*) AS n,
+       |  ${Sql.dsum("o_totalprice", "sum_p")},
+       |  ${Sql.davg("o_totalprice", "avg_p")},
+       |  CAST(NULL AS BIGINT) AS overflowed
+       |FROM orders GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("big", lit(Long.MaxValue / 2 + 1))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        expr("try_sum(CAST(o_totalprice AS DECIMAL(18,2)))")
+          .cast("double").as("sum_p"),
+        (expr("try_sum(CAST(o_totalprice AS DECIMAL(18,2)))")
+          .cast("double") / count(col("o_totalprice"))).as("avg_p"),
+        expr("try_sum(big)").as("overflowed"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** `any_value` — the functionally-dependent-column picker: after a
+    * GROUP BY on a key that DETERMINES another column (nationkey →
+    * nation name), any_value reads that column without adding it to the
+    * grouping key or paying a real aggregate — the planner is free to
+    * take the first value it sees, which is exactly why the function is
+    * nondeterministic IN GENERAL and only belongs in a query when the
+    * dependency makes every candidate identical (the one shape this row
+    * pins; the oracle's MIN is equal by that same dependency). At
+    * 100 TB the alternative — putting n_name into the GROUP BY — widens
+    * every shuffle row by the string for zero information. */
+  private val aggAnyValue = Spec(
+    "agg_any_value",
+    """SELECT c.c_nationkey, MIN(n.n_name) AS nation_name,
+      |  COUNT(*) AS n_customers
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin) {
+    (s, d) =>
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(any_value(col("n_name")).as("nation_name"),
+        count(lit(1)).as("n_customers"))
+      .orderBy(col("c_nationkey"))
   }
 }

@@ -28,7 +28,9 @@ object Functions {
     fnAesRoundtrip, fnArraySetOps, fnMapHof, fnRounding, fnUrl,
     fnTryCast, fnTimezone, fnDateParts, fnPrintf, fnStrToMap,
     fnDatetimeFormat, fnXpath, fnExplodeOuter, fnNumberFormat,
-    fnWidthBucket, fnLuhn, fnToNumber, fnReflect, fnIdGeneration)
+    fnWidthBucket, fnLuhn, fnToNumber, fnReflect, fnIdGeneration,
+    fnArrayEdit, fnStringEdit, fnDatetimeMake, fnRegexPosition,
+    fnBinaryConv)
 
   /** `width_bucket` — equi-width histogram binning as a single
     * expression (the SQL-standard spelling of "which of n uniform
@@ -1248,5 +1250,197 @@ object Functions {
         every(col("u").rlike(
           "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"))
           .as("uuid_v4"))
+  }
+
+  /** Array EDITING (Spark 3.4+ `array_insert` / `array_append` /
+    * `array_prepend` / `array_compact` / `array_remove`) — the in-place
+    * list surgery a feature-engineering pipeline does on collected
+    * sequences without exploding them (each is one codegen'd expression
+    * over the array cell; explode→edit→re-collect_list would be a
+    * shuffle per edit). DuckDB has no array_insert — the oracle replays
+    * it as 1-based slice surgery (`l[1:p-1] || [e] || l[p:]`, exactly
+    * the insert-BEFORE-position semantics the probe confirmed);
+    * compact/remove replay as list_filter lambdas (safe here: the base
+    * array is NULL-free, so the `x <> v` filter cannot eat NULLs). */
+  private val fnArrayEdit = Spec(
+    "fn_array_edit",
+    """WITH t AS (SELECT o_orderkey,
+      |  generate_series(1::BIGINT, o_orderkey % 4 + 2) AS arr
+      |  FROM orders)
+      |SELECT o_orderkey,
+      |  array_to_string(arr[1:1] || [99::BIGINT] || arr[2:], ',') AS ins,
+      |  array_to_string(list_append(arr, 0::BIGINT), ',') AS app,
+      |  array_to_string(list_prepend(-1::BIGINT, arr), ',') AS pre,
+      |  array_to_string(list_filter(list_prepend(NULL::BIGINT, arr),
+      |              x -> x IS NOT NULL), ',') AS compacted,
+      |  array_to_string(list_filter(arr, x -> x <> 2), ',') AS removed
+      |FROM t ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    // arrays serialize to comma-joined strings — the driver comparator
+    // (and parquet→pandas hashing) only handles scalar cells
+    val arr = sequence(lit(1L), col("o_orderkey") % 4 + 2)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        array_join(array_insert(arr, lit(2), lit(99L)), ",").as("ins"),
+        array_join(array_append(arr, lit(0L)), ",").as("app"),
+        array_join(array_prepend(arr, lit(-1L)), ",").as("pre"),
+        array_join(array_compact(array_prepend(arr, lit(null).cast("long"))),
+          ",").as("compacted"),
+        array_join(array_remove(arr, lit(2L)), ",").as("removed"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** String EDITING (`initcap` / `overlay` / `substring_index` / `elt` /
+    * `char_length`) — the display/ETL string-surgery family. DuckDB has
+    * no initcap: the oracle rebuilds it word-by-word
+    * (split → upper first codepoint ‖ rest → re-join), which is faithful
+    * here because `p_name` is lowercase single-spaced ASCII (initcap
+    * also LOWERCASES the tail of each word — on mixed-case input the
+    * replay would need a lower() on the tail). `overlay` replays as
+    * substr-concat surgery, `substring_index` as a 1-based list slice
+    * re-join, `elt` as the CASE ladder it desugars to. */
+  private val fnStringEdit = Spec(
+    "fn_string_edit",
+    """SELECT p_partkey,
+      |  array_to_string(list_transform(string_split(p_name, ' '),
+      |    w -> upper(w[1:1]) || w[2:]), ' ') AS ic,
+      |  substr(p_name, 1, 2) || 'XX' || substr(p_name, 5) AS ov,
+      |  array_to_string((string_split(p_name, ' '))[1:1], ' ') AS si,
+      |  CASE p_partkey % 3 + 1 WHEN 1 THEN 'alpha' WHEN 2 THEN 'beta'
+      |    ELSE 'gamma' END AS e,
+      |  CAST(length(p_name) AS BIGINT) AS cl
+      |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        initcap(col("p_name")).as("ic"),
+        overlay(col("p_name"), lit("XX"), lit(3)).as("ov"),
+        substring_index(col("p_name"), " ", 1).as("si"),
+        expr("elt(p_partkey % 3 + 1, 'alpha', 'beta', 'gamma')").as("e"),
+        char_length(col("p_name")).cast("long").as("cl"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Datetime CONSTRUCTION + unit arithmetic (`make_date` /
+    * `make_timestamp` / `months_between` / `timestampdiff` /
+    * `timestampadd` / `unix_date` / `date_from_unix_date`) — how a
+    * pipeline builds temporal keys from parts and bills in calendar
+    * units. Cross-engine rules established by probe: Spark
+    * `timestampdiff` is the TRUNCATED µs difference (NOT DuckDB
+    * date_diff's boundary counting — the oracle bills whole days × 24
+    * over an epoch anchor, positive by construction so truncation ==
+    * floor); `months_between` returns an exact integer when both day
+    * components are equal, so the fixture-driven pair clamps
+    * day-of-month to ≤ 28 before `add_months` (end-of-month clamping
+    * would desync the day components and surface the /31 fraction),
+    * while the fraction rule itself is pinned on a LITERAL pair whose
+    * HALF_UP-8 rounding the DuckDB `round(x, 8)` replay matches
+    * bit-for-bit (probed). Dates emit as VARCHAR per the comparator
+    * convention. */
+  private val fnDatetimeMake = Spec(
+    "fn_datetime_make",
+    """WITH t AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS dd
+      |           FROM orders),
+      |u AS (SELECT o_orderkey, dd,
+      |        make_date(CAST(year(dd) AS INT), CAST(month(dd) AS INT),
+      |                  CAST(least(day(dd), 28) AS INT)) AS d28
+      |      FROM t)
+      |SELECT o_orderkey,
+      |  CAST(make_date(CAST(year(dd) AS INT), CAST(month(dd) AS INT),
+      |                 CAST(day(dd) AS INT)) AS VARCHAR) AS md_rt,
+      |  CAST(make_timestamp(CAST(year(dd) AS INT), CAST(month(dd) AS INT),
+      |                      CAST(day(dd) AS INT), 12, 30, 0.0)
+      |       AS VARCHAR) AS mts,
+      |  CAST(o_orderkey % 24 AS DOUBLE) AS mb_int,
+      |  round(2 + 5/31.0, 8) AS mb_frac,
+      |  datediff('day', DATE '1970-01-01', dd) * 24 AS tdh,
+      |  CAST(CAST(dd AS TIMESTAMP) + to_hours(o_orderkey % 48)
+      |       AS VARCHAR) AS ta,
+      |  datediff('day', DATE '1970-01-01', dd) AS ud,
+      |  CAST(dd + 7 AS VARCHAR) AS dfu
+      |FROM u ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast("date").as("dd"))
+      .withColumn("d28", expr(
+        "make_date(year(dd), month(dd), least(day(dd), 28))"))
+      .select(col("o_orderkey"),
+        expr("make_date(year(dd), month(dd), day(dd))")
+          .cast("string").as("md_rt"),
+        expr("make_timestamp(year(dd), month(dd), day(dd), 12, 30, 0)")
+          .cast("string").as("mts"),
+        months_between(expr("add_months(d28, o_orderkey % 24)"),
+          col("d28")).as("mb_int"),
+        months_between(lit("2024-03-15").cast("date"),
+          lit("2024-01-10").cast("date")).as("mb_frac"),
+        expr("timestampdiff(HOUR, TIMESTAMP '1970-01-01 00:00:00', " +
+          "CAST(dd AS TIMESTAMP))").as("tdh"),
+        expr("timestampadd(HOUR, o_orderkey % 48, CAST(dd AS TIMESTAMP))")
+          .cast("string").as("ta"),
+        unix_date(col("dd")).cast("long").as("ud"),
+        date_from_unix_date(unix_date(col("dd")) + 7)
+          .cast("string").as("dfu"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Regex POSITION/EXTRACTION (`regexp_instr` / `regexp_substr`) — the
+    * locate-and-slice half of the regex family (`fn_regex` owns
+    * match/replace/extract-group). DuckDB has neither function; the
+    * oracle derives the 1-based match position from the length of a
+    * lazy prefix capture (`^(.*?)pattern`) and maps regexp_substr's
+    * no-match NULL through NULLIF (safe because the pattern cannot
+    * match the empty string — `[1-9]` requires a character). Data-driven
+    * on the customer-name digit tail: the first-nonzero position varies
+    * with key magnitude, and key 0 exercises the no-match path in both
+    * outputs. */
+  private val fnRegexPosition = Spec(
+    "fn_regex_position",
+    """SELECT c_custkey,
+      |  CASE WHEN regexp_matches(c_name, '[1-9]')
+      |    THEN 1 + length(regexp_extract(c_name, '^(.*?)[1-9]', 1))
+      |    ELSE 0 END AS pos_nonzero,
+      |  NULLIF(regexp_extract(c_name, '[1-9][0-9]*$'), '') AS key_digits
+      |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        regexp_instr(col("c_name"), lit("[1-9]")).cast("int")
+          .as("pos_nonzero"),
+        regexp_substr(col("c_name"), lit("[1-9][0-9]*$")).as("key_digits"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Binary conversion (`to_binary` / `unhex` / `bit_get`/`getbit`,
+    * plus `sha1`/`crc32`) — string↔bytes↔bits plumbing. `to_binary(x,
+    * 'hex')` and `unhex` are exercised as full hex→bytes→string
+    * round-trips that BOTH engines recompute independently (DuckDB
+    * unhex+hex are exact twins); bit probes replay as shift-and-mask
+    * arithmetic. `sha1`/`crc32` have no DuckDB twin, so — same honesty
+    * rule as `fn_number_format`'s comma count — they are pinned by
+    * their structural contracts (40 lowercase-hex chars; value inside
+    * [0, 2³²)), which still catches a wrong-type/wrong-width
+    * implementation while never hashing a digest DuckDB cannot
+    * recompute. */
+  private val fnBinaryConv = Spec(
+    "fn_binary_conv",
+    """WITH t AS (SELECT o_orderkey,
+      |             CAST(o_orderkey AS VARCHAR) AS s FROM orders)
+      |SELECT o_orderkey,
+      |  CAST(unhex(hex(s)) AS VARCHAR) AS rt_unhex,
+      |  CAST(unhex(hex(s)) AS VARCHAR) AS rt_tobin,
+      |  CAST((o_orderkey >> 3) & 1 AS INT) AS bit3,
+      |  CAST((o_orderkey >> 0) & 1 AS INT) AS bit0,
+      |  true AS sha1_shape,
+      |  true AS crc32_range
+      |FROM t ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val str = col("o_orderkey").cast("string")
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        unhex(hex(str)).cast("string").as("rt_unhex"),
+        expr("to_binary(hex(CAST(o_orderkey AS STRING)), 'hex')")
+          .cast("string").as("rt_tobin"),
+        expr("bit_get(o_orderkey, 3)").cast("int").as("bit3"),
+        expr("getbit(o_orderkey, 0)").cast("int").as("bit0"),
+        sha1(str).rlike("^[0-9a-f]{40}$").as("sha1_shape"),
+        (crc32(str.cast("binary")) >= 0L &&
+          crc32(str.cast("binary")) < (1L << 32)).as("crc32_range"))
+      .orderBy(col("o_orderkey"))
   }
 }
