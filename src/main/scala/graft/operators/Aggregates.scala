@@ -26,7 +26,7 @@ object Aggregates {
     aggSketchCms, aggBitmapNative, aggListagg, aggMaxBy, dsTypedApi,
     aggBoolFamily, aggApproxTopK, aggWithinGroup, aggRegression,
     aggCorrCovar, dsMapPartitions, aggHigherMoments, aggTryArith,
-    aggAnyValue)
+    aggAnyValue, aggStatsBuiltin)
 
   /** `PERCENTILE_CONT` / `PERCENTILE_DISC … WITHIN GROUP (ORDER BY …)`
     * — the ANSI ordered-set aggregate syntax for percentiles (the
@@ -1028,5 +1028,66 @@ object Aggregates {
       .agg(any_value(col("n_name")).as("nation_name"),
         count(lit(1)).as("n_customers"))
       .orderBy(col("c_nationkey"))
+  }
+
+  /** The BUILT-IN spread aggregates (`var_pop`/`var_samp`/`stddev_pop`
+    * + `sum(DISTINCT)`) — `agg_stats_moments` replays variance through
+    * exact decimal sums precisely BECAUSE Spark's central-moment
+    * accumulation and DuckDB's differ in final ulps; this row pins the
+    * builtins themselves under that reality: the hashed values are the
+    * exact decimal-sum forms (same IEEE sequence both engines), and
+    * each builtin is asserted WITHIN 1e-9 relative of its exact twin
+    * (oracle: literal TRUE) — the same exact-plus-band discipline as
+    * `agg_approx_distinct`. A builtin that silently changed its
+    * accumulation order stays green; one that changed its ANSWER
+    * (wrong denominator, samp/pop swap) flips a boolean and fails the
+    * hash. `sum(DISTINCT decimal)` is exact in both engines and hashes
+    * directly. */
+  private val aggStatsBuiltin = Spec(
+    "agg_stats_builtin",
+    """WITH t AS (SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+      |             * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+      |    CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,2)))
+      |         AS DOUBLE) AS sum_dist
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  (sq - s * s / n) / n AS var_pop_ex,
+      |  (sq - s * s / n) / (n - 1) AS var_samp_ex,
+      |  sqrt((sq - s * s / n) / n) AS sd_pop_ex,
+      |  true AS ok_vp, true AS ok_vs, true AS ok_sp,
+      |  sum_dist
+      |FROM t ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val q = Det.dec2(col("l_quantity"))
+    def band(b: org.apache.spark.sql.Column, ex: org.apache.spark.sql.Column) =
+      abs(b - ex) <= lit(1e-9) * greatest(lit(1.0), abs(ex))
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(q).cast("double").as("s"),
+        sum(q * q).cast("double").as("sq"),
+        sum_distinct(q).cast("double").as("sum_dist"),
+        var_pop(col("l_quantity")).as("vp_b"),
+        var_samp(col("l_quantity")).as("vs_b"),
+        stddev_pop(col("l_quantity")).as("sp_b"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("sq") - col("s") * col("s") / col("n")) / col("n"))
+          .as("var_pop_ex"),
+        ((col("sq") - col("s") * col("s") / col("n")) / (col("n") - 1))
+          .as("var_samp_ex"),
+        sqrt((col("sq") - col("s") * col("s") / col("n")) / col("n"))
+          .as("sd_pop_ex"),
+        band(col("vp_b"),
+          (col("sq") - col("s") * col("s") / col("n")) / col("n"))
+          .as("ok_vp"),
+        band(col("vs_b"),
+          (col("sq") - col("s") * col("s") / col("n")) / (col("n") - 1))
+          .as("ok_vs"),
+        band(col("sp_b"),
+          sqrt((col("sq") - col("s") * col("s") / col("n")) / col("n")))
+          .as("ok_sp"),
+        col("sum_dist"))
+      .orderBy(col("l_returnflag"))
   }
 }

@@ -30,7 +30,8 @@ object Functions {
     fnDatetimeFormat, fnXpath, fnExplodeOuter, fnNumberFormat,
     fnWidthBucket, fnLuhn, fnToNumber, fnReflect, fnIdGeneration,
     fnArrayEdit, fnStringEdit, fnDatetimeMake, fnRegexPosition,
-    fnBinaryConv)
+    fnBinaryConv, fnArrayConstruct, fnDatetimeNames, fnGuards,
+    fnJsonMeta)
 
   /** `width_bucket` — equi-width histogram binning as a single
     * expression (the SQL-standard spelling of "which of n uniform
@@ -1441,6 +1442,135 @@ object Functions {
         sha1(str).rlike("^[0-9a-f]{40}$").as("sha1_shape"),
         (crc32(str.cast("binary")) >= 0L &&
           crc32(str.cast("binary")) < (1L << 32)).as("crc32_range"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Array/map/struct CONSTRUCTION (`arrays_zip` / `map_from_arrays` /
+    * `array_repeat` / `array_max`/`array_min` / `named_struct`) — the
+    * builders that assemble nested cells from parallel columns (the
+    * inverse of the explode family). arrays_zip names its struct fields
+    * `0`,`1` for anonymous inputs, accessed with backticks; everything
+    * nested serializes to joined strings for the comparator (DuckDB
+    * replays element-wise over generate_series — index arithmetic, no
+    * list_zip needed). map_from_arrays entries are emitted SORTED: map
+    * entry order is an implementation detail neither engine promises. */
+  private val fnArrayConstruct = Spec(
+    "fn_array_construct",
+    """WITH t AS (SELECT o_orderkey, o_orderstatus,
+      |             o_orderkey % 3 + 2 AS k FROM orders)
+      |SELECT o_orderkey,
+      |  array_to_string(list_transform(generate_series(1::BIGINT, k),
+      |    i -> i::VARCHAR || ':' || (i*10)::VARCHAR), ',') AS az,
+      |  array_to_string(list_transform(generate_series(1::BIGINT, k),
+      |    i -> i::VARCHAR || '=' || (i*10)::VARCHAR), ',') AS mfa,
+      |  array_to_string(list_transform(generate_series(1, CAST(k AS INT)),
+      |    i -> o_orderstatus), ',') AS rep,
+      |  k * 10 AS amax, CAST(10 AS BIGINT) AS amin,
+      |  o_orderkey::VARCHAR || '/' || o_orderstatus AS ns
+      |FROM t ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("k", col("o_orderkey") % 3 + 2)
+      .select(col("o_orderkey"),
+        expr("array_join(transform(arrays_zip(sequence(1L, k), " +
+          "sequence(10L, k*10, 10L)), s -> concat(s.`0`, ':', s.`1`)), ',')")
+          .as("az"),
+        expr("array_join(sort_array(transform(map_entries(" +
+          "map_from_arrays(sequence(1L, k), sequence(10L, k*10, 10L))), " +
+          "e -> concat(e.key, '=', e.value))), ',')").as("mfa"),
+        expr("array_join(array_repeat(o_orderstatus, CAST(k AS INT)), ',')")
+          .as("rep"),
+        expr("array_max(sequence(10L, k*10, 10L))").as("amax"),
+        expr("array_min(sequence(10L, k*10, 10L))").as("amin"),
+        expr("concat(named_struct('k', o_orderkey, 's', o_orderstatus).k," +
+          " '/', named_struct('k', o_orderkey, 's', o_orderstatus).s)")
+          .as("ns"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Calendar NAMES (`dayname` / `monthname`, Spark 4.0) + ISO
+    * `weekofyear` — the human-calendar render surface every report
+    * GROUP BY uses. Spark's names are the locale-independent 3-letter
+    * English abbreviations, which is exactly DuckDB's C-locale
+    * `strftime %a / %b`; weekofyear is ISO 8601 in both engines (the
+    * week containing the first Thursday), so the year-boundary rows the
+    * fixture contains hash-match without adjustment. */
+  private val fnDatetimeNames = Spec(
+    "fn_datetime_names",
+    """WITH t AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS dd
+      |           FROM orders)
+      |SELECT o_orderkey,
+      |  strftime(dd, '%a') AS dn,
+      |  strftime(dd, '%b') AS mn,
+      |  CAST(weekofyear(dd) AS INT) AS wk
+      |FROM t ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast("date").as("dd"))
+      .select(col("o_orderkey"),
+        expr("dayname(dd)").as("dn"),
+        expr("monthname(dd)").as("mn"),
+        weekofyear(col("dd")).cast("int").as("wk"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** NULL/error GUARDS (`nullifzero` / `zeroifnull` / `equal_null` /
+    * `assert_true` / `raise_error`) — the data-quality tripwire family.
+    * nullifzero/zeroifnull (Spark 4) replay as the NULLIF/COALESCE they
+    * desugar to; equal_null is IS NOT DISTINCT FROM (the NULL-safe
+    * comparison `join_null_safe` pins as a JOIN key, here as a scalar).
+    * The error half is witnessed by NOT firing: raise_error sits in a
+    * CASE branch no fixture row takes, and assert_true(price ≥ 0)
+    * returns NULL (emitted through isnull ⇒ true) — if either guard
+    * ever fired, Verify would abort loudly instead of hashing, which is
+    * the point of shipping guards inside a 100 TB pipeline's
+    * projections. */
+  private val fnGuards = Spec(
+    "fn_guards",
+    """SELECT o_orderkey,
+      |  NULLIF(o_orderkey % 3, 0) AS nz,
+      |  COALESCE(NULLIF(o_orderkey % 3, 0), 0) AS zn,
+      |  (NULLIF(o_orderkey % 3, 0) IS NOT DISTINCT FROM
+      |   NULLIF(o_orderkey % 2, 0)) AS eqn,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS guarded,
+      |  true AS asserted
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        expr("nullifzero(o_orderkey % 3)").as("nz"),
+        expr("zeroifnull(nullifzero(o_orderkey % 3))").as("zn"),
+        expr("equal_null(nullifzero(o_orderkey % 3), " +
+          "nullifzero(o_orderkey % 2))").as("eqn"),
+        expr("CASE WHEN o_totalprice < 0 THEN raise_error('negative') " +
+          "ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) END")
+          .as("guarded"),
+        isnull(expr("assert_true(o_totalprice >= 0)")).as("asserted"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** JSON METADATA (`json_array_length` / `schema_of_json`) — the
+    * introspection half of the JSON family (`fn_json` owns
+    * parse/extract/render). The array length is data-driven (a JSON
+    * array built from the row's own modulus, measured by both engines'
+    * native JSON machinery); schema_of_json — Spark's schema INFERENCE
+    * on a sample document, the first step of every schema-on-read
+    * ingest — has no DuckDB twin, so its (deterministic, literal-input)
+    * DDL render is pinned against the expected literal. */
+  private val fnJsonMeta = Spec(
+    "fn_json_meta",
+    """WITH t AS (SELECT o_orderkey, o_orderkey % 4 + 1 AS k FROM orders)
+      |SELECT o_orderkey,
+      |  CAST(json_array_length('[' ||
+      |    array_to_string(generate_series(1::BIGINT, k), ',') || ']')
+      |    AS INT) AS jal,
+      |  'STRUCT<a: BIGINT, b: STRING>' AS soj
+      |FROM t ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("k", col("o_orderkey") % 4 + 1)
+      .select(col("o_orderkey"),
+        expr("json_array_length(concat('[', array_join(transform(" +
+          "sequence(1L, k), x -> cast(x as string)), ','), ']'))")
+          .cast("int").as("jal"),
+        expr("""schema_of_json('{"a":1,"b":"x"}')""").as("soj"))
       .orderBy(col("o_orderkey"))
   }
 }
