@@ -126,31 +126,7 @@ object StreamingOps {
       .option("maxFilesPerTrigger", "1").parquet(inDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val marker = new java.io.File(s"$out/_done_$id")
-        if (!marker.exists()) { // at-least-once → idempotent via ledger
-          nBatches.incrementAndGet()
-          val sess = batch.sparkSession
-          val batchAgg = batch.groupBy(col("user_id"))
-            .agg(max(col("es")).as("last_es"),
-              count(lit(1)).as("n_events"))
-          val existing =
-            if (new java.io.File(base).exists()) sess.read.parquet(base)
-            else sess.createDataFrame(
-              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-              batchAgg.schema)
-          val merged = existing.unionByName(batchAgg)
-            .groupBy(col("user_id"))
-            .agg(max(col("last_es")).as("last_es"),
-              sum(col("n_events")).cast("long").as("n_events"))
-          // write-then-swap: the merge READS base, so it lands in a tmp
-          // dir first; the swap happens only after the write committed
-          val tmp = s"$out/tmp_$id"
-          merged.write.mode("overwrite").parquet(tmp)
-          Scans.rmRecursive(new java.io.File(base))
-          require(new java.io.File(tmp).renameTo(new java.io.File(base)),
-            s"state swap failed for batch $id")
-          marker.createNewFile()
-        }
+        if (upsertMergeBatch(out, batch, id)) nBatches.incrementAndGet()
         ()
       }
       .trigger(Trigger.AvailableNow()).start()
@@ -161,6 +137,42 @@ object StreamingOps {
       s"only ${nBatches.get} data batch(es) — the merge path was never " +
         "exercised across a batch boundary")
     s.read.parquet(base).orderBy(col("user_id"))
+  }
+
+  /** The production core of [[foreachBatchUpsert]], factored so
+    * StreamingSpec can drive it under DIFFERENT batch splits (the
+    * split-invariance the oracle's fixed two-file staging cannot vary)
+    * and under a replayed batch id. Folds one micro-batch of
+    * (user_id, es) into the keyed base under `out`; returns true iff
+    * the batch was NEW (false = the batch-id ledger skipped a replay). */
+  private[graft] def upsertMergeBatch(out: String, batch: DataFrame,
+      id: Long): Boolean = {
+    import graft.operators.Scans
+    val base = s"$out/state"
+    val marker = new java.io.File(s"$out/_done_$id")
+    if (marker.exists()) return false // at-least-once → idempotent
+    val sess = batch.sparkSession
+    val batchAgg = batch.groupBy(col("user_id"))
+      .agg(max(col("es")).as("last_es"),
+        count(lit(1)).as("n_events"))
+    val existing =
+      if (new java.io.File(base).exists()) sess.read.parquet(base)
+      else sess.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        batchAgg.schema)
+    val merged = existing.unionByName(batchAgg)
+      .groupBy(col("user_id"))
+      .agg(max(col("last_es")).as("last_es"),
+        sum(col("n_events")).cast("long").as("n_events"))
+    // write-then-swap: the merge READS base, so it lands in a tmp dir
+    // first; the swap happens only after the write committed
+    val tmp = s"$out/tmp_$id"
+    merged.write.mode("overwrite").parquet(tmp)
+    Scans.rmRecursive(new java.io.File(base))
+    require(new java.io.File(tmp).renameTo(new java.io.File(base)),
+      s"state swap failed for batch $id")
+    marker.createNewFile()
+    true
   }
 
   /** Shared transforms (batch twin == streaming form). */

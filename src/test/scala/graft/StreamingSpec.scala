@@ -521,6 +521,64 @@ class StreamingSpec extends StreamingParityBase {
           "mean complete-mode re-emission of the unchanged group u1")
     } finally graft.operators.Scans.rmRecursive(root)
   }
+
+  test("foreachBatch upsert is split-invariant and replay-idempotent") {
+    // The registered row drives StreamingOps.upsertMergeBatch over the
+    // fixed two-file parity staging; this pins the two invariants that
+    // staging cannot vary: (a) SPLIT-INVARIANCE — folding the same rows
+    // in as 1, 2, or 3 micro-batches with different key interleavings
+    // must land the identical keyed state (merge is a semigroup fold:
+    // max ∘ max and sum ∘ sum), and (b) REPLAY-IDEMPOTENCE — re-merging
+    // an already-ledgered batch id must be a no-op (foreachBatch is
+    // at-least-once; without the ledger the running count double-bills).
+    import TestSpark._
+    import spark.implicits._
+    val rows = Seq( // (user_id, es)
+      (1L, 100L), (2L, 200L), (1L, 300L), (3L, 50L), (2L, 150L),
+      (1L, 250L), (3L, 400L))
+    def df(rs: Seq[(Long, Long)]): DataFrame = rs.toDF("user_id", "es")
+    def runSplit(tag: String, batches: Seq[Seq[(Long, Long)]])
+        : Set[(Long, Long, Long)] = {
+      val out = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_p${graft.operators.Scans.jvmTag}_fbu_test_$tag")
+      graft.operators.Scans.rmRecursive(out)
+      java.nio.file.Files.createDirectories(out.toPath)
+      try {
+        batches.zipWithIndex.foreach { case (b, i) =>
+          assert(StreamingOps.upsertMergeBatch(out.toString, df(b), i.toLong),
+            s"fresh batch $i was skipped as a replay")
+        }
+        spark.read.parquet(s"$out/state")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet
+      } finally graft.operators.Scans.rmRecursive(out)
+    }
+    val expected = Set((1L, 300L, 3L), (2L, 200L, 2L), (3L, 400L, 2L))
+    assert(runSplit("one", Seq(rows)) == expected, "single-batch fold")
+    assert(runSplit("two", Seq(rows.take(4), rows.drop(4))) == expected,
+      "two-batch fold diverged from the single-batch state")
+    assert(runSplit("three",
+      Seq(rows.take(2), rows.slice(2, 5), rows.drop(5))) == expected,
+      "three-batch fold diverged from the single-batch state")
+    // replay-idempotence: merge batch 0 twice, then batch 1 — the replay
+    // must be skipped (returns false) and the final state unaffected
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_p${graft.operators.Scans.jvmTag}_fbu_test_replay")
+    graft.operators.Scans.rmRecursive(out)
+    java.nio.file.Files.createDirectories(out.toPath)
+    try {
+      assert(StreamingOps.upsertMergeBatch(out.toString, df(rows.take(4)), 0L))
+      assert(!StreamingOps.upsertMergeBatch(out.toString, df(rows.take(4)), 0L),
+        "replayed batch id 0 was merged again — double-billed counts")
+      assert(StreamingOps.upsertMergeBatch(out.toString, df(rows.drop(4)), 1L))
+      val state = spark.read.parquet(s"$out/state")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(state == expected,
+        s"state after a replayed batch diverged: $state")
+    } finally graft.operators.Scans.rmRecursive(out)
+  }
 }
 
 /** The identical §2.9 parity family under RocksDB + changelog
