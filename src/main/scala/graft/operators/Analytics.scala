@@ -2136,42 +2136,13 @@ object Analytics {
     * is the Σ (error ~1e-15, absorbed by the driver's 6-decimal
     * canonicalization); divisions/multiplies are written in the same
     * association order in both engines. */
-  private val graphPagerank = Spec(
-    "graph_pagerank", {
-      val iter = (1 to 5).map { k =>
-        s"""r$k AS MATERIALIZED (
-           |  SELECT n.node,
-           |    CAST(0.15 AS DOUBLE) / nc.n_nodes + CAST(0.85 AS DOUBLE) *
-           |      COALESCE(SUM((r.rank * e.w) / e.out_w), CAST(0 AS DOUBLE))
-           |      AS rank
-           |  FROM nodes n CROSS JOIN nc
-           |  LEFT JOIN edgesn e ON e.dst = n.node
-           |  LEFT JOIN r${k - 1} r ON r.node = e.src
-           |  GROUP BY n.node, nc.n_nodes)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH edges AS MATERIALIZED (
-         |  SELECT c_nationkey AS src, s_nationkey AS dst,
-         |    CAST(COUNT(*) AS BIGINT) AS w
-         |  FROM lineitem
-         |  JOIN orders ON l_orderkey = o_orderkey
-         |  JOIN customer ON o_custkey = c_custkey
-         |  JOIN supplier ON l_suppkey = s_suppkey
-         |  GROUP BY 1, 2),
-         |edgesn AS MATERIALIZED (
-         |  SELECT e.src, e.dst, e.w, o.out_w
-         |  FROM edges e
-         |  JOIN (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w
-         |        FROM edges GROUP BY src) o ON e.src = o.src),
-         |nodes AS MATERIALIZED (
-         |  SELECT src AS node FROM edges
-         |  UNION SELECT dst FROM edges),
-         |nc AS (SELECT COUNT(*) AS n_nodes FROM nodes),
-         |r0 AS MATERIALIZED (
-         |  SELECT node, CAST(1.0 AS DOUBLE) / nc.n_nodes AS rank
-         |  FROM nodes CROSS JOIN nc),
-         |$iter
-         |SELECT node, rank FROM r5 ORDER BY node""".stripMargin
-    }) { (s, d) =>
+  /** The lazy 5-round recurrence plus its two cached loop invariants,
+    * factored out so PlanSpec can audit the loop plan (BHJ-only,
+    * cached edge list) on the UNMATERIALIZED form — the registered fn
+    * below collects and unpersists, returning a LocalRelation a plan
+    * audit would see nothing in. Callers own the unpersist. */
+  private[graft] def pagerankLazy(s: SparkSession, d: String)
+      : (DataFrame, Seq[DataFrame]) = {
     val edges = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
@@ -2208,7 +2179,57 @@ object Analytics {
           (lit(0.15) / col("n_nodes") +
             lit(0.85) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
     }
-    r5.orderBy(col("node"))
+    (r5.orderBy(col("node")), Seq(edgesC, nodes))
+  }
+
+  private val graphPagerank = Spec(
+    "graph_pagerank", {
+      val iter = (1 to 5).map { k =>
+        s"""r$k AS MATERIALIZED (
+           |  SELECT n.node,
+           |    CAST(0.15 AS DOUBLE) / nc.n_nodes + CAST(0.85 AS DOUBLE) *
+           |      COALESCE(SUM((r.rank * e.w) / e.out_w), CAST(0 AS DOUBLE))
+           |      AS rank
+           |  FROM nodes n CROSS JOIN nc
+           |  LEFT JOIN edgesn e ON e.dst = n.node
+           |  LEFT JOIN r${k - 1} r ON r.node = e.src
+           |  GROUP BY n.node, nc.n_nodes)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH edges AS MATERIALIZED (
+         |  SELECT c_nationkey AS src, s_nationkey AS dst,
+         |    CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  GROUP BY 1, 2),
+         |edgesn AS MATERIALIZED (
+         |  SELECT e.src, e.dst, e.w, o.out_w
+         |  FROM edges e
+         |  JOIN (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w
+         |        FROM edges GROUP BY src) o ON e.src = o.src),
+         |nodes AS MATERIALIZED (
+         |  SELECT src AS node FROM edges
+         |  UNION SELECT dst FROM edges),
+         |nc AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+         |r0 AS MATERIALIZED (
+         |  SELECT node, CAST(1.0 AS DOUBLE) / nc.n_nodes AS rank
+         |  FROM nodes CROSS JOIN nc),
+         |$iter
+         |SELECT node, rank FROM r5 ORDER BY node""".stripMargin
+    }) { (s, d) =>
+    // Materialize the recurrence NOW and release the loop invariants
+    // (ADVICE r14 #3): lazily returning r5 would pin edgesC/nodes in the
+    // session's cache registry for the rest of a multi-hundred-query
+    // run. The collect is bounded by this operator's declared
+    // per-entity-graph scope (O(nations) rows); the caller gets a
+    // LocalRelation holding the already-computed ranks.
+    val (ordered, caches) = pagerankLazy(s, d)
+    val ranksLocal =
+      try ordered.collect()
+      finally caches.foreach(_.unpersist(blocking = false))
+    s.createDataFrame(java.util.Arrays.asList(ranksLocal: _*), ordered.schema)
+      .orderBy(col("node"))
   }
 
   /** Linear time-weighted interpolation of a sparse measure — the

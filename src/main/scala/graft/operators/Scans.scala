@@ -1430,7 +1430,13 @@ object Scans {
       .option("checkpointLocation", cp)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .toTable(tbl)
-    q.awaitTermination()
+    // Bounded like every other streaming row (ADVICE r14 #1): an
+    // unbounded awaitTermination on a wedged AvailableNow query would
+    // hang the whole verify/bench run; 180 s matches the StreamingOps
+    // pattern and fails loudly instead.
+    try require(q.awaitTermination(180000),
+      "stream-to-table landing did not finish in 180 s")
+    finally q.stop()
     s.table(tbl)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),

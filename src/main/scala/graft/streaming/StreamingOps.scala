@@ -149,8 +149,23 @@ object StreamingOps {
       id: Long): Boolean = {
     import graft.operators.Scans
     val base = s"$out/state"
-    val marker = new java.io.File(s"$out/_done_$id")
-    if (marker.exists()) return false // at-least-once → idempotent
+    val baseF = new java.io.File(base)
+    val tmpF = new java.io.File(s"$out/tmp_$id")
+    // The batch-id ledger lives INSIDE the state dir (ADVICE r14 #2):
+    // the `_done_<id>` markers are staged into tmp alongside the merged
+    // parquet, so the single rename below publishes state + ledger
+    // atomically — there is no window where swapped-but-unmarked state
+    // lets a replayed batch re-merge and double-count n_events.
+    // Underscore-prefixed files are invisible to Spark's file listing.
+    if (new java.io.File(baseF, s"_done_$id").exists())
+      return false // at-least-once → idempotent
+    // Crash recovery for the one remaining non-atomic step (base moved
+    // aside, tmp not yet renamed in): tmp already carries this batch's
+    // marker ⇒ the merge committed; finish the publish and skip.
+    if (!baseF.exists() && new java.io.File(tmpF, s"_done_$id").exists()) {
+      require(tmpF.renameTo(baseF), s"recovery publish failed for batch $id")
+      return false
+    }
     val sess = batch.sparkSession
     val batchAgg = batch.groupBy(col("user_id"))
       .agg(max(col("es")).as("last_es"),
@@ -166,12 +181,25 @@ object StreamingOps {
         sum(col("n_events")).cast("long").as("n_events"))
     // write-then-swap: the merge READS base, so it lands in a tmp dir
     // first; the swap happens only after the write committed
-    val tmp = s"$out/tmp_$id"
-    merged.write.mode("overwrite").parquet(tmp)
-    Scans.rmRecursive(new java.io.File(base))
-    require(new java.io.File(tmp).renameTo(new java.io.File(base)),
-      s"state swap failed for batch $id")
-    marker.createNewFile()
+    merged.write.mode("overwrite").parquet(tmpF.toString)
+    // Stage the full ledger into tmp — prior batches' markers carried
+    // forward plus this batch's — so ledger and state publish in ONE
+    // rename. Crash before the renames: old state+ledger intact, the
+    // replay re-merges (correct). Crash between them: the recovery
+    // branch at entry finishes the publish.
+    Option(baseF.list()).getOrElse(Array.empty[String])
+      .filter(_.startsWith("_done_"))
+      .foreach(m => new java.io.File(tmpF, m).createNewFile())
+    new java.io.File(tmpF, s"_done_$id").createNewFile()
+    if (baseF.exists()) {
+      val old = new java.io.File(s"$out/old_$id")
+      Scans.rmRecursive(old)
+      require(baseF.renameTo(old), s"state retire failed for batch $id")
+      require(tmpF.renameTo(baseF), s"state swap failed for batch $id")
+      Scans.rmRecursive(old)
+    } else {
+      require(tmpF.renameTo(baseF), s"state swap failed for batch $id")
+    }
     true
   }
 

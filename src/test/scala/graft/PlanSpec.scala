@@ -93,7 +93,16 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("graph_pagerank caches the edge list and broadcasts every loop join") {
-    val p = plan("graph_pagerank")
+    // The registered fn materializes eagerly and unpersists its caches
+    // (ADVICE r14 #3), returning a LocalRelation a plan audit would see
+    // nothing in — audit the factored-out lazy form instead, and
+    // unpersist here since this path never runs the registered cleanup.
+    val (lazyRanks, caches) =
+      graft.operators.Analytics.pagerankLazy(spark, SF001)
+    val p =
+      try lazyRanks.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      finally caches.foreach(_.unpersist(blocking = false))
     // edge derivation: dims broadcast; loop invariants cached (the Pregel
     // discipline); iterations: rank vector and in-mass join via BHJ —
     // nothing in the loop may re-derive or shuffle the edge list
