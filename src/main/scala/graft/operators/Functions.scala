@@ -31,7 +31,7 @@ object Functions {
     fnWidthBucket, fnLuhn, fnToNumber, fnReflect, fnIdGeneration,
     fnArrayEdit, fnStringEdit, fnDatetimeMake, fnRegexPosition,
     fnBinaryConv, fnArrayConstruct, fnDatetimeNames, fnGuards,
-    fnJsonMeta)
+    fnJsonMeta, sqlUdfScalar, sqlUdfTable)
 
   /** `width_bucket` — equi-width histogram binning as a single
     * expression (the SQL-standard spelling of "which of n uniform
@@ -1572,5 +1572,86 @@ object Functions {
           .cast("int").as("jal"),
         expr("""schema_of_json('{"a":1,"b":"x"}')""").as("soj"))
       .orderBy(col("o_orderkey"))
+  }
+
+  /** SQL-language scalar functions (Spark 4 `CREATE FUNCTION … RETURNS
+    * … RETURN <expr>`) — the last user-extension API beside the Scala
+    * UDF/UDAF/UDTF/optimizer-rule rows. Unlike [[fnUdfScalar]]'s opaque
+    * Scala closure, a SQL UDF is SUGAR: analysis inlines the body into
+    * the caller's plan, so composition (`band(net(x))`) folds into one
+    * codegen'd Project and a simple-comparison body used in WHERE
+    * (`is_big`) inlines all the way into the parquet scan's
+    * PushedFilters — both pinned in PlanSpec. That inlining is the
+    * 100 TB story: shared business logic named once and reused across
+    * queries costs NOTHING over writing the expression by hand (no
+    * codegen break, no pushdown loss — the exact costs the quarantined
+    * Scala-UDF row demonstrates). The oracle replays each body inline;
+    * the net arithmetic is the same IEEE multiply order in both
+    * engines, and the band thresholds compare the identical product
+    * bits. TEMPORARY scope keeps re-invocation idempotent via OR
+    * REPLACE (the persistent `CREATE FUNCTION` form works in this
+    * image's Derby-backed catalog too — probed — but session scope is
+    * what a registered query should own). */
+  private val sqlUdfScalar = Spec(
+    "sql_udf_scalar",
+    """SELECT o_orderkey,
+      |  o_totalprice * (1.0 - 0.04) AS net,
+      |  CASE WHEN o_totalprice * (1.0 - 0.04) >= 300000.0 THEN 'jumbo'
+      |       WHEN o_totalprice * (1.0 - 0.04) >= 150000.0 THEN 'large'
+      |       ELSE 'standard' END AS band
+      |FROM orders
+      |WHERE o_totalprice > 190000.0
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_udf_net(p DOUBLE)
+            |RETURNS DOUBLE RETURN p * (1.0 - 0.04)""".stripMargin)
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_udf_band(m DOUBLE)
+            |RETURNS STRING RETURN
+            |  CASE WHEN m >= 300000.0 THEN 'jumbo'
+            |       WHEN m >= 150000.0 THEN 'large'
+            |       ELSE 'standard' END""".stripMargin)
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_udf_is_big(p DOUBLE)
+            |RETURNS BOOLEAN RETURN p > 190000.0""".stripMargin)
+    Tables.orders(s, d).createOrReplaceTempView("graft_udf_orders")
+    s.sql(
+      """SELECT o_orderkey,
+        |  graft_udf_net(o_totalprice) AS net,
+        |  graft_udf_band(graft_udf_net(o_totalprice)) AS band
+        |FROM graft_udf_orders
+        |WHERE graft_udf_is_big(o_totalprice)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** SQL-language TABLE function (`RETURNS TABLE (…) RETURN SELECT …`)
+    * invoked through correlated LATERAL — the declarative UDTF: the
+    * body (tokenize + position + length, dropping empty tokens) is a
+    * named, reusable relation-producing view that analysis expands into
+    * the caller's plan as an ordinary Generate over the outer row, NOT
+    * a per-row subquery execution — PlanSpec pins Generate-no-
+    * nested-loop, the same decorrelation guarantee `join_lateral`
+    * pins for inline subqueries. vs [[fnUdtfExplode]]: same generator
+    * machinery, but the logic is packaged behind a catalog name a
+    * whole team can call. Oracle = DuckDB unnest/generate_subscripts
+    * with the identical empty-token filter. */
+  private val sqlUdfTable = Spec(
+    "sql_udf_table",
+    """SELECT doc_id, pos, word, length(word) AS wlen FROM (
+      |  SELECT doc_id,
+      |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+      |    unnest(string_split(text, ' ')) AS word
+      |  FROM documents WHERE doc_id < 60)
+      |WHERE word <> ''
+      |ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_udf_tok(s STRING)
+        |RETURNS TABLE (pos INT, word STRING, wlen INT) RETURN
+        |  SELECT CAST(pos + 1 AS INT), col, length(col)
+        |  FROM (SELECT posexplode(split(s, ' ')))
+        |  WHERE col <> ''""".stripMargin)
+    Tables.documents(s, d).createOrReplaceTempView("graft_udf_docs")
+    s.sql(
+      """SELECT doc_id, t.pos, t.word, t.wlen
+        |FROM graft_udf_docs, LATERAL graft_udf_tok(text) t
+        |WHERE doc_id < 60
+        |ORDER BY doc_id, t.pos""".stripMargin)
   }
 }

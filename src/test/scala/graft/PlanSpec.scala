@@ -115,6 +115,29 @@ class PlanSpec extends AnyFunSuite {
       s"loop joins degraded to $smj SMJs (lineage re-expansion?):\n$p")
   }
 
+  test("sql_udf_scalar inlines: composition in codegen, body predicate pushed") {
+    val p = plan("sql_udf_scalar")
+    // a SQL-language UDF is sugar, not a black box: no UDF node may
+    // survive into the plan, the composed net/band bodies must sit in a
+    // codegen'd Project, and is_big's simple-comparison body must reach
+    // the parquet scan's pushed filters — the three costs the Scala-UDF
+    // row (fn_udf_scalar) pays that this surface must NOT
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEval"), p.take(900))
+    // (the adaptive formatted plan renders codegen spans only after
+    // execution — absence-of-UDF-node + pushdown are the inline witness)
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("GreaterThan(o_totalprice,190000.0)"),
+      s"SQL UDF predicate body did not inline into the scan: $pushed")
+  }
+
+  test("sql_udf_table expands to a Generate — no per-row subquery loop") {
+    val p = plan("sql_udf_table")
+    assert(p.contains("Generate"), p.take(900))
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"LATERAL TVF degraded to a join loop:\n${p.take(900)}")
+  }
+
   test("sql_tvf_range plans the synthetic Range leaf, no file scan") {
     val p = plan("sql_tvf_range")
     assert(p.contains("Range"), p.take(900))
