@@ -12,7 +12,7 @@ import graft.sources.Tables
 object Maintenance {
   def specs: Seq[Spec] = Seq(mergeUpsert, profileColumns, snapshotDiff,
     zorderLayout, profileObserve, dsCheckpoint, profileAnalyzeStats,
-    dsCacheReuse, profileCrosstab, profileAccumulator)
+    dsCacheReuse, profileCrosstab, profileAccumulator, profileStatFunctions)
 
   /** `LongAccumulator` — the executor→driver metrics side-channel
     * (`Dataset.observe`'s older, action-scoped sibling; see
@@ -444,6 +444,95 @@ object Maintenance {
       .select(col("p.col_name"), col("p.n_nulls"), col("p.n_distinct"),
         col("p.vmin"), col("p.vmax"))
       .orderBy(col("col_name"))
+  }
+
+  /** The three `df.stat` driver-side estimator entry points not covered
+    * elsewhere (`crosstab` → [[profileCrosstab]], `corr`/`cov` →
+    * agg_corr_covar): `approxQuantile` (Greenwald–Khanna rank sketch),
+    * `freqItems` (Karp–Shenker–Papadimitriou heavy hitters), `sampleBy`
+    * (per-stratum Bernoulli). All three return DRIVER-LOCAL results by
+    * design — the distributed work is one pass each, the result is
+    * O(probs + items + strata) — so the oracle is the
+    * agg_approx_distinct discipline: emit the EXACT companion value
+    * where one exists plus a boolean asserting the estimate landed
+    * inside its published guarantee, and let the driver's hash compare
+    * quantify the bound (oracle emits exact + TRUE).
+    *
+    *  - approxQuantile(relErr e): the guarantee is RANK, not value —
+    *    returned v must occupy some rank in [(p−e)n, (p+e)n]. The rank
+    *    interval v occupies is [count(<v)+1, count(≤v)], computed in
+    *    one distributed aggregate; ok = the intervals overlap.
+    *  - freqItems(support s): one-sided guarantee — every item with
+    *    frequency ≥ s·n IS returned (false positives allowed). At
+    *    s=0.15 all five uniform ~20% priorities are truly frequent, so
+    *    the subset check forces the full recall side; the exact count
+    *    of truly-frequent items (5) is DuckDB-replayed.
+    *  - sampleBy(f=0.5, seed): per-row Bernoulli, so the per-partition
+    *    seeding makes exact contents partitioning-dependent — the
+    *    INVARIANT is the binomial band: each stratum's sample size
+    *    within 6σ = 6·√(m·f·(1−f)) of f·m, every stratum non-empty
+    *    (P(miss) ≤ 2⁻⁴⁵ at the smallest fixture stratum), and the
+    *    sample a subset of the source (checked via the stratum counts
+    *    never exceeding m). sqrt is IEEE-exact; no libm hazard. */
+  private val profileStatFunctions = Spec(
+    "profile_stat_functions",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+      |     SELECT o_orderpriority FROM orders GROUP BY o_orderpriority
+      |     HAVING COUNT(*) >= 0.15 * (SELECT COUNT(*) FROM orders)))
+      |    AS freq_exact_n,
+      |  TRUE AS freq_superset,
+      |  CAST((SELECT COUNT(DISTINCT o_orderstatus) FROM orders)
+      |    AS BIGINT) AS n_strata_sampled,
+      |  TRUE AS sample_within_band
+      |FROM orders""".stripMargin) { (s, d) =>
+    val ord = Tables.orders(s, d)
+    val probs = Array(0.25, 0.5, 0.75)
+    val relErr = 0.01
+    val qs = ord.stat.approxQuantile("o_totalprice", probs, relErr)
+    val freqSet = ord.stat.freqItems(Array("o_orderpriority"), 0.15)
+      .collect()(0).getSeq[String](0).toSet
+    // one distributed pass: n plus the rank interval of each returned
+    // quantile value (count(<v), count(<=v))
+    val rankAgg = ord.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_totalprice") < qs(0), 1L).otherwise(0L)),
+      sum(when(col("o_totalprice") <= qs(0), 1L).otherwise(0L)),
+      sum(when(col("o_totalprice") < qs(1), 1L).otherwise(0L)),
+      sum(when(col("o_totalprice") <= qs(1), 1L).otherwise(0L)),
+      sum(when(col("o_totalprice") < qs(2), 1L).otherwise(0L)),
+      sum(when(col("o_totalprice") <= qs(2), 1L).otherwise(0L))).collect()(0)
+    val n = rankAgg.getLong(0)
+    def qOk(i: Int): Boolean = {
+      val lo = rankAgg.getLong(1 + 2 * i) + 1
+      val hi = rankAgg.getLong(2 + 2 * i)
+      val bandLo = (probs(i) - relErr) * n
+      val bandHi = (probs(i) + relErr) * n
+      lo <= bandHi && hi >= bandLo
+    }
+    val exactFreq = ord.groupBy(col("o_orderpriority")).count()
+      .filter(col("count") >= lit(0.15) * lit(n.toDouble))
+      .collect().map(_.getString(0)).toSet
+    val fractions: Map[String, Double] =
+      Map("F" -> 0.5, "O" -> 0.5, "P" -> 0.5)
+    val strataM = ord.groupBy(col("o_orderstatus")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampleM = ord.stat.sampleBy("o_orderstatus", fractions, 42L)
+      .groupBy(col("o_orderstatus")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bandsOk = strataM.forall { case (k, m) =>
+      val f = fractions(k)
+      val sk = sampleM.getOrElse(k, 0L)
+      sk <= m && math.abs(sk - f * m) <= 6.0 * math.sqrt(m * f * (1 - f))
+    }
+    val sp = s
+    import sp.implicits._
+    Seq((n, qOk(0), qOk(1), qOk(2),
+      exactFreq.size.toLong, exactFreq.subsetOf(freqSet),
+      sampleM.size.toLong, bandsOk))
+      .toDF("n_rows", "q25_ok", "q50_ok", "q75_ok", "freq_exact_n",
+        "freq_superset", "n_strata_sampled", "sample_within_band")
   }
 }
 
