@@ -326,12 +326,25 @@ object Bench {
     // numbers are steady-state, round-over-round compares stop seeing
     // billing drift. -1 ⇒ the materialization failed (stderr has why).
     val retimedJson = retimed.map(fmt).mkString("[", ",", "]")
+    // Self-adjudicated spike marker (VERDICT r14 #3): spike15[i] = 1
+    // iff the i-th queries-entry's first sample sat in a transient load
+    // window by the bench's own instrument — the re-time collapsed
+    // below first/2.5 (the BASELINE.md noise floor: single-query
+    // movement < 2.5× is unattributable, so only a ≥2.5× collapse
+    // convicts the first sample). Failures (-1) and crashed re-runs
+    // (-2) mark 0 — they adjudicate themselves. A driver capture like
+    // r14's 4.34 s llm_multimodal_decode now self-labels in the JSON;
+    // SUSTAINED load (both samples inflated) remains load1's job.
+    val spike15 = retimed.zipWithIndex.map { case (rt, i) =>
+      val first = ordered(i)._2
+      if (rt >= 0 && first > 0 && rt < first / 2.5) 1 else 0
+    }.mkString("[", ",", "]")
     // load1 as a 2-element [start, end] array (2-decimal — loadavg has no
     // more precision worth stdout budget; ~20 chars total).
     def fmt2(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     val load1Json = s"[${fmt2(load1._1)},${fmt2(load1._2)}]"
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${entries.length},"omitted":$omitted,"pos15":$pos15,"retimed":$retimedJson,"load1":$load1Json,"load1_mat":${fmt2(load1Mat)},"materialize_pairs":${fmt(matPairs)},"materialize_ps":${fmt(matPs)},"materialize_bpe":${fmt(matBpe)},"materialize_frag":${fmt(matFrag)},"materialize_layout":${fmt(matLayout)},"gc_sec":${fmt(gcSec)},"ann_recall":${fmt(annRecall)},"ivf_recall":${fmt(ivfRecall)},"shuffle_mb":${fmt(shuffleMb)},"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${entries.length},"omitted":$omitted,"pos15":$pos15,"retimed":$retimedJson,"spike15":$spike15,"load1":$load1Json,"load1_mat":${fmt2(load1Mat)},"materialize_pairs":${fmt(matPairs)},"materialize_ps":${fmt(matPs)},"materialize_bpe":${fmt(matBpe)},"materialize_frag":${fmt(matFrag)},"materialize_layout":${fmt(matLayout)},"gc_sec":${fmt(gcSec)},"ann_recall":${fmt(annRecall)},"ivf_recall":${fmt(ivfRecall)},"shuffle_mb":${fmt(shuffleMb)},"sf":"$sfDir"}"""
   }
 
   /** Strict framing check on a rendered line: valid single-object JSON
@@ -346,6 +359,8 @@ object Bench {
         && tree.has("queries") && tree.get("queries").isObject
         && tree.has("pos15") && tree.get("pos15").isArray
         && tree.has("retimed") && tree.get("retimed").isArray
+        && tree.has("spike15") && tree.get("spike15").isArray
+        && tree.get("spike15").size == tree.get("retimed").size
         && tree.has("load1") && tree.get("load1").isArray
         && tree.get("load1").size == 2
         && tree.has("load1_mat") && tree.get("load1_mat").isNumber,

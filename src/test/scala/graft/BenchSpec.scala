@@ -106,4 +106,24 @@ class BenchSpec extends AnyFunSuite {
     assert(t.get("load1_mat").asDouble == 999.99)
     assert(t.get("sf").asText == "/root/testdata/sf0.1")
   }
+
+  test("spike15 adjudicates each retimed entry by the 2.5x collapse rule") {
+    // VERDICT r14 #3: spike15[i]=1 iff retimed[i] collapsed below the
+    // i-th queries-entry's first sample / 2.5 (transient load window);
+    // failures (-1) and crashed re-runs (-2) self-adjudicate as 0, a
+    // genuine steady cost (re-time ≈ first sample) is 0.
+    val ordered = Seq(
+      "failed_q" -> -1.0,    // -1 retime marker → 0
+      "spiked_q" -> 10.0,    // retimed 1.0 < 10/2.5 → 1
+      "steady_q" -> 2.0,     // retimed 1.9 ≥ 2/2.5 → 0
+      "crashed_q" -> 5.0,    // retime crashed (-2) → 0
+      "boundary_q" -> 2.5)   // retimed 1.0 = 2.5/2.5 exactly → 0 (strict <)
+    val line = render(ordered, Seq(-1.0, 1.0, 1.9, -2.0, 1.0))
+    Bench.selfCheck(line)
+    val t = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    val s = t.get("spike15")
+    assert(s.size == 5, line)
+    assert((0 until 5).map(s.get(_).asInt) == Seq(0, 1, 0, 0, 0),
+      s"spike adjudication wrong: $line")
+  }
 }
