@@ -12,7 +12,8 @@ import graft.sources.Tables
 object Maintenance {
   def specs: Seq[Spec] = Seq(mergeUpsert, profileColumns, snapshotDiff,
     zorderLayout, profileObserve, dsCheckpoint, profileAnalyzeStats,
-    dsCacheReuse, profileCrosstab, profileAccumulator, profileStatFunctions)
+    dsCacheReuse, profileCrosstab, profileAccumulator, profileStatFunctions,
+    profileSketchFunctions, dsTranspose, dsRandomSplit)
 
   /** `LongAccumulator` — the executor→driver metrics side-channel
     * (`Dataset.observe`'s older, action-scoped sibling; see
@@ -533,6 +534,137 @@ object Maintenance {
       sampleM.size.toLong, bandsOk))
       .toDF("n_rows", "q25_ok", "q50_ok", "q75_ok", "freq_exact_n",
         "freq_superset", "n_strata_sampled", "sample_within_band")
+  }
+
+  /** The two `df.stat` SKETCH builders — `bloomFilter` (membership) and
+    * `countMinSketch` (frequency) — completing the DataFrameStatFunctions
+    * surface beside [[profileStatFunctions]]/[[profileCrosstab]]/
+    * agg_corr_covar. Both are one distributed pass producing a mergeable
+    * driver-local sketch; at 100 TB they are the BUILD side of the two
+    * standard sketch patterns (ship the bloom filter back into a scan
+    * filter — the manual form of the runtime bloom join the engine pins
+    * in `join_runtime_bloom`; keep CMS per shard and merge for
+    * heavy-hitter monitoring). Published guarantees, checked exactly:
+    * a Bloom filter has NO false negatives (every present probe must
+    * hit — a hard boolean over a deterministic 1000-key present set)
+    * and its false-positive rate on definitely-absent probes (negative
+    * keys; the custkey domain is positive) stays within a 6σ binomial
+    * band of the requested fpp (expected items sized from the exact
+    * distinct count, so the bound applies at any sf). CMS NEVER
+    * undercounts (estimate ≥ exact per key — hard), and overcount is
+    * bounded by ε·N at confidence δ (band boolean; ε·N = 0.0001·n).
+    * Oracle = the exact companions + TRUE literals, the
+    * agg_approx_distinct discipline. */
+  private val profileSketchFunctions = Spec(
+    "profile_sketch_functions",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  TRUE AS bloom_no_false_neg, TRUE AS bloom_fp_within_band,
+      |  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS cms_n_keys,
+      |  TRUE AS cms_ge_exact, TRUE AS cms_within_eps,
+      |  CAST(COUNT(*) AS BIGINT) AS cms_total
+      |FROM orders""".stripMargin) { (s, d) =>
+    val ord = Tables.orders(s, d)
+    val nDistinct = ord.agg(countDistinct(col("o_custkey"))).collect()(0)
+      .getLong(0)
+    val fpp = 0.03
+    val bf = ord.stat.bloomFilter("o_custkey", math.max(nDistinct, 1L), fpp)
+    // no-false-negative probe: the custkeys of the first 1000 orders
+    val present = ord.orderBy(col("o_orderkey")).limit(1000)
+      .select(col("o_custkey")).collect().map(_.getLong(0))
+    val noFalseNeg = present.forall(bf.mightContain)
+    // fp band probe: negative keys are outside the (positive) domain
+    val absentProbes = 2000
+    val fpCount = (1 to absentProbes).count(i => bf.mightContain(-i.toLong))
+    val fpSigma = math.sqrt(absentProbes * fpp * (1 - fpp))
+    val fpOk = fpCount <= absentProbes * fpp + 6.0 * fpSigma
+    val eps = 0.0001
+    val cms = ord.stat.countMinSketch(col("o_orderpriority"), eps, 0.999, 42)
+    val exact = ord.groupBy(col("o_orderpriority")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val total = exact.map(_._2).sum
+    val geExact = exact.forall { case (k, n) => cms.estimateCount(k) >= n }
+    val withinEps = exact.forall { case (k, n) =>
+      cms.estimateCount(k) <= n + (eps * total).ceil.toLong
+    }
+    val sp = s
+    import sp.implicits._
+    Seq((total, noFalseNeg, fpOk, exact.length.toLong, geExact, withinEps,
+      cms.totalCount()))
+      .toDF("n_orders", "bloom_no_false_neg", "bloom_fp_within_band",
+        "cms_n_keys", "cms_ge_exact", "cms_within_eps", "cms_total")
+  }
+
+  /** `Dataset.transpose` (new public API in Spark 4) — rows↔columns
+    * flip keyed by an index column: the report-rendering step after an
+    * aggregation, where metrics become rows and the (small) group
+    * domain becomes columns. The SCALE rule is the same as pivot's:
+    * transpose the AGGREGATE, never the fact — the input here is the
+    * 3-row per-status aggregate, so the flip is a driver-trivial
+    * reshape of an already-reduced frame (the index values are lifted
+    * into the schema at plan time, which is exactly why an unbounded
+    * index column would be wrong). Values all cast to the least common
+    * type (DOUBLE here — transpose requires one common value type);
+    * counts and exact-decimal sums are integer-exact in DOUBLE far
+    * below 2^53. Oracle replays the flip as FILTER-aggregate rows. */
+  private val dsTranspose = Spec(
+    "ds_transpose",
+    """SELECT 'n_orders' AS metric,
+      |  CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS DOUBLE) AS "F",
+      |  CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS DOUBLE) AS "O",
+      |  CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS DOUBLE) AS "P"
+      |FROM orders
+      |UNION ALL
+      |SELECT 'revenue',
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    FILTER (o_orderstatus = 'F') AS DOUBLE),
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    FILTER (o_orderstatus = 'O') AS DOUBLE),
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    FILTER (o_orderstatus = 'P') AS DOUBLE)
+      |FROM orders
+      |ORDER BY metric""".stripMargin) { (s, d) =>
+    val agg = Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).cast("double").as("n_orders"),
+        graft.functions.Det.dsum(col("o_totalprice")).as("revenue"))
+    agg.transpose(col("o_orderstatus"))
+      .select(col("key").as("metric"), col("F"), col("O"), col("P"))
+      .orderBy(col("metric"))
+  }
+
+  /** `Dataset.randomSplit` — the train/val/test partitioner every
+    * model pipeline calls (the seeded-API twin of `llm_split_hash`'s
+    * md5-deterministic split: randomSplit re-draws per partition from
+    * the seed, so exact membership is partitioning-dependent, while
+    * the hash split is content-deterministic — the tradeoff this pair
+    * of rows documents). The CONTRACT is what's invariant and what
+    * this row witnesses: the splits are DISJOINT and COMPLETE (Spark
+    * implements them as adjacent [lo,hi) slices of one per-row uniform
+    * draw, so the union count equals the source count exactly — both
+    * checked distributedly, the disjointness via distinct-key count
+    * over the unioned splits), and each split's size lands in a 6σ
+    * binomial band of its normalized weight. Oracle = exact count +
+    * TRUE literals. */
+  private val dsRandomSplit = Spec(
+    "ds_random_split",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  TRUE AS complete_ok, TRUE AS disjoint_ok, TRUE AS bands_ok
+      |FROM orders""".stripMargin) { (s, d) =>
+    val ord = Tables.orders(s, d).select(col("o_orderkey"))
+    val weights = Array(0.6, 0.3, 0.1)
+    val splits = ord.randomSplit(weights, 7L)
+    val counts = splits.map(_.count())
+    val n = ord.count()
+    val completeOk = counts.sum == n
+    val disjointOk = splits.reduce(_ unionAll _)
+      .distinct().count() == n
+    val bandsOk = weights.zip(counts).forall { case (w, c) =>
+      math.abs(c - w * n) <= 6.0 * math.sqrt(n * w * (1 - w))
+    }
+    val sp = s
+    import sp.implicits._
+    Seq((n, completeOk, disjointOk, bandsOk))
+      .toDF("n_rows", "complete_ok", "disjoint_ok", "bands_ok")
   }
 }
 
