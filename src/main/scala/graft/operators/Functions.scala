@@ -23,6 +23,7 @@ import graft.sources.Tables
 object Functions {
   def specs: Seq[Spec] = Seq(fnString, fnDate, fnMath, fnArray, fnMap,
     fnJson, fnUdfScalar, fnUdtfExplode, fnRegex, fnEncode, fnVariant,
+    fnVariantExplode,
     fnAvroRoundtrip, fnCsvRoundtrip, fnXmlRoundtrip, fnTryArith,
     fnNaFill, fnCollation, fnStack, fnInterval, fnSequenceArray, fnMask,
     fnAesRoundtrip, fnArraySetOps, fnMapHof, fnRounding, fnUrl,
@@ -522,6 +523,36 @@ object Functions {
         try_variant_get(col("v"), "$.k", "bigint").isNotNull.as("has_k"),
         schema_of_variant(col("v")).as("v_schema"))
       .orderBy(col("event_id"))
+  }
+
+  /** `variant_explode` — the TVF generator over VariantType (Spark 4),
+    * completing the variant surface beside [[fnVariant]]'s scalar
+    * extraction: shred a semi-structured object into (pos, key, value)
+    * rows through correlated LATERAL, the shape that turns a
+    * ragged-schema event payload into a long-format key/value table
+    * without declaring its schema up front. Planned as an ordinary
+    * Generate over the outer row (the `sql_udf_table` /`join_lateral`
+    * decorrelation guarantee), map-only at any scale. The typed value
+    * is emitted through CAST(variant AS BIGINT); the oracle replays the
+    * fixture's known single-key object shape ({"k": <int>},
+    * FIXTURES.md — the same contract [[fnJson]]/[[fnVariant]] pin)
+    * with literal pos/key, which is exactly what makes the explode
+    * output deterministic to hash. */
+  private val fnVariantExplode = Spec(
+    "fn_variant_explode",
+    """SELECT event_id, 0 AS pos, 'k' AS key,
+      |  CAST(props->>'k' AS BIGINT) AS val
+      |FROM events WHERE event_id < 200
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .filter(col("event_id") < 200)
+      .select(col("event_id"), col("props"))
+      .createOrReplaceTempView("graft_vexp_events")
+    s.sql(
+      """SELECT event_id, v.pos, v.key, CAST(v.value AS BIGINT) AS val
+        |FROM graft_vexp_events,
+        |  LATERAL variant_explode(parse_json(props)) v
+        |ORDER BY event_id""".stripMargin)
   }
 
   /** Binary codec family — base64 / hex over UTF-8 document bytes plus a
