@@ -672,4 +672,20 @@ class EdgeCasesSpec extends AnyFunSuite {
             "state leaked into the second run")
       }
   }
+
+  test("SQL-UDF rows re-invoke cleanly (CREATE OR REPLACE semantics)") {
+    // The round-15 SQL-language-function rows register TEMPORARY
+    // functions in the shared session; OR REPLACE must make the second
+    // invocation both succeed (no FUNCTION_ALREADY_EXISTS) and return
+    // content-identical results (no stale body bound under the name).
+    Seq("sql_udf_scalar", "sql_udf_table").foreach { q =>
+      def rows(): Seq[String] =
+        SparkEntry.queries(q)(spark, TestSpark.SF001)
+          .collect().map(_.toString).sorted.toSeq
+      val first = rows()
+      assert(first.nonEmpty, s"$q returned no rows on first invocation")
+      assert(rows() == first,
+        s"$q is not re-invocation idempotent under CREATE OR REPLACE")
+    }
+  }
 }
