@@ -13,7 +13,7 @@ object Maintenance {
   def specs: Seq[Spec] = Seq(mergeUpsert, profileColumns, snapshotDiff,
     zorderLayout, profileObserve, dsCheckpoint, profileAnalyzeStats,
     dsCacheReuse, profileCrosstab, profileAccumulator, profileStatFunctions,
-    profileSketchFunctions, dsTranspose, dsRandomSplit)
+    profileSketchFunctions, dsTranspose, dsRandomSplit, profileSummary)
 
   /** `LongAccumulator` — the executor→driver metrics side-channel
     * (`Dataset.observe`'s older, action-scoped sibling; see
@@ -630,6 +630,48 @@ object Maintenance {
     agg.transpose(col("o_orderstatus"))
       .select(col("key").as("metric"), col("F"), col("O"), col("P"))
       .orderBy(col("metric"))
+  }
+
+  /** `Dataset.summary` — the one describe-family ENTRY POINT not
+    * otherwise exercised ([[profileColumns]] hand-rolls the same
+    * profile as expressions; `profile_analyze_stats` reads the
+    * catalog's ANALYZE output; this row calls the API users actually
+    * reach for first). summary() renders every statistic as a STRING,
+    * which sets the oracle rule: hash only stats whose string form is
+    * engine-portable — count/min/max over INTEGER key columns render
+    * identically everywhere, while mean over doubles is
+    * accumulation-order-dependent, so it is parsed back and checked as
+    * a 1e-9-relative band against the exact decimal mean (boolean
+    * column; the agg_stats_builtin discipline — never hash a
+    * double-accumulated builtin cross-engine). One pass per stat
+    * family at any scale; the output is O(stats × columns). */
+  private val profileSummary = Spec(
+    "profile_summary",
+    """SELECT 'count' AS summary,
+      |  CAST(COUNT(o_orderkey) AS VARCHAR) AS o_orderkey,
+      |  CAST(COUNT(o_custkey) AS VARCHAR) AS o_custkey,
+      |  TRUE AS mean_price_ok
+      |FROM orders
+      |UNION ALL
+      |SELECT 'max', CAST(MAX(o_orderkey) AS VARCHAR),
+      |  CAST(MAX(o_custkey) AS VARCHAR), TRUE FROM orders
+      |UNION ALL
+      |SELECT 'min', CAST(MIN(o_orderkey) AS VARCHAR),
+      |  CAST(MIN(o_custkey) AS VARCHAR), TRUE FROM orders
+      |ORDER BY summary""".stripMargin) { (s, d) =>
+    val ord = Tables.orders(s, d)
+    val meanStr = ord.select(col("o_totalprice")).summary("mean")
+      .collect()(0).getString(1)
+    val exact = ord.agg(
+      graft.functions.Det.dsum(col("o_totalprice")),
+      count(col("o_totalprice"))).collect()(0)
+    val exactMean = exact.getDouble(0) / exact.getLong(1)
+    val meanOk =
+      math.abs(meanStr.toDouble - exactMean) <= 1e-9 * math.abs(exactMean)
+    ord.select(col("o_orderkey"), col("o_custkey"))
+      .summary("count", "min", "max")
+      .withColumn("mean_price_ok", lit(meanOk))
+      .orderBy(col("summary"))
   }
 
   /** `Dataset.randomSplit` — the train/val/test partitioner every
