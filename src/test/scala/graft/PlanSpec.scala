@@ -92,23 +92,24 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n$p")
   }
 
-  test("graph_pagerank caches the edge list and broadcasts every loop join") {
-    // The registered fn materializes eagerly and unpersists its caches
-    // (ADVICE r14 #3), returning a LocalRelation a plan audit would see
-    // nothing in — audit the factored-out lazy form instead, and
-    // unpersist here since this path never runs the registered cleanup.
-    val (lazyRanks, caches) =
-      graft.operators.Analytics.pagerankLazy(spark, SF001)
-    val p =
-      try lazyRanks.queryExecution
-        .explainString(ExplainMode.fromString("formatted"))
-      finally caches.foreach(_.unpersist(blocking = false))
-    // edge derivation: dims broadcast; loop invariants cached (the Pregel
-    // discipline); iterations: rank vector and in-mass join via BHJ —
-    // nothing in the loop may re-derive or shuffle the edge list
+  test("graph_pagerank loop is shallow: BHJ over truncated leaves, no SMJ") {
+    // The registered fn materializes eagerly and returns a
+    // LocalRelation a plan audit would see nothing in — audit the
+    // factored-out runner's FINAL-iteration frame instead (iterations
+    // 1–4 are localCheckpoint-truncated; the last one is left lazy as
+    // the loop witness). The plan must be the Pregel shape: every loop
+    // join broadcast, every leaf a materialized checkpoint (Scan
+    // ExistingRDD — lineage truncation, NOT a re-expansion into the
+    // 4-table edge derivation), no sort-merge join, no cartesian, and
+    // no parquet relation surviving into the loop.
+    val lazyRanks = graft.operators.Analytics.pagerankRun(spark, SF001)
+    val p = lazyRanks.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
     assert(p.contains("BroadcastHashJoin"), p.take(900))
-    assert(p.contains("InMemoryTableScan"),
-      s"edge-list cache missing from the loop plan: ${p.take(900)}")
+    assert(p.contains("Scan ExistingRDD"),
+      s"truncated checkpoint leaves missing from the loop plan: ${p.take(900)}")
+    assert(!p.contains("Scan parquet"),
+      s"loop plan re-expanded into the edge derivation:\n${p.take(900)}")
     assert(!p.contains("CartesianProduct"), p.take(900))
     val smj = p.linesIterator.count(_.contains("SortMergeJoin"))
     assert(smj == 0,
