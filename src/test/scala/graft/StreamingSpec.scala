@@ -579,6 +579,47 @@ class StreamingSpec extends StreamingParityBase {
         s"state after a replayed batch diverged: $state")
     } finally graft.operators.Scans.rmRecursive(out)
   }
+
+  test("foreachBatch upsert recovers a crash between the two state renames") {
+    // Round 15 moved the batch-id ledger INSIDE the state dir so the
+    // markers and the merged parquet publish in one atomic rename. The
+    // one remaining window is between "base retired aside" and "tmp
+    // renamed in": base is absent but tmp holds the fully-committed
+    // merge (parquet + carried-forward markers + this batch's marker).
+    // The entry-point recovery branch must finish the publish and
+    // report the batch as a REPLAY (false), leaving state identical.
+    import TestSpark._
+    import spark.implicits._
+    val rows = Seq((1L, 100L), (2L, 200L), (1L, 300L), (3L, 50L),
+      (2L, 150L), (1L, 250L), (3L, 400L))
+    def df(rs: Seq[(Long, Long)]): DataFrame = rs.toDF("user_id", "es")
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_p${graft.operators.Scans.jvmTag}_fbu_test_crash")
+    graft.operators.Scans.rmRecursive(out)
+    java.nio.file.Files.createDirectories(out.toPath)
+    try {
+      assert(StreamingOps.upsertMergeBatch(out.toString, df(rows.take(4)), 0L))
+      assert(StreamingOps.upsertMergeBatch(out.toString, df(rows.drop(4)), 1L))
+      val expected = spark.read.parquet(s"$out/state")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // fabricate the crash window from the committed artifacts: the
+      // post-batch-1 base IS what tmp_1 held at the moment of the crash
+      val base = new java.io.File(out, "state")
+      val tmp = new java.io.File(out, "tmp_1")
+      graft.operators.Scans.rmRecursive(tmp)
+      assert(base.renameTo(tmp), "test setup: could not stage the window")
+      assert(!StreamingOps.upsertMergeBatch(out.toString, df(rows.drop(4)), 1L),
+        "recovery publish must report the batch as a replay, not re-merge")
+      val recovered = spark.read.parquet(s"$out/state")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(recovered == expected,
+        s"recovered state diverged: $recovered vs $expected")
+      // and the ledger survived the round-trip: batch 0 is still a replay
+      assert(!StreamingOps.upsertMergeBatch(out.toString, df(rows.take(4)), 0L),
+        "carried-forward marker lost in recovery — batch 0 re-merged")
+    } finally graft.operators.Scans.rmRecursive(out)
+  }
 }
 
 /** The identical §2.9 parity family under RocksDB + changelog
