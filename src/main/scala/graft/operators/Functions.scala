@@ -1656,13 +1656,25 @@ object Functions {
     * invoked through correlated LATERAL — the declarative UDTF: the
     * body (tokenize + position + length, dropping empty tokens) is a
     * named, reusable relation-producing view that analysis expands into
-    * the caller's plan as an ordinary Generate over the outer row, NOT
-    * a per-row subquery execution — PlanSpec pins Generate-no-
-    * nested-loop, the same decorrelation guarantee `join_lateral`
-    * pins for inline subqueries. vs [[fnUdtfExplode]]: same generator
-    * machinery, but the logic is packaged behind a catalog name a
-    * whole team can call. Oracle = DuckDB unnest/generate_subscripts
-    * with the identical empty-token filter. */
+    * the caller's plan as an ordinary Generate, NOT a per-row subquery
+    * execution — PlanSpec pins Generate-no-nested-loop, the same
+    * decorrelation guarantee `join_lateral` pins for inline subqueries.
+    * vs [[fnUdtfExplode]]: same generator machinery, but the logic is
+    * packaged behind a catalog name a whole team can call.
+    *
+    * THE SCALE RULE THIS ROW PINS (found by plan audit, round 15):
+    * Catalyst decorrelates the TVF via a DOMAIN join — it CLONES the
+    * outer relation, deduplicates the correlated argument, runs the
+    * generator once per distinct value, and hash-joins back. The clone
+    * inherits only predicates already applied BENEATH the lateral, so
+    * `FROM docs, LATERAL f(text) WHERE doc_id < 60` leaves the domain
+    * branch scanning and shuffling the ENTIRE corpus (the doc_id
+    * predicate cannot push through a domain keyed on text) — at 100 TB
+    * that is a full-table shuffle for a 60-row query. Filtering in a
+    * subquery FIRST gives both scans the pushed filter; PlanSpec
+    * asserts every documents scan in this plan carries it. Oracle =
+    * DuckDB unnest/generate_subscripts with the identical empty-token
+    * filter. */
   private val sqlUdfTable = Spec(
     "sql_udf_table",
     """SELECT doc_id, pos, word, length(word) AS wlen FROM (
@@ -1678,11 +1690,14 @@ object Functions {
         |  SELECT CAST(pos + 1 AS INT), col, length(col)
         |  FROM (SELECT posexplode(split(s, ' ')))
         |  WHERE col <> ''""".stripMargin)
-    Tables.documents(s, d).createOrReplaceTempView("graft_udf_docs")
+    // filter BEFORE the LATERAL (see the scale rule above): the domain
+    // clone of the outer relation then carries the pushed doc_id range
+    Tables.documents(s, d).filter(col("doc_id") < 60)
+      .select(col("doc_id"), col("text"))
+      .createOrReplaceTempView("graft_udf_docs")
     s.sql(
       """SELECT doc_id, t.pos, t.word, t.wlen
         |FROM graft_udf_docs, LATERAL graft_udf_tok(text) t
-        |WHERE doc_id < 60
         |ORDER BY doc_id, t.pos""".stripMargin)
   }
 }

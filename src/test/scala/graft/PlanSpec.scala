@@ -137,6 +137,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct")
       && !p.contains("BroadcastNestedLoopJoin"),
       s"LATERAL TVF degraded to a join loop:\n${p.take(900)}")
+    // The scale rule the operator's doc states: Catalyst's domain-join
+    // decorrelation CLONES the outer relation, and only predicates
+    // beneath the lateral reach the clone — every documents scan in
+    // this plan must therefore carry the pushed doc_id range. An
+    // unfiltered clone here means the domain branch would shuffle the
+    // whole corpus at scale (the round-15 audit found exactly that
+    // before the filter moved beneath the lateral).
+    val scans = p.linesIterator.count(_.contains("Location: InMemoryFileIndex"))
+    val pushed = p.linesIterator
+      .count(l => l.contains("PushedFilters") && l.contains("LessThan(doc_id,60)"))
+    assert(scans >= 1 && pushed == scans,
+      s"$pushed of $scans documents scans carry the pushed filter — the " +
+        s"domain clone lost it:\n$p")
   }
 
   test("sql_tvf_range plans the synthetic Range leaf, no file scan") {
