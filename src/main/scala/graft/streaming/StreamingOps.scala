@@ -32,7 +32,7 @@ object StreamingOps {
     dedup, statefulCustom, streamStream, streamStatic, streamStreamOuter,
     streamStreamFull, incrementalRestart, joinThenWindowSpec,
     rocksdbState, transformWithState, twsTimers, twsMapState, updateMode,
-    profileStreamProgress, foreachBatchUpsert)
+    profileStreamProgress, foreachBatchUpsert, chainedAggSpec)
 
   /** `StreamingQuery.recentProgress` — the per-micro-batch observability
     * surface (`StreamingQueryProgress`: batchId, numInputRows, sink
@@ -312,6 +312,49 @@ object StreamingOps {
       .groupBy(window(col("cts"), "1 hour"))
       .agg(count(lit(1)).as("n_pairs"))
       .select(unix_micros(col("window.start")).as("ws_us"), col("n_pairs"))
+
+  /** CHAINED windowed aggregations — TWO window-agg state stores in one
+    * query (multiple stateful AGGREGATIONS, the Spark ≥3.4 append-mode
+    * surface; the agg→agg sibling of [[joinThenWindow]]'s join→agg
+    * chain): a 10-minute pre-aggregate re-windowed into 1-hour rollups
+    * via the window-on-window overload `window(window_col, "1 hour")`.
+    * At 100 TB this is the streaming two-level rollup — the fine
+    * windows absorb the raw event rate, the coarse level serves
+    * dashboards, and only finalized sub-windows flow downstream (the
+    * propagated watermark gates both stores). The re-aggregation is
+    * EXACT: the sub-sums re-sum in DECIMAL(28,6) (each is 6-dp-exact by
+    * [[Det.dsum6]]'s contract), so chained == direct to the bit.
+    * `n_subwindows` witnesses genuine two-level structure — a direct
+    * 1-hour aggregate cannot produce it. Batch twin: Catalyst folds the
+    * chain to two hash aggregates, which IS the specification; the
+    * streaming parity + two-state-operator witness live in
+    * StreamingSpec (both providers). */
+  def chainedWindowAgg(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        Det.dsum6(col("value")).as("sum_value"))
+      .groupBy(window(col("window"), "1 hour").as("hw"))
+      .agg(count(lit(1)).as("n_subwindows"),
+        sum(col("n_events")).cast("long").as("n_events"),
+        sum(col("sum_value").cast("decimal(28,6)")).cast("double")
+          .as("sum_value"))
+      .select(unix_micros(col("hw.start")).as("ws_us"),
+        col("n_subwindows"), col("n_events"), col("sum_value"))
+
+  private val chainedAggSpec = Spec(
+    "stream_chained_agg",
+    """WITH sub AS (
+      |  SELECT (epoch_us(ts) // 600000000) * 600000000 AS sw_us,
+      |    COUNT(*) AS n_events,
+      |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      |  FROM events GROUP BY 1)
+      |SELECT (sw_us // 3600000000) * 3600000000 AS ws_us,
+      |  COUNT(*) AS n_subwindows,
+      |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(sum_value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      |FROM sub GROUP BY 1 ORDER BY ws_us""".stripMargin) { (s, d) =>
+    chainedWindowAgg(Tables.events(s, d)).orderBy(col("ws_us"))
+  }
 
   /** 30-minute per-type windowed aggregate — the stateful shape the
     * RocksDB state-store demonstration runs (see [[rocksdbState]]);

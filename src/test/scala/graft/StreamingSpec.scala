@@ -416,6 +416,49 @@ abstract class StreamingParityBase extends AnyFunSuite {
    }
   }
 
+  ptest("chained windowed aggs: two agg state stores, stream == batch") {
+   withNoDataMicroBatches {
+    // The agg→agg chain (multiple stateful AGGREGATIONS, append mode):
+    // the registered batch twin is two folded hash aggregates; this
+    // proves the STREAMING form runs the same chain with TWO windowed
+    // state operators in one query and emits value-identical rollups.
+    // Append windows only emit once the propagated watermark passes
+    // them, so a far-future sentinel closes every real window; the
+    // sentinel's own (unfinished) windows are filtered by timestamp.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = fixtureEvents(400)
+    val maxMs = evs.map(_.ts.getTime).max
+    val sentinel = Ev(999999L,
+      new java.sql.Timestamp(maxMs + 8L * 3600 * 1000), 1L, "click", 0.0)
+    val mem = MemoryStream[Ev]
+    val agg = StreamingOps.chainedWindowAgg(
+      mem.toDF().withWatermark("ts", "1 minute"))
+    val name = s"graft_chain_agg_${System.nanoTime()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(evs)
+      q.processAllAvailable()
+      mem.addData(Seq(sentinel))
+      q.processAllAvailable()
+      val ops = q.lastProgress.stateOperators
+      assert(ops.length == 2,
+        s"expected TWO aggregation state operators, got ${ops.length}: " +
+          ops.map(_.operatorName).mkString(","))
+      // every real hour-window starts strictly before the sentinel's
+      val sentinelHourUs = (sentinel.ts.getTime / 3600000L) * 3600000000L
+      val streamed = spark.table(name).collect()
+        .filter(_.getLong(0) < sentinelHourUs)
+      val batch = StreamingOps.chainedWindowAgg(evs.toDF()).collect()
+      assert(streamed.nonEmpty, "no closed windows emitted")
+      assert(streamed.map(_.toString).sorted.toSeq ==
+        batch.map(_.toString).sorted.toSeq,
+        "chained streaming rollup diverged from the batch twin")
+    } finally q.stop()
+   }
+  }
+
   ptest("chained stateful: stream-stream join then windowed agg, ONE query") {
     // Two state stores in one streaming query: the interval join's
     // symmetric hash state feeding a tumbling window's agg state.
