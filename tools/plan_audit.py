@@ -65,6 +65,16 @@ def main() -> int:
             for m in re.finditer(r'ReadSchema: struct<([^>]*)>', p):
                 if m.group(1).count(':') >= 10:
                     flags.append((name, 'WIDE-SCAN', m.group(1)[:80]))
+        # GLOBAL-WINDOW: a Window with an empty partition spec runs in
+        # ONE task regardless of cluster size (the trap win_ntile's r3
+        # departitioning removed). The detail block is
+        # "(n) Window\n[Input...]\nArguments: [exprs], [part], [order]";
+        # an empty partition spec renders as "], [], [". 33 Window
+        # nodes audited clean at round 15 — keep it that way.
+        for m in re.finditer(r'\(\d+\) Window\b.*\n(?:.*\n){0,3}?Arguments: (.*)',
+                             p):
+            if re.search(r'\],?\s*\[\],\s*\[', m.group(1)):
+                flags.append((name, 'GLOBAL-WINDOW', m.group(1)[:80]))
     print(f"audited {len(plans)} plans")
     for f in sorted(set(flags)):
         print("FLAG", f)
