@@ -481,7 +481,7 @@ object Maintenance {
       |  TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok,
       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (
       |     SELECT o_orderpriority FROM orders GROUP BY o_orderpriority
-      |     HAVING COUNT(*) >= 0.15 * (SELECT COUNT(*) FROM orders)))
+      |     HAVING COUNT(*) * 100 >= 15 * (SELECT COUNT(*) FROM orders)))
       |    AS freq_exact_n,
       |  TRUE AS freq_superset,
       |  CAST((SELECT COUNT(DISTINCT o_orderstatus) FROM orders)
@@ -512,8 +512,13 @@ object Maintenance {
       val bandHi = (probs(i) + relErr) * n
       lo <= bandHi && hi >= bandLo
     }
+    // Integer arithmetic on BOTH engines (ADVICE r15 #3): the threshold
+    // compare is count*100 >= 15*n in exact Long math here and in the
+    // oracle SQL — a group landing exactly on the 15% boundary would
+    // otherwise adjudicate differently between double (Spark) and
+    // DECIMAL (DuckDB) forms and break the hash.
     val exactFreq = ord.groupBy(col("o_orderpriority")).count()
-      .filter(col("count") >= lit(0.15) * lit(n.toDouble))
+      .filter(col("count") * lit(100L) >= lit(15L) * lit(n))
       .collect().map(_.getString(0)).toSet
     val fractions: Map[String, Double] =
       Map("F" -> 0.5, "O" -> 0.5, "P" -> 0.5)
@@ -666,8 +671,16 @@ object Maintenance {
       graft.functions.Det.dsum(col("o_totalprice")),
       count(col("o_totalprice"))).collect()(0)
     val exactMean = exact.getDouble(0) / exact.getLong(1)
+    // Band scales with row count (ADVICE r15 #2): naive double summation
+    // error grows ~n·eps, so a fixed 1e-9 relative band flips at
+    // n ≳ 1e8 rows. Worst-case bound n·4e-16 (2× machine eps per add,
+    // conservative vs Spark's partial-agg tree), floored at 1e-9 so the
+    // check stays meaningful at small sf. At sf0.1 (n≈1.5e5) the floor
+    // governs; at 100 TB (n≈1.5e11) the band is ~6e-5 — still far below
+    // any data-quality-relevant drift.
+    val meanTol = math.max(1e-9, 4e-16 * exact.getLong(1).toDouble)
     val meanOk =
-      math.abs(meanStr.toDouble - exactMean) <= 1e-9 * math.abs(exactMean)
+      math.abs(meanStr.toDouble - exactMean) <= meanTol * math.abs(exactMean)
     ord.select(col("o_orderkey"), col("o_custkey"))
       .summary("count", "min", "max")
       .withColumn("mean_price_ok", lit(meanOk))

@@ -151,6 +151,18 @@ object StreamingOps {
     val base = s"$out/state"
     val baseF = new java.io.File(base)
     val tmpF = new java.io.File(s"$out/tmp_$id")
+    // Sweep retired-state orphans FIRST (ADVICE r15 #1): a crash between
+    // the two renames below (or after the swap, before rmRecursive)
+    // leaves an old_<id> copy of the pre-merge base on disk — without
+    // this sweep each such crash permanently leaks one full state copy.
+    // Safe unconditionally: markers are staged into tmp BEFORE base is
+    // retired, so by the time any old_* exists the committed state lives
+    // in tmp (crash mid-window) or base (crash post-swap) — never only
+    // in old_*.
+    Option(new java.io.File(out).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("old_"))
+      .foreach(Scans.rmRecursive)
     // The batch-id ledger lives INSIDE the state dir (ADVICE r14 #2):
     // the `_done_<id>` markers are staged into tmp alongside the merged
     // parquet, so the single rename below publishes state + ledger

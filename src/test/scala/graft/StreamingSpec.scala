@@ -652,8 +652,20 @@ class StreamingSpec extends StreamingParityBase {
       val tmp = new java.io.File(out, "tmp_1")
       graft.operators.Scans.rmRecursive(tmp)
       assert(base.renameTo(tmp), "test setup: could not stage the window")
+      // the realistic window ALSO has the retired pre-merge base on disk
+      // as old_1 (base was renamed aside before tmp was renamed in);
+      // recovery must sweep it or every such crash permanently leaks a
+      // full state copy (ADVICE r15 #1/#4). Its content is irrelevant to
+      // the sweep, so stage a stand-in directory with a file inside.
+      val old1 = new java.io.File(out, "old_1")
+      java.nio.file.Files.createDirectories(old1.toPath)
+      java.nio.file.Files.write(new java.io.File(old1, "part-0.parquet").toPath,
+        Array[Byte](1, 2, 3))
       assert(!StreamingOps.upsertMergeBatch(out.toString, df(rows.drop(4)), 1L),
         "recovery publish must report the batch as a replay, not re-merge")
+      assert(!old1.exists(),
+        "retired old_1 state copy was not swept on recovery — each such " +
+          "crash leaks a full copy of the keyed state")
       val recovered = spark.read.parquet(s"$out/state")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(recovered == expected,
