@@ -1,0 +1,200 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Registry-wide physical-plan audit — the scale gate (round 16).
+  *
+  * Round 15 ran these checks as `tools/plan_audit.py` over a saved
+  * `graft.Explain` dump, and the MANY-SCANS check caught a genuine
+  * 100 TB trap (the lateral-TVF domain-clone pushdown trap,
+  * Functions.scala `sql_udf_table`). A check class that catches real
+  * scale bugs belongs in `sbt test`, not in a closing ritual — so the
+  * logic and the triage allowlists now live HERE, single-sourced:
+  * PlanAuditSpec gates every commit with them, the CLI audits either
+  * live plans or a saved dump, and `tools/plan_audit.py` is a thin
+  * wrapper that delegates to this object.
+  *
+  * The checks (each has produced or prevented a real find):
+  *  - FAILED-EXPLAIN  the Spec fn threw while planning
+  *  - CARTESIAN       any CartesianProduct — never expected; at scale
+  *                    an O(n·m) catastrophe
+  *  - BNLJ            BroadcastNestedLoopJoin outside the triaged
+  *                    allowlist of known-bounded builds
+  *  - MANY-SCANS      >2 distinct scans of one fixture file (formatted
+  *                    mode prints each scan node twice) — the
+  *                    duplicate-scan shape of an unfiltered
+  *                    decorrelation clone
+  *  - WIDE-SCAN       ReadSchema with ≥10 columns outside the
+  *                    deliberate full-scan row — lost column pruning
+  *  - GLOBAL-WINDOW   a Window with an empty partition spec runs as
+  *                    ONE task at any cluster size
+  *
+  * Every allowlist entry was human-triaged (round 15) and is bounded:
+  * single-row/global-aggregate crosses, probe-bounded or blocked
+  * similarity joins, and the mandated non-equi demos. A NEW flag means
+  * a new plan shape — triage it, then either fix the plan or add the
+  * entry here WITH the bounding argument.
+  */
+object PlanAudit {
+
+  /** Triaged BNLJ carriers — every build side bounded: one-row or
+    * global-aggregate crosses (cms/cooccur/domain_mix/tablesample/
+    * rolling_distinct band or spine builds), probe-capped or
+    * LSH/IVF-blocked similarity (cosine/ann/embed/ngram/vocab), and
+    * the mandated non-equi demos (bnlj_theta, cross, the
+    * levenshtein-rule rewrite demo). */
+  val knownBnlj: Set[String] = Set(
+    "join_bnlj_theta", "join_cross", "llm_cosine_topk", "llm_vocab",
+    "llm_dedup_embed", "llm_ann_lsh", "llm_ann_ivf", "llm_dedup_ngram",
+    "agg_sketch_cms", "llm_cooccur", "llm_domain_mix",
+    "opt_levenshtein_rule", "sql_tablesample", "win_rolling_distinct")
+
+  /** (query, fixture-file) pairs where >2 scans of one file are the
+    * design: sample + exact-total + anti-join containment need the
+    * base relation three times. */
+  val knownManyScans: Set[(String, String)] = Set(
+    ("sql_tablesample", "lineitem"))
+
+  /** The deliberate full-scan row — its point is reading every column. */
+  val knownWide: Set[String] = Set("scan_parquet")
+
+  private val locRe =
+    """Location: InMemoryFileIndex \[[^\]]*/(\w+)\.parquet\]?""".r
+  private val readSchemaRe = """ReadSchema: struct<([^>]*)>""".r
+  // The formatted detail block is "(n) Window\n[Input ...]\n
+  // Arguments: [wExprs], [partSpec], [orderSpec]" — EXCEPT that Spark
+  // 4.1's renderer OMITS empty bracket groups entirely: a global
+  // window renders as "[wExprs], [orderSpec]" (two groups), never as
+  // "], [], [". Round 15's python check keyed on the three-group
+  // empty-middle rendering and was therefore BLIND on live plans
+  // (caught round 16 by PlanAuditSpec's live-rendering pin — the
+  // "all 33 Window nodes partitioned" sweep was true but vacuous).
+  // The `\b` also keeps WindowGroupLimit/WindowInPandas nodes out.
+  private val windowArgsRe =
+    """(?m)\(\d+\) Window\b.*\n(?:.*\n){0,3}?Arguments: (.*)""".r
+  private val sortMarkerRe = """ (ASC|DESC) NULLS (FIRST|LAST)""".r
+
+  /** Top-level `[...]` groups of a formatted Arguments line (nested
+    * brackets inside an expression stay inside their group). */
+  private[graft] def topLevelGroups(args: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var start = -1
+    args.zipWithIndex.foreach {
+      case ('[', i) => if (depth == 0) start = i + 1; depth += 1
+      case (']', i) => depth -= 1; if (depth == 0) {
+        out += args.substring(start, i); start = -1
+      }
+      case _ =>
+    }
+    out.result()
+  }
+
+  /** True iff a Window node's rendered Arguments shows an EMPTY
+    * partition spec — one task at any cluster size. Three groups =
+    * [exprs], [part], [order] (partitioned; the renderer would have
+    * dropped an empty part group). Two groups are ambiguous by count:
+    * [exprs], [order] (GLOBAL — the dropped group was the partition)
+    * vs [exprs], [part] (partitioned, unordered frame); an order spec
+    * is recognizable by its per-column sort markers. One group =
+    * bare [exprs], global and unordered. */
+  private[graft] def isGlobalWindow(args: String): Boolean = {
+    val gs = topLevelGroups(args)
+    gs.size match {
+      case n if n >= 3 => gs(1).trim.isEmpty // defensive: never rendered
+      case 2 => sortMarkerRe.findFirstIn(gs(1)).isDefined
+      case _ => true
+    }
+  }
+
+  /** Audit one query's formatted plan; returns human-readable flags
+    * (empty = clean). Pure string analysis so it runs identically on a
+    * live explainString and on a saved `graft.Explain` dump. */
+  def audit(name: String, plan: String): Seq[String] = {
+    if (plan.take(200).contains("failed:"))
+      return Seq(s"FAILED-EXPLAIN ${plan.take(120).replace('\n', ' ')}")
+    val flags = Seq.newBuilder[String]
+    if (plan.contains("CartesianProduct")) flags += "CARTESIAN"
+    if (plan.contains("BroadcastNestedLoopJoin") && !knownBnlj(name))
+      flags += "BNLJ — triage the build side"
+    locRe.findAllMatchIn(plan).map(_.group(1)).toSeq
+      .groupBy(identity).foreach { case (f, occ) =>
+        if (occ.size > 4 && !knownManyScans((name, f)))
+          flags += s"MANY-SCANS ${f}x${occ.size / 2} — " +
+            "duplicate scan: decorrelation clone?"
+      }
+    if (!knownWide(name))
+      readSchemaRe.findAllMatchIn(plan).foreach { m =>
+        if (m.group(1).count(_ == ':') >= 10)
+          flags += s"WIDE-SCAN ${m.group(1).take(80)}"
+      }
+    windowArgsRe.findAllMatchIn(plan).foreach { m =>
+      if (isGlobalWindow(m.group(1)))
+        flags += s"GLOBAL-WINDOW ${m.group(1).take(80)}"
+    }
+    flags.result()
+  }
+
+  /** Build + audit the formatted plan of every registered query against
+    * `sfDir`. Returns (plans audited, name → flags for flagged names).
+    * Query fns may execute work at construction (streaming rows run a
+    * real bounded stream) — that cost is the price of auditing the
+    * SAME DataFrame the driver verifies. */
+  def auditAll(spark: SparkSession, sfDir: String,
+      names: Seq[String] = SparkEntry.queries.keys.toSeq.sorted)
+      : (Int, Map[String, Seq[String]]) = {
+    val flagged = names.flatMap { n =>
+      val plan =
+        try SparkEntry.queries(n)(spark, sfDir)
+          .queryExecution.explainString(ExplainMode.fromString("formatted"))
+        catch { case e: Throwable => s"failed: ${e.getMessage}" }
+      val fs = audit(n, plan)
+      if (fs.isEmpty) None else Some(n -> fs)
+    }
+    (names.size, flagged.toMap)
+  }
+
+  private val headerRe = """(?m)^========== (\S+) ==========$""".r
+
+  /** Parse a saved `graft.Explain` dump into name → plan blocks. */
+  def parseDump(txt: String): Map[String, String] = {
+    val ms = headerRe.findAllMatchIn(txt).toVector
+    ms.zipWithIndex.map { case (m, i) =>
+      val end = if (i + 1 < ms.size) ms(i + 1).start else txt.length
+      m.group(1) -> txt.substring(m.end, end)
+    }.toMap
+  }
+
+  /** CLI: `runMain graft.PlanAudit <sfDir>` audits live plans;
+    * `runMain graft.PlanAudit --file <dump>` audits a saved
+    * `graft.Explain` dump (no Spark session needed). Exit 1 iff any
+    * non-allowlisted flag fires, so rituals can gate on it. */
+  def main(args: Array[String]): Unit = {
+    val (n, flagged) =
+      if (args.length >= 2 && args(0) == "--file") {
+        val plans = parseDump(scala.io.Source.fromFile(args(1)).mkString)
+        (plans.size, plans.flatMap { case (name, p) =>
+          val fs = audit(name, p)
+          if (fs.isEmpty) None else Some(name -> fs)
+        }.toMap)
+      } else {
+        val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+        val spark = SparkSession.builder()
+          .master("local[4]")
+          .config("spark.sql.shuffle.partitions", "4")
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
+        try auditAll(spark, sfDir) finally spark.stop()
+      }
+    println(s"audited $n plans")
+    flagged.toSeq.sortBy(_._1).foreach { case (name, fs) =>
+      fs.foreach(f => println(s"FLAG ($name, $f)"))
+    }
+    println(if (flagged.isEmpty) "CLEAN"
+      else s"${flagged.values.map(_.size).sum} flags need triage")
+    if (flagged.nonEmpty) sys.exit(1)
+  }
+}
