@@ -21,6 +21,7 @@ object TimeQ {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.entry(spark).count() // warm session/codegen outside timings
+    graft.operators.LlmMultimodal.warmMediaCodecs() // match Bench's warmup
     names.foreach { name =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

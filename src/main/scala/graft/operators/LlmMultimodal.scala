@@ -19,6 +19,36 @@ import graft.sources.Tables
   * survives unchanged.
   */
 object LlmMultimodal {
+
+  /** Pre-pays the JVM's one-time image-codec costs (VERDICT r15 #4 —
+    * the recurring "transient" first sample on llm_multimodal_decode):
+    * the first PNG encode/decode in a process walks the ImageIO plugin
+    * registry and classloads the PNG reader/writer + deflater paths,
+    * and the per-pixel render/decode loops need a few hundred
+    * thousand iterations before C2 compiles them (measured in
+    * isolation: reps decline 2.1 → 1.3 → 1.1 s — classload alone only
+    * removed ~0.15 s, the rest is JIT). 512 round-trips of ~500-px
+    * images ≈ 250 k loop iterations per kernel — past the OSR
+    * threshold — for ~0.3 s of warmup. local-mode executor threads
+    * share the JVM, so one driver-side pass warms every multimodal
+    * row; Bench/TimeQ call this in their UNTIMED warmup so per-query
+    * numbers are codec-steady-state (the same policy as the session/
+    * codegen warmup — on a real cluster this cost recurs once per
+    * executor JVM, not per query). */
+  def warmMediaCodecs(): Unit = {
+    var i = 0
+    var sink = 0L
+    while (i < 512) {
+      val png = Pixels.encodePng("imageio warmup " + ("x" * (i % 97)))
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      var j = 0
+      val (w, h) = (img.getWidth, img.getHeight)
+      while (j < w * h) { sink += img.getRGB(j % w, j / w) & 0xff; j += 1 }
+      i += 1
+    }
+    require(sink != 0, "codec warmup decoded all-zero pixels")
+  }
   def specs: Seq[Spec] = Seq(resize, frameSample, audioFeatures)
 
   /** Audio feature extraction — windowed RMS energy + zero-crossing rate,
