@@ -713,8 +713,8 @@ object Aggregates {
         countDistinct(col("user_id")).as("exact_users"),
         approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
       .select(col("event_type"), col("exact_users"),
-        (abs(col("approx_users") - col("exact_users"))
-          <= col("exact_users") * 0.05).as("approx_within_5pct"))
+        Bands.relBandCol(col("approx_users"), col("exact_users"), 0.05)
+          .as("approx_within_5pct"))
       .orderBy(col("event_type"))
   }
 
@@ -1061,7 +1061,7 @@ object Aggregates {
       |FROM t ORDER BY l_returnflag""".stripMargin) { (s, d) =>
     val q = Det.dec2(col("l_quantity"))
     def band(b: org.apache.spark.sql.Column, ex: org.apache.spark.sql.Column) =
-      abs(b - ex) <= lit(1e-9) * greatest(lit(1.0), abs(ex))
+      Bands.relBandFloorCol(b, ex, 1e-9)
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),

@@ -505,13 +505,9 @@ object Maintenance {
       sum(when(col("o_totalprice") < qs(2), 1L).otherwise(0L)),
       sum(when(col("o_totalprice") <= qs(2), 1L).otherwise(0L))).collect()(0)
     val n = rankAgg.getLong(0)
-    def qOk(i: Int): Boolean = {
-      val lo = rankAgg.getLong(1 + 2 * i) + 1
-      val hi = rankAgg.getLong(2 + 2 * i)
-      val bandLo = (probs(i) - relErr) * n
-      val bandHi = (probs(i) + relErr) * n
-      lo <= bandHi && hi >= bandLo
-    }
+    def qOk(i: Int): Boolean = Bands.rankWithin(
+      rankAgg.getLong(1 + 2 * i) + 1, rankAgg.getLong(2 + 2 * i),
+      probs(i), relErr, n)
     // Integer arithmetic on BOTH engines (ADVICE r15 #3): the threshold
     // compare is count*100 >= 15*n in exact Long math here and in the
     // oracle SQL — a group landing exactly on the 15% boundary would
@@ -528,9 +524,7 @@ object Maintenance {
       .groupBy(col("o_orderstatus")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val bandsOk = strataM.forall { case (k, m) =>
-      val f = fractions(k)
-      val sk = sampleM.getOrElse(k, 0L)
-      sk <= m && math.abs(sk - f * m) <= 6.0 * math.sqrt(m * f * (1 - f))
+      Bands.binomialWithin(sampleM.getOrElse(k, 0L), m, fractions(k), 6.0)
     }
     val sp = s
     import sp.implicits._
@@ -580,8 +574,7 @@ object Maintenance {
     // fp band probe: negative keys are outside the (positive) domain
     val absentProbes = 2000
     val fpCount = (1 to absentProbes).count(i => bf.mightContain(-i.toLong))
-    val fpSigma = math.sqrt(absentProbes * fpp * (1 - fpp))
-    val fpOk = fpCount <= absentProbes * fpp + 6.0 * fpSigma
+    val fpOk = Bands.bloomFpWithin(fpCount.toLong, absentProbes, fpp, 6.0)
     val eps = 0.0001
     val cms = ord.stat.countMinSketch(col("o_orderpriority"), eps, 0.999, 42)
     val exact = ord.groupBy(col("o_orderpriority")).count()
@@ -589,7 +582,7 @@ object Maintenance {
     val total = exact.map(_._2).sum
     val geExact = exact.forall { case (k, n) => cms.estimateCount(k) >= n }
     val withinEps = exact.forall { case (k, n) =>
-      cms.estimateCount(k) <= n + (eps * total).ceil.toLong
+      Bands.cmsWithin(cms.estimateCount(k), n, eps, total)
     }
     val sp = s
     import sp.implicits._
@@ -671,16 +664,12 @@ object Maintenance {
       graft.functions.Det.dsum(col("o_totalprice")),
       count(col("o_totalprice"))).collect()(0)
     val exactMean = exact.getDouble(0) / exact.getLong(1)
-    // Band scales with row count (ADVICE r15 #2): naive double summation
-    // error grows ~n·eps, so a fixed 1e-9 relative band flips at
-    // n ≳ 1e8 rows. Worst-case bound n·4e-16 (2× machine eps per add,
-    // conservative vs Spark's partial-agg tree), floored at 1e-9 so the
-    // check stays meaningful at small sf. At sf0.1 (n≈1.5e5) the floor
-    // governs; at 100 TB (n≈1.5e11) the band is ~6e-5 — still far below
-    // any data-quality-relevant drift.
-    val meanTol = math.max(1e-9, 4e-16 * exact.getLong(1).toDouble)
-    val meanOk =
-      math.abs(meanStr.toDouble - exactMean) <= meanTol * math.abs(exactMean)
+    // Band scales with row count (ADVICE r15 #2, rationale in
+    // Bands.meanTol): at sf0.1 (n≈1.5e5) the 1e-9 floor governs; at
+    // 100 TB (n≈1.5e11) the band is ~6e-5 — still far below any
+    // data-quality-relevant drift.
+    val meanOk = Bands.meanWithin(meanStr.toDouble, exactMean,
+      exact.getLong(1))
     ord.select(col("o_orderkey"), col("o_custkey"))
       .summary("count", "min", "max")
       .withColumn("mean_price_ok", lit(meanOk))
@@ -714,13 +703,77 @@ object Maintenance {
     val disjointOk = splits.reduce(_ unionAll _)
       .distinct().count() == n
     val bandsOk = weights.zip(counts).forall { case (w, c) =>
-      math.abs(c - w * n) <= 6.0 * math.sqrt(n * w * (1 - w))
+      Bands.binomialWithin(c, n, w, 6.0)
     }
     val sp = s
     import sp.implicits._
     Seq((n, completeOk, disjointOk, bandsOk))
       .toDF("n_rows", "complete_ok", "disjoint_ok", "bands_ok")
   }
+}
+
+/** Falsifiable band predicates for the estimator rows (VERDICT r15 #5).
+  *
+  * The band-oracle rows (`profile_stat_functions`,
+  * `profile_sketch_functions`, `profile_summary`, ds_random_split, the
+  * agg_approx_distinct family) emit booleans the ENGINE computes while
+  * the DuckDB oracle only checks their exact companions — so a broken
+  * band check would emit TRUE and still hash-match. Factoring each
+  * published-guarantee predicate here with its THRESHOLD as a parameter
+  * makes the checks provably live: BandsSpec corrupts the threshold
+  * against the real estimator output (demand fp ≤ 0, a 0σ band, ε = 0
+  * on a sketch forced to collide) and asserts the boolean flips. The
+  * Spec bodies call these same functions, so a test-green predicate is
+  * the predicate the registered row ships. */
+private[graft] object Bands {
+  /** approxQuantile(relErr e) rank guarantee: the returned value's
+    * occupied rank interval [lo, hi] must overlap [(p−e)n, (p+e)n]. */
+  def rankWithin(lo: Long, hi: Long, p: Double, relErr: Double,
+      n: Long): Boolean =
+    lo <= (p + relErr) * n && hi >= (p - relErr) * n
+
+  /** Bernoulli(f) sample of an m-row stratum: observed size within
+    * `sigmas`·√(m·f·(1−f)) of f·m and never exceeding the stratum. */
+  def binomialWithin(observed: Long, m: Long, f: Double,
+      sigmas: Double): Boolean =
+    observed <= m &&
+      math.abs(observed - f * m) <= sigmas * math.sqrt(m * f * (1 - f))
+
+  /** Bloom false-positive count over definitely-absent probes within a
+    * `sigmas` binomial band of the requested fpp. */
+  def bloomFpWithin(fpCount: Long, probes: Long, fpp: Double,
+      sigmas: Double): Boolean =
+    fpCount <= probes * fpp + sigmas * math.sqrt(probes * fpp * (1 - fpp))
+
+  /** CMS overcount bound: estimate ≤ exact + ⌈ε·N⌉ (the ε-δ contract;
+    * never-undercounts is checked separately as a hard boolean). */
+  def cmsWithin(est: Long, exact: Long, eps: Double, total: Long): Boolean =
+    est <= exact + (eps * total).ceil.toLong
+
+  /** Relative tolerance for a double-accumulated mean vs the exact
+    * decimal mean: naive summation error grows ~n·eps, so the band
+    * scales as n·4e-16 (2× machine eps per add, conservative vs
+    * Spark's partial-agg tree), floored at 1e-9 for small n. */
+  def meanTol(n: Long): Double = math.max(1e-9, 4e-16 * n.toDouble)
+
+  def meanWithin(measured: Double, exact: Double, n: Long): Boolean =
+    math.abs(measured - exact) <= meanTol(n) * math.abs(exact)
+
+  /** Column form of the relative band — the flag agg_approx_distinct
+    * ships (|approx − exact| ≤ width·exact), distributed so the check
+    * rides the aggregate's own pass. */
+  def relBandCol(approx: org.apache.spark.sql.Column,
+      exact: org.apache.spark.sql.Column, width: Double)
+      : org.apache.spark.sql.Column =
+    abs(approx - exact) <= exact * lit(width)
+
+  /** Column relative band with an absolute floor at 1 — the
+    * agg_stats_builtin discipline for near-zero statistics (a pure
+    * relative band would demand impossible precision as ex → 0). */
+  def relBandFloorCol(b: org.apache.spark.sql.Column,
+      ex: org.apache.spark.sql.Column, width: Double)
+      : org.apache.spark.sql.Column =
+    abs(b - ex) <= lit(width) * greatest(lit(1.0), abs(ex))
 }
 
 /** Morton (z-order) interleave of the low 8 bits of two non-negative
