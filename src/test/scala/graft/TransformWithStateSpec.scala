@@ -131,6 +131,159 @@ class TransformWithStateSpec extends AnyFunSuite {
     }
   }
 
+  test("a PENDING event-time timer survives a kill/restart and fires " +
+      "exactly once (VERDICT r15 #3)") {
+    // The last stateful corner without a kill/restart witness: key 1
+    // opens a session in incarnation ONE (timer registered at
+    // last+gap, watermark still below it — the timer is PENDING in
+    // the checkpoint when the query is killed). Incarnation TWO never
+    // receives key-1 input; it only advances the watermark with
+    // sentinel keys. Key 1's session row can therefore only appear if
+    // the REGISTERED TIMER itself was restored from the checkpoint
+    // and fired — and it must appear exactly once. A third incarnation
+    // advances the watermark further and must emit nothing more for
+    // key 1 (the fired timer and its state were cleared in the
+    // checkpoint, not just in memory). TWS mandates the RocksDB
+    // provider in this image (HDFS-backed default rejected — pinned
+    // below), so the kill/restart matrix for this family is
+    // RocksDB + changelog.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.SessionTimerProcessor
+    val gap = 1800000000L // 30 min in µs
+    withRocksDb {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_tws_timer_restart").toString
+      val out = s"$base/out"
+      val mem = MemoryStream[(Long, java.sql.Timestamp)]
+      def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+      def start() = mem.toDS().toDF("user_id", "ts")
+        .withWatermark("ts", "0 seconds")
+        .select(col("user_id"), unix_micros(col("ts")).as("es"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new SessionTimerProcessor(gap),
+          TimeMode.EventTime(), OutputMode.Append(),
+          Encoders.product[(Long, Long, Long, Long)])
+        .toDF("user_id", "session_start_us", "session_end_us", "n_events")
+        .writeStream
+        .option("checkpointLocation", s"$base/chk")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          df.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(out)
+        }
+        .outputMode(OutputMode.Append()).start()
+      // incarnation 1: open key 1's session; timer pends at 35 min,
+      // watermark only reaches 5 min; kill between micro-batches
+      mem.addData(Seq((1L, ts(0)), (1L, ts(5))))
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      // incarnation 2: watermark-only traffic; the pending timer must
+      // fire from the RESTORED registration
+      mem.addData(Seq((8L, ts(120))))
+      val q2 = start()
+      try {
+        q2.processAllAvailable()            // batch ends, wm -> 120 min
+        mem.addData(Seq((8L, ts(121))))     // firing batch (wm > 35 min)
+        q2.processAllAvailable()
+      } finally q2.stop()
+      assert(ChainedStream.countFiles(s"$base/chk/state", ".changelog") > 0,
+        "no .changelog files — changelog checkpointing was not live")
+      val afterTwo = spark.read.parquet(out)
+        .filter(col("user_id") === 1).collect()
+      assert(afterTwo.length == 1,
+        s"expected exactly one timer-fired session for key 1 after the " +
+          s"restart, got ${afterTwo.length} — the pending timer was " +
+          "lost (0) or double-fired (2)")
+      val r = afterTwo(0)
+      assert(r.getAs[Long]("session_start_us") == 0L
+          && r.getAs[Long]("session_end_us") == 5L * 60000000L + gap
+          && r.getAs[Long]("n_events") == 2L,
+        s"restored timer closed a wrong session: $r")
+      // incarnation 3: nothing left to fire for key 1
+      mem.addData(Seq((8L, ts(300))))
+      val q3 = start()
+      try {
+        q3.processAllAvailable()
+        mem.addData(Seq((8L, ts(301))))
+        q3.processAllAvailable()
+      } finally q3.stop()
+      assert(spark.read.parquet(out)
+          .filter(col("user_id") === 1).count() == 1,
+        "the fired timer re-fired after a second restart — its deletion " +
+          "never reached the checkpoint")
+      graft.operators.Scans.rmRecursive(new java.io.File(base))
+    }
+  }
+
+  test("MapState survives a kill/restart: counters neither lost nor " +
+      "doubled (VERDICT r15 #3)") {
+    // TypeCountsProcessor (the registered stream_tws_mapstate core)
+    // under the kill/restart protocol: half the fixture events feed
+    // incarnation one, the query stops BETWEEN micro-batches with the
+    // per-(user,type) maps populated, and a new query object resumes
+    // from the checkpoint for the second half. Committed offsets mean
+    // the first half is never re-read, so the final counts are correct
+    // ONLY if incarnation two started from the restored MapState:
+    // a reset-to-empty bug undercounts every spanning pair, a replay
+    // bug overcounts it. The last emission per (user, type) must equal
+    // the batch GROUP BY.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.TypeCountsProcessor
+    val evs = graft.sources.Tables.events(spark, SF001)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("es"))
+      .as[(Long, String, Long)].collect().toSeq
+    val (h1, h2) = evs.splitAt(evs.size / 2)
+    val spanning = h1.map(e => (e._1, e._2)).toSet &
+      h2.map(e => (e._1, e._2)).toSet
+    assert(spanning.nonEmpty,
+      "no (user, type) pair spans the restart boundary — the split " +
+        "proves nothing about MapState restoration")
+    withRocksDb {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_tws_map_restart").toString
+      val out = s"$base/out"
+      val mem = MemoryStream[(Long, String, Long)]
+      def start() = mem.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new TypeCountsProcessor, TimeMode.None(),
+          OutputMode.Update(),
+          Encoders.product[(Long, String, Long)])
+        .toDF("user_id", "event_type", "n")
+        .writeStream
+        .option("checkpointLocation", s"$base/chk")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          df.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(out)
+        }
+        .outputMode(OutputMode.Update()).start()
+      mem.addData(h1)
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      mem.addData(h2)
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      val lastPer = spark.read.parquet(out)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"), col("event_type"))
+            .orderBy(col("batch_id").desc)))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("event_type"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val batch = evs.groupBy(e => (e._1, e._2))
+        .map { case ((u, t), es) => (u, t, es.size.toLong) }.toSet
+      assert(lastPer == batch,
+        "restarted MapState counts != batch GROUP BY: spanning pairs " +
+          s"diverged (e.g. ${(batch -- lastPer).take(3)} expected, " +
+          s"${(lastPer -- batch).take(3)} got)")
+      graft.operators.Scans.rmRecursive(new java.io.File(base))
+    }
+  }
+
   test("registered row == flatMapGroupsWithState row, and spans batches") {
     // The round-13 registered query (real file-source stream, RocksDB
     // pinned internally, maxFilesPerTrigger=1) must equal the
