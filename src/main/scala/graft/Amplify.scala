@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic fixture amplifier for the scale-probe harness
+  * (VERDICT r15 #1): `runMain graft.Amplify <srcSfDir> <outDir> <factor>`
+  * writes a `factor`×-amplified copy of the sf fixtures by replicating
+  * rows with KEY-SPACE OFFSETS — copy k shifts every join/group key by
+  * k·10⁹ — so the amplified corpus scales the way real data does:
+  *
+  *  - join fan-out per key stays CONSTANT (copy k's orders reference
+  *    copy k's customers; an unshifted replication would multiply every
+  *    key's match count by `factor` and measure join-explosion, not the
+  *    operator);
+  *  - group-by key cardinality scales with the data (the 100 TB
+  *    behavior), while fixed-domain columns (status, priority, dates)
+  *    keep their domains;
+  *  - dimension tables (nation, region) stay verbatim — facts reference
+  *    them unshifted, exactly like a production star schema;
+  *  - document TEXT is salted per copy (k>0 appends " zK") and
+  *    embeddings are perturbed per copy (+k·10⁻³ per component), so the
+  *    duplicate/near-neighbor RATE stays constant instead of turning
+  *    every row into a `factor`-way duplicate cluster — a slope witness
+  *    must scale the problem, not manufacture a pathological one (the
+  *    adversarial hot-cluster path has its own bounded-candidate-mass
+  *    coverage in ScaleStressSpec / HotShingleCapSpec).
+  *
+  * No oracle runs on amplified dirs — this is a SCALING witness
+  * (tools/scale_probe.py measures per-row wall-time slopes across
+  * 1× → 8× → 32×), not a correctness check; correctness is the driver's
+  * sf0.01 gate. Timestamps are written back with their stored physical
+  * type untouched (events.ts stays TIMESTAMP_NTZ µs, so
+  * Tables.normalizeTs and the streaming schema pins behave identically
+  * on amplified dirs). */
+object Amplify {
+
+  /** One stride for every BIGINT key column: far above any fixture key
+    * (max ~6·10⁵ at sf0.1) and far below Long overflow at factor 32. */
+  val Stride = 1000000000L
+
+  private val keyCols: Map[String, Seq[String]] = Map(
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  private def copyK(name: String, df: DataFrame, k: Int): DataFrame = {
+    val shifted = keyCols(name).foldLeft(df) { (d, c) =>
+      d.withColumn(c, col(c) + lit(k * Stride))
+    }
+    name match {
+      case "documents" if k > 0 =>
+        // salt keeps near-dup rate constant across copies; NULL text
+        // stays NULL (the null-guard path must scale too)
+        shifted.withColumn("text",
+          when(col("text").isNotNull, concat(col("text"), lit(s" z$k")))
+            .otherwise(col("text")))
+      case "embeddings" if k > 0 =>
+        shifted.withColumn("embedding",
+          transform(col("embedding"), x => x + lit(k.toFloat * 1e-3f)))
+      case _ => shifted
+    }
+  }
+
+  def amplify(spark: SparkSession, srcDir: String, outDir: String,
+      factor: Int): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    keyCols.keys.toSeq.sorted.foreach { name =>
+      val src = spark.read.parquet(s"$srcDir/$name.parquet")
+      val out = (0 until factor).map(copyK(name, src, _))
+        .reduce(_ unionAll _)
+      out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      println(s"[amplify] $name x$factor")
+    }
+    Seq("nation", "region").foreach { name =>
+      spark.read.parquet(s"$srcDir/$name.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      println(s"[amplify] $name verbatim")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (src, out, factor) = (args(0), args(1), args(2).toInt)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    amplify(spark, src, out, factor)
+    spark.stop()
+  }
+}

@@ -288,8 +288,19 @@ object Bench {
   /** One serialization for the per-query `"name":time` entries — shared
     * by the stdout JSON line and the stderr all_queries map so a format
     * change can never make the two diverge (round-13 self-review). */
+  // Queries-map entries spend the stdout budget on NAMES, not digits —
+  // but digits are still worth a char (VERDICT r15 #7): per-query values
+  // under 10 s render at 2 decimals (10 ms resolution — the per-query
+  // noise floor is 2.5×, so the third decimal never carried signal),
+  // buying ~1 char per entry of budget back as the registry grows.
+  // Totals/fields keep fmt's 3 decimals.
   private def entryJson(ordered: Seq[(String, Double)]): Seq[String] =
-    ordered.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    ordered.map { case (k, v) =>
+      val r = if (v >= 0 && v < 10)
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      else fmt(v)
+      "\"" + k + "\":" + r
+    }
 
   private[graft] def renderLine(total: Double,
       ordered: Seq[(String, Double)], execIdx: Map[String, Int],
@@ -321,12 +332,18 @@ object Bench {
     // a long name inside the first 15 while keeping later short ones,
     // silently misaligning pos15[i]/retimed[i] with the i-th key of the
     // queries object.
+    // Sub-0.1 s entries stop the map early even with budget left
+    // (VERDICT r15 #7): below the 2.5× noise floor's resolution they
+    // are pure noise, and spending map budget on them would crowd the
+    // self-adjudication fields as the registry grows. Failures (-1)
+    // sort first and must stay visible, so only non-negative
+    // sub-threshold values stop the map.
     var used = 0
-    val kept = entries.takeWhile { e =>
-      val fits = used + e.length + 1 <= budget
+    val kept = entries.zip(ordered).takeWhile { case (e, (_, v)) =>
+      val fits = used + e.length + 1 <= budget && !(v >= 0 && v < 0.1)
       if (fits) used += e.length + 1
       fits
-    }
+    }.map(_._1)
     val omitted = entries.length - kept.length
     val qs = kept.mkString("{", ",", "}")
     // One-time shared materializations, pre-paid before the timed loop

@@ -93,18 +93,39 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("rendered line parses back to the values main computed") {
-    // Round-trip sanity on the extraction (the refactor must not have
-    // changed the serialization main used through round 12).
-    val ordered = Seq("a_query" -> 1.234, "b_query" -> 0.5)
+    // Round-trip sanity on the extraction. Round-16 map precision
+    // (VERDICT r15 #7): queries-map values < 10 s render at 2 decimals
+    // (10 ms — the 2.5× noise floor never read the third), ≥ 10 s keep
+    // 3; the non-map fields keep fmt's full 3 decimals.
+    val ordered = Seq("big_query" -> 12.3456, "a_query" -> 1.234,
+      "b_query" -> 0.5)
     val line = render(ordered, Seq(1.2))
     val t = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
-    assert(t.get("n_queries").asInt == 2)
+    assert(t.get("n_queries").asInt == 3)
     assert(t.get("omitted").asInt == 0)
-    assert(t.get("queries").get("a_query").asDouble == 1.234)
+    assert(t.get("queries").get("big_query").asDouble == 12.346)
+    assert(t.get("queries").get("a_query").asDouble == 1.23)
     assert(t.get("retimed").get(0).asDouble == 1.2)
     assert(t.get("materialize_layout").asDouble == 9999.999)
     assert(t.get("load1_mat").asDouble == 999.99)
     assert(t.get("sf").asText == "/root/testdata/sf0.1")
+  }
+
+  test("sub-0.1s entries stop the queries map; failures never do") {
+    // VERDICT r15 #7: noise-level entries must not crowd the stdout
+    // budget as the registry grows — the map stops at the first
+    // non-negative value under 0.1 s even with budget to spare, while
+    // failure markers (-1, sorted first) always stay visible.
+    val ordered = Seq("failed_q" -> -1.0, "slow_q" -> 2.0,
+      "noise_q" -> 0.04, "later_q" -> 1.5)
+    val line = render(ordered, Seq(-1.0, 2.0))
+    Bench.selfCheck(line)
+    val t = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    import scala.jdk.CollectionConverters._
+    val kept = t.get("queries").fieldNames.asScala.toSeq
+    assert(kept == Seq("failed_q", "slow_q"),
+      s"expected the map to stop at the first sub-0.1s entry: $kept")
+    assert(t.get("omitted").asInt == 2)
   }
 
   test("spike15 adjudicates each retimed entry by the 2.5x collapse rule") {

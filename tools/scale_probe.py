@@ -1,0 +1,159 @@
+#!/usr/bin/env python3
+"""Empirical scale-probe harness (VERDICT r15 #1, round 16).
+
+The 100 TB design claims previously rested on plan inspection (strong,
+but static). This harness turns them into MEASURED scaling evidence:
+
+  1. `graft.Amplify` writes deterministic 8x / 32x amplifications of the
+     sf0.1 fixtures (row replication with key-space offsets: join
+     fan-out constant, key cardinality scales, dims verbatim, text/
+     embedding salted per copy so duplicate RATE stays constant).
+  2. `graft.TimeQ` times the ~44 heaviest batch rows at 1x / 8x / 32x,
+     two reps each (rep 1 includes the session's one-time substrate
+     materializations; rep 2 is the steady-state sample the slope uses).
+  3. The slope exponent per row is  log(t32/t8) / log(4)  on steady
+     reps: ~1.0 = linear in input, <1 = sub-linear (fixed costs still
+     amortizing), >1.3 = super-linear — a memory cliff, driver-side
+     growth, or quadratic candidate mass that plan inspection missed.
+
+Usage (incremental — timings merge into tools/scale_probe_out.json so
+long sweeps can run scale-by-scale or row-chunked):
+  python3 tools/scale_probe.py amplify            # build x8 + x32 dirs
+  python3 tools/scale_probe.py time x1 [rows,..]  # time rows at a scale
+  python3 tools/scale_probe.py time x32 --chunk 0/2
+  python3 tools/scale_probe.py report             # slope table (md)
+
+No oracle runs at amplified scales — this is a scaling witness, not a
+correctness check (the driver's sf0.01 gate is). Streaming rows are
+excluded by design: their cost is micro-batch lifecycle floors, not
+input-proportional work.
+"""
+import json, math, os, re, subprocess, sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC = "/root/testdata/sf0.1"
+OUT = os.path.join(REPO, "tools", "scale_probe_out.json")
+SCALES = {"x1": (SRC, 1), "x8": ("/tmp/graft_scale/x8", 8),
+          "x32": ("/tmp/graft_scale/x32", 32)}
+
+ROWS = """sql_tpch_q1 sql_tpch_q4 sql_tpch_q5 sql_tpch_q9 sql_tpch_q11
+sql_tpch_q18 sql_tpch_q21 sql_tpch_q22
+join_inner_hash join_multiway join_broadcast join_asof join_skew_aqe
+join_salted join_fuzzy join_range_bin
+agg_hash_group agg_distinct agg_grouping_sets agg_sketch_quantile
+agg_sketch_cms agg_approx_distinct
+win_topk_per_group win_ntile win_retention sort_multi set_union_distinct
+scan_parquet filter_pred
+llm_dedup_exact llm_dedup_near llm_dedup_simhash llm_dedup_incremental
+llm_cosine_topk llm_ann_lsh llm_ann_ivf llm_text_stats llm_tfidf
+llm_lm_score llm_cooccur llm_chunking llm_multimodal_decode
+graph_pagerank ts_interpolate_linear""".split()
+
+
+def run(cmd, env=None):
+    e = dict(os.environ)
+    if env:
+        e.update(env)
+    return subprocess.run(cmd, cwd=REPO, env=e, stdout=subprocess.PIPE,
+                          stderr=subprocess.STDOUT, text=True).stdout
+
+
+def load_out():
+    if os.path.exists(OUT):
+        return json.load(open(OUT))
+    return {"reps": {}, "load1": {}}
+
+
+def save_out(d):
+    with open(OUT, "w") as f:
+        json.dump(d, f, indent=1, sort_keys=True)
+
+
+def amplify():
+    for tag in ("x8", "x32"):
+        path, factor = SCALES[tag]
+        if os.path.isdir(os.path.join(path, "lineitem.parquet")):
+            print(f"[probe] {tag} exists, skipping")
+            continue
+        print(f"[probe] amplifying {factor}x -> {path}")
+        out = run(["sbt", "-batch",
+                   f"runMain graft.Amplify {SRC} {path} {factor}"])
+        if out.count("[amplify]") < 10:
+            sys.exit(f"amplify {tag} failed:\n{out[-2000:]}")
+
+
+def load1():
+    return float(open("/proc/loadavg").read().split()[0])
+
+
+def time_scale(tag, rows):
+    path, _ = SCALES[tag]
+    l0 = load1()
+    print(f"[probe] timing {len(rows)} rows at {tag} ({path})", flush=True)
+    out = run(["sbt", "-batch",
+               f"runMain graft.TimeQ {path} {','.join(rows)} 2"],
+              env={"SPARK_GRAFT_CPUS": "32"})
+    res = {}
+    for m in re.finditer(r"\[timeq\] (\S+)\s+([0-9. ]+)", out):
+        res[m.group(1)] = [float(x) for x in m.group(2).split()]
+    missing = [r for r in rows if r not in res]
+    if missing:
+        print(f"[probe] WARNING: no timings for {missing}; "
+              f"output tail:\n{out[-1500:]}")
+    d = load_out()
+    d["reps"].setdefault(tag, {}).update(res)
+    d["load1"].setdefault(tag, []).extend([l0, load1()])
+    save_out(d)
+    print(f"[probe] {tag}: merged {len(res)} rows, load1 "
+          f"[{l0:.2f}, {load1():.2f}]")
+
+
+def report():
+    d = load_out()
+
+    def steady(tag, r):
+        reps = d["reps"].get(tag, {}).get(r)
+        return min(reps[1:]) if reps and len(reps) > 1 else (
+            reps[0] if reps else None)
+
+    table = []
+    for r in ROWS:
+        t1, t8, t32 = steady("x1", r), steady("x8", r), steady("x32", r)
+        expo = (math.log(t32 / t8) / math.log(4)
+                if None not in (t8, t32) and t8 > 0 else None)
+        table.append((r, t1, t8, t32, expo))
+    # slope on the upper pair: fixed per-query costs (plan build,
+    # scheduling) dominate t1 at these sizes and would bias a 1->32
+    # fit sub-linear; 8x->32x is the regime where data work rules
+    table.sort(key=lambda x: -(x[4] if x[4] is not None else 99))
+    print("| query | 1x s | 8x s | 32x s | slope exp (8x->32x) |")
+    print("|---|---|---|---|---|")
+    for r, t1, t8, t32, s in table:
+        f = lambda v: "—" if v is None else f"{v:.2f}"
+        print(f"| {r} | {f(t1)} | {f(t8)} | {f(t32)} | {f(s)} |")
+    sup = [r for r, *_, s in table if s is not None and s > 1.3]
+    print(f"\nsuper-linear (>1.3): {sup or 'none'}")
+    print(f"load1 brackets: {d['load1']}")
+
+
+def main():
+    if len(sys.argv) < 2 or sys.argv[1] not in ("amplify", "time", "report"):
+        sys.exit(__doc__)
+    if sys.argv[1] == "amplify":
+        amplify()
+    elif sys.argv[1] == "report":
+        report()
+    else:
+        tag = sys.argv[2]
+        rows = ROWS
+        for a in sys.argv[3:]:
+            if a.startswith("--chunk="):
+                i, n = map(int, a.split("=", 1)[1].split("/"))
+                rows = [r for j, r in enumerate(ROWS) if j % n == i]
+            elif not a.startswith("--"):
+                rows = a.split(",")
+        time_scale(tag, rows)
+
+
+if __name__ == "__main__":
+    main()
