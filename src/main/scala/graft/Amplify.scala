@@ -55,11 +55,21 @@ object Amplify {
     }
     name match {
       case "documents" if k > 0 =>
-        // salt keeps near-dup rate constant across copies; NULL text
-        // stays NULL (the null-guard path must scale too)
+        // Per-copy VOWEL TRANSLATION, not a suffix (round-16 probe
+        // lesson): SimHash/MinHash are similarity-preserving, so a
+        // one-token salt left copies within hamming ≤ 3 of each other
+        // and manufactured factor-way near-dup clusters — the probe
+        // then measured the (genuinely quadratic) pathological-cluster
+        // output, not operator scaling. Translating the 5 vowels to a
+        // k-dependent consonant set changes most WORDS' hashes (every
+        // vowel-bearing token), so cross-copy similarity collapses
+        // while within-copy duplicates (same translation) survive —
+        // duplicate RATE constant, text length and NULLs preserved.
+        val target = (0 until 5)
+          .map(i => "bcdfghjklmnpqrstvwxz"((k * 5 + i * 7) % 20))
+          .mkString
         shifted.withColumn("text",
-          when(col("text").isNotNull, concat(col("text"), lit(s" z$k")))
-            .otherwise(col("text")))
+          translate(col("text"), "aeiou", target))
       case "embeddings" if k > 0 =>
         shifted.withColumn("embedding",
           transform(col("embedding"), x => x + lit(k.toFloat * 1e-3f)))

@@ -149,6 +149,7 @@ object LlmMultimodal {
         it.map { case (id, text) => (id, Pixels.encodePng(text)) }
       }.toDF("doc_id", "png").as[(Long, Array[Byte])]
     pngs.mapPartitions { it =>
+      Pixels.useMemCache // per-executor: no temp file per decoded image
       it.map { case (id, png) =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(png))
@@ -243,10 +244,22 @@ object LlmMultimodal {
 /** Shared synthetic-media kernels for the multimodal operators (also used
   * by llm_multimodal_decode's sibling pipeline shape in [[LlmVector]]). */
 private[operators] object Pixels {
+
+  /** ImageIO's DEFAULT stream wrapper is file-cached: every
+    * `ImageIO.read`/`write` call creates (and deletes) a temp file,
+    * even over in-memory byte arrays. At 32 concurrent tasks that is
+    * per-row filesystem churn — the round-16 scale probe measured it
+    * as a 1.35 super-linear slope on llm_multimodal_decode (9.2 s at
+    * the 32× amplification). Memory-cached streams are strictly
+    * better for these small per-row images; the setter is JVM-global
+    * and idempotent, triggered lazily by every encode/decode path. */
+  lazy val useMemCache: Unit = javax.imageio.ImageIO.setUseCache(false)
+
   /** text → grayscale PNG, the same construction llm_multimodal_decode
     * documents: w = (n % 32) + 4, h = (n % 24) + 3, pixel i = codepoint
     * (i mod n) masked to a byte (0 for the empty document). */
   def encodePng(text: String): Array[Byte] = {
+    useMemCache
     val cps =
       if (text == null) Array.empty[Int] else text.codePoints().toArray
     val n = cps.length

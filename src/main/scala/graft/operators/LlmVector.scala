@@ -1031,6 +1031,7 @@ object LlmVector {
       it.map { case (id, text) => (id, Pixels.encodePng(text)) }
     }.toDF("doc_id", "png").as[(Long, Array[Byte])]
     pngs.mapPartitions { it =>
+      Pixels.useMemCache // per-executor: no temp file per decoded image
       it.map { case (id, png) =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(png))

@@ -100,4 +100,43 @@ class JoinsSpec extends AnyFunSuite {
     assert(got == exp)
     assert(got.nonEmpty, "fixture must contain at least one fuzzy pair")
   }
+
+  test("rangeDayAgg == rangeBinAgg, including time-of-day points") {
+    // The round-16 day-pre-aggregated rewrite must be result-identical
+    // to the residual-checked bin join on the fixture AND on a
+    // synthetic where POINTS carry time-of-day (the rewrite's exactness
+    // claim: only INTERVAL starts need day alignment).
+    import graft.operators.Joins
+    val iv = Tables.orders(spark, SF001)
+      .filter(pmod(col("o_orderkey"), lit(499)) === 0)
+    val pts = Tables.lineitem(spark, SF001)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).toSeq
+    val fixture = canon(Joins.rangeDayAgg(iv, pts))
+    assert(fixture == canon(Joins.rangeBinAgg(iv, pts)),
+      "day rewrite diverged from the residual bin join on the fixture")
+    assert(fixture.nonEmpty)
+    // time-of-day points: shift every shipdate by +13h37m — day
+    // membership of some points changes relative to nothing (the
+    // interval bound comparisons must still agree between both paths)
+    val shifted = pts.withColumn("l_shipdate",
+      col("l_shipdate") + expr("INTERVAL 13 HOURS 37 MINUTES"))
+    assert(canon(Joins.rangeDayAgg(iv, shifted))
+        == canon(Joins.rangeBinAgg(iv, shifted)),
+      "day rewrite diverged on time-of-day points")
+  }
+
+  test("rangeDayAgg refuses time-of-day interval starts loudly") {
+    import graft.operators.Joins
+    val iv = Tables.orders(spark, SF001)
+      .filter(pmod(col("o_orderkey"), lit(499)) === 0)
+      .withColumn("o_orderdate",
+        col("o_orderdate") + expr("INTERVAL 1 HOUR"))
+    val e = intercept[IllegalArgumentException] {
+      Joins.rangeDayAgg(iv, Tables.lineitem(spark, SF001)).count()
+    }
+    assert(e.getMessage.contains("day-aligned"),
+      s"wrong failure: ${e.getMessage}")
+  }
 }
