@@ -71,8 +71,17 @@ object Amplify {
         shifted.withColumn("text",
           translate(col("text"), "aeiou", target))
       case "embeddings" if k > 0 =>
+        // Per-copy ±1 SIGN-FLIP pattern, not an additive shift (the
+        // additive +k·1e-3 left copies at cosine ≈ 0.9999 of their
+        // originals — manufactured near-dup clusters, same probe
+        // lesson as the text salt): a diagonal ±1 matrix is
+        // ORTHOGONAL, so within-copy angles — and therefore the
+        // near-dup/ANN structure each copy carries — are preserved
+        // EXACTLY, while cross-copy cosines collapse to ~0 (half the
+        // components flip). hash(i, k) keeps the pattern deterministic.
         shifted.withColumn("embedding",
-          transform(col("embedding"), x => x + lit(k.toFloat * 1e-3f)))
+          transform(col("embedding"), (x, i) =>
+            when(pmod(hash(i, lit(k)), lit(2)) === 0, x).otherwise(-x)))
       case _ => shifted
     }
   }

@@ -160,6 +160,27 @@ object LlmVector {
     * ∝ co-bucketed pairs, never all-pairs, so the 100 TB shape is
     * unchanged. */
   def embedNearDupPairs(vecs: DataFrame, threshold: Double): DataFrame = {
+    // Density dispatch (round-16 scale probe): the radius-4 multiprobe
+    // over 8 planes has only 256 buckets, so its candidate mass is
+    // ~163·n²/256 — measured slope 2.32 (113 s) at the 32× amplified
+    // corpus (64 k vectors). Growing the plane count can't save
+    // multiprobe: holding the 1e-5 miss bound forces the probe radius
+    // (and its C(p, r) probe count) up as fast as the buckets shrink.
+    // Past occupancy ~32/bucket the OR-of-tables construction (the
+    // classic E2LSH AND-OR form) takes over; below it the multiprobe
+    // path keeps its deterministic-adversarial coverage
+    // (BorderlineParitySpec) and tighter 1e-5 bound. The count() is
+    // one cheap extra pass on a job that is all-pairs-shaped anyway.
+    val n = vecs.count()
+    if (n <= 256L * 32) embedNearDupMultiprobe(vecs, threshold)
+    else embedNearDupOrTables(vecs, threshold, n)
+  }
+
+  /** The ≤8192-vector path: single 8-plane table, radius-4 multiprobe —
+    * P[miss at cos ≥ 0.99] ≈ 1e-5 (ADVICE r3/r4 bound), deterministic
+    * recovery of the constructed 3-4-flip adversarial pair. */
+  private[graft] def embedNearDupMultiprobe(vecs: DataFrame,
+      threshold: Double): DataFrame = {
     val emb = vecs.withColumn("bucket",
       org.apache.spark.sql.graft.HyperplaneBucket(col("embedding"), nPlanes, 0))
     // Multi-probe expansion on one side only: the flip matching the two
@@ -171,6 +192,44 @@ object LlmVector {
       col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
+      .withColumn("score", cosineCol("ea", "eb"))
+      .filter(col("score") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("score"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** The large-corpus path: T independent tables of b planes each
+    * (AND within a table, OR across tables — Indyk/Motwani). b grows
+    * with n to hold per-bucket occupancy at ~8 (candidate mass stays
+    * ~T·8·n — LINEAR in n at any density; re-probed 113 s → seconds at
+    * the 32× corpus), and T is derived from the threshold's per-plane
+    * flip probability ε = acos(θ)/π so that the per-pair miss bound
+    * (1−(1−ε)^b)^T ≤ 1e-4. Honest bound note: unlike the multiprobe
+    * path this guarantee is probabilistic over the hyperplanes only —
+    * there is no deterministic adversarial-geometry recovery; that is
+    * the standard trade every production-scale LSH dedup makes, and
+    * why the small-corpus path keeps the stronger scheme. A pair can
+    * meet in several tables, so candidates dedupe on (vec_a, vec_b)
+    * before the exact-cosine verify. */
+  private[graft] def embedNearDupOrTables(vecs: DataFrame,
+      threshold: Double, n: Long): DataFrame = {
+    val b = math.max(nPlanes,
+      math.ceil(math.log(n / 8.0) / math.log(2)).toInt)
+    val eps = math.acos(threshold) / math.Pi
+    val survive = math.pow(1 - eps, b)
+    val tables = math.max(2,
+      math.ceil(math.log(1e-4) / math.log1p(-survive)).toInt)
+    val tabled = vecs.select(col("vec_id"), col("embedding"),
+      explode(array((0 until tables).map(t => struct(lit(t).as("t"),
+        org.apache.spark.sql.graft.HyperplaneBucket(
+          col("embedding"), b, t).as("bkt"))): _*)).as("tb"))
+    val a = tabled.select(col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("tb"))
+    val bs = tabled.select(col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("tb"))
+    a.join(bs, Seq("tb"))
+      .filter(col("vec_a") < col("vec_b"))
+      .dropDuplicates(Seq("vec_a", "vec_b"))
       .withColumn("score", cosineCol("ea", "eb"))
       .filter(col("score") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("score"))

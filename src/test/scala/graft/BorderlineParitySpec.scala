@@ -145,6 +145,56 @@ class BorderlineParitySpec extends AnyFunSuite {
     assert(got == Set((0L, 1L)), s"radius-4 probe returned $got")
   }
 
+  test("OR-of-tables dedup path == brute force on implanted tight pairs") {
+    // Round 16: past occupancy ~32/bucket embedNearDupPairs dispatches
+    // to the AND-OR tables construction (the multiprobe path's 256
+    // buckets measured quadratic at the 32x amplified corpus). Forced
+    // here via the package-private entry with a large claimed n (so
+    // b/T take their large-corpus values) over a corpus of isolated
+    // singletons plus implanted near-identical pairs. At cos ~ 0.9999
+    // the per-pair miss bound is ~5e-8 — deterministic for test
+    // purposes; phantoms are impossible (exact cosine verify).
+    val dim = 32
+    def unit(seed: Int): Array[Float] = {
+      // deterministic pseudo-random unit vector (splitmix-style)
+      val v = Array.tabulate(dim) { i =>
+        var h = seed.toLong * 0x9E3779B97F4A7C15L +
+          i.toLong * 0xC2B2AE3D27D4EB4FL
+        h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
+        ((h & 0xffff) / 65535.0f) - 0.5f
+      }
+      val norm = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / norm)
+    }
+    val singles = (0 until 60).map(i => (100L + i, unit(i).toSeq))
+    val pairs = (0 until 8).flatMap { p =>
+      val v = unit(1000 + p)
+      // tiny deterministic nudge on one coordinate: cos >= 0.9999
+      val w = v.clone(); w(p % dim) = w(p % dim) + 0.005f
+      Seq((2L * p, v.toSeq), (2L * p + 1, w.toSeq))
+    }
+    val all = singles ++ pairs
+    val exact = (for {
+      (ia, va) <- all; (ib, vb) <- all if ia < ib
+      c = LlmVector.cosine(va.toArray, vb.toArray) if c >= 0.99
+    } yield (ia, ib)).toSet
+    assert(exact.size >= 8, s"construction lost pairs: $exact")
+    val got = LlmVector.embedNearDupOrTables(
+        all.toDF("vec_id", "embedding"), 0.99, n = 1000000L)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exact,
+      s"OR-tables missed ${exact -- got} / phantom ${got -- exact}")
+    // and the dispatcher itself: this corpus is far below the
+    // occupancy threshold, so the registered row keeps the exact-bound
+    // multiprobe path — both paths agree here
+    val viaDispatch = LlmVector.embedNearDupPairs(
+        all.toDF("vec_id", "embedding"), 0.99)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaDispatch == exact, "dispatcher path diverged")
+  }
+
   test("multimodal decode treats NULL text as the empty document (oracle parity)") {
     // ADVICE r4 / VERDICT r4 #1: both the oracle SQL (COALESCE(text,''))
     // and the Spark-side codec (Pixels.encodePng null guard) must decode a

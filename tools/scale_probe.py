@@ -47,7 +47,11 @@ scan_parquet filter_pred
 llm_dedup_exact llm_dedup_near llm_dedup_simhash llm_dedup_incremental
 llm_cosine_topk llm_ann_lsh llm_ann_ivf llm_text_stats llm_tfidf
 llm_lm_score llm_cooccur llm_chunking llm_multimodal_decode
-graph_pagerank ts_interpolate_linear""".split()
+graph_pagerank ts_interpolate_linear
+llm_dedup_ngram llm_dedup_cluster llm_dedup_embed llm_vocab
+llm_lang_id llm_quality_score llm_fingerprint llm_ngram_lm
+llm_contamination llm_pack_sequences llm_split_hash
+win_lag_lead agg_rollup agg_cube set_except pivot_status""".split()
 
 
 def run(cmd, env=None):
