@@ -51,7 +51,10 @@ graph_pagerank ts_interpolate_linear
 llm_dedup_ngram llm_dedup_cluster llm_dedup_embed llm_vocab
 llm_lang_id llm_quality_score llm_fingerprint llm_ngram_lm
 llm_contamination llm_pack_sequences llm_split_hash
-win_lag_lead agg_rollup agg_cube set_except pivot_status""".split()
+win_lag_lead agg_rollup agg_cube set_except pivot_status
+sink_partitioned sink_codec_zstd agg_custom_typed ds_map_partitions
+win_running_frame win_range_frame join_left_anti join_left_semi
+set_intersect llm_winsorize llm_curriculum llm_oov_rate""".split()
 
 
 def run(cmd, env=None):
