@@ -93,7 +93,25 @@ object Amplify {
       val src = spark.read.parquet(s"$srcDir/$name.parquet")
       val out = (0 until factor).map(copyK(name, src, _))
         .reduce(_ unionAll _)
-      out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      if (name == "events") {
+        // events must land as a single FILE, like the driver fixture:
+        // the streaming file source's listing can't see a Spark-written
+        // events.parquet/ DIRECTORY (TESTDATA gotcha), and the
+        // streaming rows are probe targets too. coalesce(1) then lift
+        // the lone part file out of the directory.
+        val tmp = s"$outDir/_events_tmp"
+        out.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-")
+            && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error("no part file written for events"))
+        val dst = new java.io.File(s"$outDir/events.parquet")
+        graft.operators.Scans.rmRecursive(dst)
+        require(part.renameTo(dst), "events single-file rename failed")
+        graft.operators.Scans.rmRecursive(new java.io.File(tmp))
+      } else {
+        out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      }
       println(s"[amplify] $name x$factor")
     }
     Seq("nation", "region").foreach { name =>

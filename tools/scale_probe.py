@@ -24,9 +24,12 @@ long sweeps can run scale-by-scale or row-chunked):
   python3 tools/scale_probe.py report             # slope table (md)
 
 No oracle runs at amplified scales — this is a scaling witness, not a
-correctness check (the driver's sf0.01 gate is). Streaming rows are
-excluded by design: their cost is micro-batch lifecycle floors, not
-input-proportional work.
+correctness check (the driver's sf0.01 gate is). Most streaming rows
+are micro-batch lifecycle floors, but five real-stream rows whose
+input mass scales (file-source window agg, TWS funnel, update-mode
+ledger, foreachBatch upsert, chained window aggs) ARE probed —
+graft.Amplify writes events as a single FILE so the streaming file
+source can list it.
 """
 import json, math, os, re, subprocess, sys
 
@@ -54,7 +57,9 @@ llm_contamination llm_pack_sequences llm_split_hash
 win_lag_lead agg_rollup agg_cube set_except pivot_status
 sink_partitioned sink_codec_zstd agg_custom_typed ds_map_partitions
 win_running_frame win_range_frame join_left_anti join_left_semi
-set_intersect llm_winsorize llm_curriculum llm_oov_rate""".split()
+set_intersect llm_winsorize llm_curriculum llm_oov_rate
+source_stream_window stream_transform_with_state stream_update_mode
+stream_foreachbatch_upsert stream_chained_agg""".split()
 
 
 def run(cmd, env=None):
