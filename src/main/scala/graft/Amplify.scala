@@ -55,21 +55,33 @@ object Amplify {
     }
     name match {
       case "documents" if k > 0 =>
-        // Per-copy VOWEL TRANSLATION, not a suffix (round-16 probe
-        // lesson): SimHash/MinHash are similarity-preserving, so a
-        // one-token salt left copies within hamming ≤ 3 of each other
-        // and manufactured factor-way near-dup clusters — the probe
-        // then measured the (genuinely quadratic) pathological-cluster
-        // output, not operator scaling. Translating the 5 vowels to a
-        // k-dependent consonant set changes most WORDS' hashes (every
-        // vowel-bearing token), so cross-copy similarity collapses
-        // while within-copy duplicates (same translation) survive —
-        // duplicate RATE constant, text length and NULLs preserved.
-        val target = (0 until 5)
-          .map(i => "bcdfghjklmnpqrstvwxz"((k * 5 + i * 7) % 20))
-          .mkString
-        shifted.withColumn("text",
-          translate(col("text"), "aeiou", target))
+        // Per-copy BIJECTIVE character rotation, not a suffix (round-16
+        // probe lessons, twice over): SimHash/MinHash are
+        // similarity-preserving, so a one-token salt left copies within
+        // hamming ≤ 3 and manufactured factor-way near-dup clusters;
+        // the second attempt (vowel translation) still let VOWEL-LESS
+        // tokens (digits, codes) survive verbatim across copies — and a
+        // doc whose MINIMUM-hash shingle is vowel-less hands all its
+        // copies the same minhash, re-manufacturing cross-copy band
+        // collisions (llm_dedup_near measured slope 1.62 at 64× from
+        // exactly this). A full alphanumeric ROTATION per copy is a
+        // bijection — within-copy duplicate/near-dup structure is
+        // preserved exactly, text length and NULLs preserved — while
+        // every letter and digit changes, so no shingle survives
+        // across copies.
+        // Affine map i -> i·mult + shift (mod 62): a pure rotation
+        // gives only 61 distinct non-identity maps, so factor ≥ 63
+        // would alias two copies back into exact duplicates of earlier
+        // ones. mult ∈ {1, 3} (both coprime to 62) × shift gives 123
+        // distinct non-identity maps — enough for any probe factor.
+        val alpha =
+          "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+        val n62 = alpha.length
+        val (mult, shift) =
+          if (k < n62) (1, k) else (3, k - n62 + 1)
+        val target = alpha.indices
+          .map(i => alpha((i * mult + shift) % n62)).mkString
+        shifted.withColumn("text", translate(col("text"), alpha, target))
       case "embeddings" if k > 0 =>
         // Per-copy ±1 SIGN-FLIP pattern, not an additive shift (the
         // additive +k·1e-3 left copies at cosine ≈ 0.9999 of their
