@@ -20,8 +20,12 @@ Usage (incremental — timings merge into tools/scale_probe_out.json so
 long sweeps can run scale-by-scale or row-chunked):
   python3 tools/scale_probe.py amplify            # build x8 + x32 dirs
   python3 tools/scale_probe.py time x1 [rows,..]  # time rows at a scale
-  python3 tools/scale_probe.py time x32 --chunk 0/2
+  python3 tools/scale_probe.py time x32 --chunk=0/2
   python3 tools/scale_probe.py report             # slope table (md)
+  python3 tools/scale_probe.py retime             # adjudicate >1.3 flags:
+      # re-time each flagged row set at x8+x32 in FRESH JVMs with 3
+      # reps (chunk-window flags are usually co-resident contention —
+      # the 32x sweeps self-load the box to load1 ~15), merge, re-report
 
 No oracle runs at amplified scales — this is a scaling witness, not a
 correctness check (the driver's sf0.01 gate is). Most streaming rows
@@ -98,12 +102,12 @@ def load1():
     return float(open("/proc/loadavg").read().split()[0])
 
 
-def time_scale(tag, rows):
+def time_scale(tag, rows, reps=2):
     path, _ = SCALES[tag]
     l0 = load1()
     print(f"[probe] timing {len(rows)} rows at {tag} ({path})", flush=True)
     out = run(["sbt", "-batch",
-               f"runMain graft.TimeQ {path} {','.join(rows)} 2"],
+               f"runMain graft.TimeQ {path} {','.join(rows)} {reps}"],
               env={"SPARK_GRAFT_CPUS": "32"})
     res = {}
     for m in re.finditer(r"\[timeq\] (\S+)\s+([0-9. ]+)", out):
@@ -120,7 +124,7 @@ def time_scale(tag, rows):
           f"[{l0:.2f}, {load1():.2f}]")
 
 
-def report():
+def slope_table():
     d = load_out()
 
     def steady(tag, r):
@@ -134,6 +138,12 @@ def report():
         expo = (math.log(t32 / t8) / math.log(4)
                 if None not in (t8, t32) and t8 > 0 else None)
         table.append((r, t1, t8, t32, expo))
+    return table
+
+
+def report():
+    d = load_out()
+    table = slope_table()
     # slope on the upper pair: fixed per-query costs (plan build,
     # scheduling) dominate t1 at these sizes and would bias a 1->32
     # fit sub-linear; 8x->32x is the regime where data work rules
@@ -148,13 +158,31 @@ def report():
     print(f"load1 brackets: {d['load1']}")
 
 
+def retime():
+    flagged = [r for r, *_, s in slope_table() if s is not None and s > 1.3]
+    if not flagged:
+        print("[probe] no rows flagged >1.3 — nothing to retime")
+        return
+    print(f"[probe] retiming flagged rows in fresh JVMs: {flagged}")
+    for tag in ("x8", "x32"):
+        time_scale(tag, flagged, reps=3)
+    still = [r for r, *_, s in slope_table() if s is not None and s > 1.3]
+    print(f"[probe] after isolated retime, still >1.3: {still or 'none'} "
+          "(a row that survives the retime is a REAL finding — fix or "
+          "adjudicate with evidence; a collapsed one was chunk-window "
+          "contention)")
+
+
 def main():
-    if len(sys.argv) < 2 or sys.argv[1] not in ("amplify", "time", "report"):
+    if len(sys.argv) < 2 or sys.argv[1] not in (
+            "amplify", "time", "report", "retime"):
         sys.exit(__doc__)
     if sys.argv[1] == "amplify":
         amplify()
     elif sys.argv[1] == "report":
         report()
+    elif sys.argv[1] == "retime":
+        retime()
     else:
         tag = sys.argv[2]
         rows = ROWS
