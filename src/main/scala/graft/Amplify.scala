@@ -18,13 +18,20 @@ import org.apache.spark.sql.functions._
   *    keep their domains;
   *  - dimension tables (nation, region) stay verbatim — facts reference
   *    them unshifted, exactly like a production star schema;
-  *  - document TEXT is salted per copy (k>0 appends " zK") and
-  *    embeddings are perturbed per copy (+k·10⁻³ per component), so the
-  *    duplicate/near-neighbor RATE stays constant instead of turning
-  *    every row into a `factor`-way duplicate cluster — a slope witness
-  *    must scale the problem, not manufacture a pathological one (the
-  *    adversarial hot-cluster path has its own bounded-candidate-mass
-  *    coverage in ScaleStressSpec / HotShingleCapSpec).
+  *  - document TEXT gets a per-copy affine alphanumeric BIJECTION
+  *    (translate over [a-zA-Z0-9], map i → i·mult + shift mod 62) and
+  *    embeddings a per-copy ±1 SIGN-FLIP pattern (a diagonal orthogonal
+  *    transform), so within-copy duplicate/near-dup/ANN structure is
+  *    preserved EXACTLY while no shingle or angle survives across
+  *    copies — the duplicate/near-neighbor RATE stays constant instead
+  *    of turning every row into a `factor`-way duplicate cluster. A
+  *    slope witness must scale the problem, not manufacture a
+  *    pathological one: round 16 retired a " zK" suffix salt, a vowel
+  *    translation, and an additive +k·10⁻³ embedding shift after each
+  *    manufactured fake super-linear slopes (details at the salt sites
+  *    below; the adversarial hot-cluster path has its own
+  *    bounded-candidate-mass coverage in ScaleStressSpec /
+  *    HotShingleCapSpec).
   *
   * No oracle runs on amplified dirs — this is a SCALING witness
   * (tools/scale_probe.py measures per-row wall-time slopes across
@@ -100,6 +107,16 @@ object Amplify {
 
   def amplify(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int): Unit = {
+    // The affine text salt has 124 distinct maps (mult ∈ {1,3} × shift,
+    // identity included): at k = 124 the shift (k−61) wraps mod 62 back
+    // onto the k = 62 map, so copies 62 and 124 would become
+    // byte-identical translations of the source — silently
+    // re-manufacturing the exact-dup clusters the salt exists to prevent
+    // (ADVICE r16). Fail loudly instead of corrupting slope evidence.
+    require(factor <= 124,
+      s"amplify factor $factor exceeds the 124 distinct affine text " +
+        "salts; a larger factor would alias copies back into exact " +
+        "duplicates — widen the coprime-mult set first")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     keyCols.keys.toSeq.sorted.foreach { name =>
       val src = spark.read.parquet(s"$srcDir/$name.parquet")

@@ -338,14 +338,25 @@ object Joins {
     val day = (c: Column) =>
       datediff(c.cast("date"), lit("1970-01-01").cast("date")).cast("long")
     val dt = intervals.schema("o_orderdate").dataType
-    require(intervals.filter(
-        col("o_orderdate").cast("date").cast(dt) =!= col("o_orderdate"))
-      .isEmpty,
-      "rangeDayAgg requires day-aligned interval starts (time-of-day " +
-        "o_orderdate would make the day rewrite silently wrong — use " +
-        "rangeBinAgg's residual path instead)")
+    // The day-alignment invariant rides the ivDays pass itself (ADVICE
+    // r16: the previous eager `require(....isEmpty)` ran a full extra
+    // distributed pass over the intervals side on EVERY construction —
+    // i.e. inside every timed bench rep of the very row this rewrite
+    // exists to speed up). `sd` is consumed by the explode, so the
+    // check can't be pruned; a misaligned start raises on first touch
+    // of that row. NULL starts keep their pre-guard behavior (null sd →
+    // null sequence → row dropped by explode): coalesce treats the
+    // null comparison as aligned.
+    val aligned =
+      coalesce(col("o_orderdate").cast("date").cast(dt) === col("o_orderdate"),
+        lit(true))
+    val sd = when(aligned, day(col("o_orderdate")))
+      .otherwise(raise_error(lit(
+        "rangeDayAgg requires day-aligned interval starts (time-of-day " +
+          "o_orderdate would make the day rewrite silently wrong — use " +
+          "rangeBinAgg's residual path instead)")))
     val ivDays = intervals
-      .select(col("o_orderkey"), day(col("o_orderdate")).as("sd"))
+      .select(col("o_orderkey"), sd.as("sd"))
       .select(col("o_orderkey"),
         explode(sequence(col("sd"), col("sd") + 29)).as("d"))
     val dayAgg = points

@@ -171,8 +171,20 @@ object LlmVector {
     // path keeps its deterministic-adversarial coverage
     // (BorderlineParitySpec) and tighter 1e-5 bound. The count() is
     // one cheap extra pass on a job that is all-pairs-shaped anyway.
+    // RECALL CONTRACT IS CARDINALITY-DEPENDENT (ADVICE r16, documented
+    // honestly): below the cliff the registered row carries the
+    // multiprobe's deterministic-adversarial 1e-5 bound and is
+    // oracle-verified at every fixture sf; above it the OR-tables path
+    // carries the probabilistic 1e-4 hyperplane-randomness bound,
+    // verified by BorderlineParitySpec's brute-force parity plus the
+    // forced-construction oracle row `llm_dedup_embed_ortables` (round
+    // 17), which replays the AND-OR candidate generation in DuckDB.
+    // Log the branch taken so probe/bench artifacts are attributable.
     val n = vecs.count()
-    if (n <= 256L * 32) embedNearDupMultiprobe(vecs, threshold)
+    val useOr = n > 256L * 32
+    System.err.println(s"[graft] embedNearDupPairs n=$n path=" +
+      (if (useOr) "or-tables" else "multiprobe"))
+    if (!useOr) embedNearDupMultiprobe(vecs, threshold)
     else embedNearDupOrTables(vecs, threshold, n)
   }
 
@@ -213,12 +225,7 @@ object LlmVector {
     * before the exact-cosine verify. */
   private[graft] def embedNearDupOrTables(vecs: DataFrame,
       threshold: Double, n: Long): DataFrame = {
-    val b = math.max(nPlanes,
-      math.ceil(math.log(n / 8.0) / math.log(2)).toInt)
-    val eps = math.acos(threshold) / math.Pi
-    val survive = math.pow(1 - eps, b)
-    val tables = math.max(2,
-      math.ceil(math.log(1e-4) / math.log1p(-survive)).toInt)
+    val (b, tables) = orTableParams(n, threshold)
     val tabled = vecs.select(col("vec_id"), col("embedding"),
       explode(array((0 until tables).map(t => struct(lit(t).as("t"),
         org.apache.spark.sql.graft.HyperplaneBucket(
@@ -234,6 +241,32 @@ object LlmVector {
       .filter(col("score") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("score"))
       .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** AND-OR table parameters for n vectors at `threshold`: b planes per
+    * table (AND within a table) grown to hold per-bucket occupancy at
+    * ~8, but CAPPED AT 31 (ADVICE r16): [[org.apache.spark.sql.graft
+    * .HyperplaneBucketImpl]] packs one sign bit per plane into an Int
+    * with `sig |= (1 << p)`, and Java's shift-mod-32 would silently
+    * alias plane p with plane p−32 past b = 31 — bucket bits become ORs
+    * of two sign bits, voiding both the ~8/bucket occupancy claim and
+    * the miss-bound derivation. Past the cap (n > 8·2³¹ ≈ 1.7e10
+    * vectors) occupancy grows as n/2³¹ instead of holding — candidate
+    * mass ~T·n·(n/2³¹), still effectively linear into the tens of
+    * billions of vectors a single dedup job would ever hold before
+    * sharding — while the miss bound self-adjusts: `tables` is computed
+    * from the ACTUAL b, so a capped b gives a smaller per-table survive
+    * probability and therefore MORE tables, keeping
+    * (1−(1−ε)^b)^T ≤ 1e-4 exactly. BorderlineParitySpec pins b ≤ 31 at
+    * extreme n and the T-compensation monotonicity. */
+  private[graft] def orTableParams(n: Long, threshold: Double): (Int, Int) = {
+    val b = math.min(31, math.max(nPlanes,
+      math.ceil(math.log(n / 8.0) / math.log(2)).toInt))
+    val eps = math.acos(threshold) / math.Pi
+    val survive = math.pow(1 - eps, b)
+    val tables = math.max(2,
+      math.ceil(math.log(1e-4) / math.log1p(-survive)).toInt)
+    (b, tables)
   }
 
   /** Deterministic random-hyperplane signs for LSH: ±1 per (plane, dim).

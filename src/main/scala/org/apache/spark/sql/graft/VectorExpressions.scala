@@ -202,6 +202,13 @@ class NearestCellsImpl(cents: Array[Array[Double]], n: Int)
   * expression is bit-identical to the r4 UDF it replaces and the measured
   * LSH recall/scan frontier carries over unchanged. */
 class HyperplaneBucketImpl(planes: Int, table: Int) extends Serializable {
+  // The signature is an Int bitset: `1 << p` for p > 31 silently wraps
+  // (Java shift-mod-32) and aliases plane p with p-32, turning bucket
+  // bits into ORs of two sign bits — fail loudly instead (ADVICE r16;
+  // LlmVector.orTableParams absorbs growth past the cap into more
+  // OR-tables rather than more planes).
+  require(planes >= 1 && planes <= 31,
+    s"HyperplaneBucket supports 1..31 planes (Int signature), got $planes")
   def bucket(v: ArrayData): Int = {
     var sig = 0
     var p = 0

@@ -112,4 +112,17 @@ class AmplifySpec extends AnyFunSuite {
     val nSrc = spark.read.parquet(s"$SF001/events.parquet").count()
     assert(n == 3 * nSrc, s"events rows $n != 3*$nSrc")
   }
+
+  test("factor > 124 fails loudly (affine text-salt map space exhausted)") {
+    // ADVICE r16: at k = 124 the affine shift wraps mod 62 back onto the
+    // k = 62 map — copies 62 and 124 would be byte-identical, silently
+    // re-manufacturing exact-dup clusters in the slope evidence. The
+    // amplifier must refuse rather than corrupt the witness.
+    val e = intercept[IllegalArgumentException] {
+      Amplify.amplify(spark, SF001, "/tmp/graft_amplify_overflow", 125)
+    }
+    assert(e.getMessage.contains("124"), s"wrong failure: ${e.getMessage}")
+    assert(!new java.io.File("/tmp/graft_amplify_overflow").exists(),
+      "refusal must happen before any output is written")
+  }
 }

@@ -195,6 +195,33 @@ class BorderlineParitySpec extends AnyFunSuite {
     assert(viaDispatch == exact, "dispatcher path diverged")
   }
 
+  test("OR-tables plane count is capped at the Int signature width") {
+    // ADVICE r16: HyperplaneBucketImpl packs one sign bit per plane into
+    // an Int (`sig |= (1 << p)`), so b > 31 would silently alias plane p
+    // with p-32 via Java's shift-mod-32 — exactly at the n > ~1.7e10
+    // regime the OR-tables path exists for. orTableParams must never
+    // exceed the signature width, and the miss bound must compensate
+    // with MORE tables (it is computed from the actual b).
+    import graft.operators.LlmVector.orTableParams
+    val atCliff = orTableParams(256L * 32 + 1, 0.99)
+    for (n <- Seq(1L << 20, 1L << 34, 1L << 44, Long.MaxValue)) {
+      val (b, t) = orTableParams(n, 0.99)
+      assert(b >= 8 && b <= 31, s"n=$n: b=$b outside [8, 31]")
+      assert(t >= 2, s"n=$n: tables=$t")
+    }
+    val capped = orTableParams(Long.MaxValue, 0.99)
+    assert(capped._1 == 31, s"extreme n must pin b at the cap: $capped")
+    assert(capped._2 > atCliff._2,
+      s"capped b must be compensated by more tables: $capped vs $atCliff")
+    // And the expression itself refuses an over-wide signature loudly.
+    val e = intercept[IllegalArgumentException] {
+      new org.apache.spark.sql.graft.HyperplaneBucketImpl(32, 0)
+        .bucket(org.apache.spark.sql.catalyst.util.ArrayData
+          .toArrayData(Array(1.0f)))
+    }
+    assert(e.getMessage.contains("31"), s"wrong failure: ${e.getMessage}")
+  }
+
   test("multimodal decode treats NULL text as the empty document (oracle parity)") {
     // ADVICE r4 / VERDICT r4 #1: both the oracle SQL (COALESCE(text,''))
     // and the Spark-side codec (Pixels.encodePng null guard) must decode a

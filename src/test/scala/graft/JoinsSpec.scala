@@ -133,10 +133,17 @@ class JoinsSpec extends AnyFunSuite {
       .filter(pmod(col("o_orderkey"), lit(499)) === 0)
       .withColumn("o_orderdate",
         col("o_orderdate") + expr("INTERVAL 1 HOUR"))
-    val e = intercept[IllegalArgumentException] {
+    // Round 17: the guard now rides the ivDays pass as a raise_error
+    // branch of the sd computation (no extra eager action per
+    // construction), so it surfaces at execution as Spark's
+    // USER_RAISED_EXCEPTION — unwrap to the root message.
+    val e = intercept[Exception] {
       Joins.rangeDayAgg(iv, Tables.lineitem(spark, SF001)).count()
     }
-    assert(e.getMessage.contains("day-aligned"),
-      s"wrong failure: ${e.getMessage}")
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("day-aligned")),
+      s"wrong failure: ${messages(e).mkString(" | ")}")
   }
 }
