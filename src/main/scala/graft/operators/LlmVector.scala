@@ -17,9 +17,9 @@ import graft.sources.Tables
   * so scores are bit-identical and even raw doubles hash-match.
   */
 object LlmVector {
-  def specs: Seq[Spec] = Seq(cosineTopk, dedupEmbed, annLsh, annIvf,
-    dedupMinhash, dedupSimhash, multimodalStruct, multimodalDecode,
-    embedQuantize)
+  def specs: Seq[Spec] = Seq(cosineTopk, dedupEmbed, orTablesSpec,
+    annLsh, annIvf, dedupMinhash, dedupSimhash, multimodalStruct,
+    multimodalDecode, embedQuantize)
 
   /** Int8 embedding quantization — the 4× memory/bandwidth lever every
     * 100 TB vector store pulls: q = ⌊clip(x·127, ±127)⌋ per component,
@@ -267,6 +267,78 @@ object LlmVector {
     val tables = math.max(2,
       math.ceil(math.log(1e-4) / math.log1p(-survive)).toInt)
     (b, tables)
+  }
+
+  /** The forced density for [[orTablesSpec]]: 8·2¹² = 32768 vectors →
+    * b = 12 planes, T = 11 tables by the production formula — chosen so
+    * the registered row exercises the REAL large-corpus construction
+    * (several tables, a wider-than-multiprobe signature) at every
+    * fixture sf. */
+  private val orTablesForcedN = 32768L
+
+  /** Exact DuckDB replay of the AND-OR candidate generation (VERDICT
+    * r16 #4): the density dispatch routes the registered
+    * `llm_dedup_embed` through the multiprobe path at every fixture sf,
+    * which left the production-scale OR-tables branch scalatest-only.
+    * This oracle pins the construction itself, the round-9 annLsh-replay
+    * way: the literal ±1 sign matrix for all T·b planes as a VALUES
+    * table, the bit-exact sequential dot fold (`list_reduce` over
+    * `list(... ORDER BY dim)` prepended with 0.0 — the [[cosineSql]]
+    * determinism contract; sign·float is an IEEE negation, never a
+    * rounding), per-(vec, table) buckets via SUM(1 << p), candidates =
+    * DISTINCT pairs sharing (table, bucket), then the exact-cosine ≥
+    * threshold verify. Because the oracle replays candidate GENERATION,
+    * parity is exact — no dependence on the probabilistic recall bound.
+    * Domain restriction (same as the annLsh replay): the sign matrix
+    * covers dims 0..63, the fixture embedding width. (b, T) come from
+    * the same [[orTableParams]] call the engine makes, so the two
+    * engines agree on the parameters by construction. */
+  private def orTablesOracleSql: String = {
+    val (b, tables) = orTableParams(orTablesForcedN, 0.99)
+    def fold(l: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $l), (x, y) -> x + y)"
+    val signRows = (0 until tables * b).map { plane =>
+      val ss = (0 until 64)
+        .map(dm => if (hyperplaneSign(plane, dm) > 0) '+' else '-').mkString
+      s"($plane, '$ss')"
+    }.mkString(", ")
+    s"""WITH dims AS (SELECT unnest(generate_series(0, 63)) AS dim),
+       |sgns AS (SELECT * FROM (VALUES $signRows) sg(plane, ss)),
+       |slong AS (
+       |  SELECT plane, dim,
+       |    CASE WHEN substring(ss, dim + 1, 1) = '+' THEN CAST(1.0 AS DOUBLE)
+       |         ELSE CAST(-1.0 AS DOUBLE) END AS sgn
+       |  FROM sgns, dims),
+       |elong AS (
+       |  SELECT vec_id, dim, CAST(embedding[dim + 1] AS DOUBLE) AS val
+       |  FROM embeddings, dims WHERE dim < len(embedding)),
+       |dots AS (
+       |  SELECT vec_id, plane // $b AS tbl, plane % $b AS p,
+       |    ${fold("list(sgn * val ORDER BY dim)")} AS dot
+       |  FROM elong JOIN slong USING (dim)
+       |  GROUP BY vec_id, plane),
+       |buckets AS (
+       |  SELECT vec_id, tbl,
+       |    CAST(SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+       |      AS bucket
+       |  FROM dots GROUP BY vec_id, tbl),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM buckets a JOIN buckets b USING (tbl, bucket)
+       |  WHERE a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b,
+       |  ${cosineSql("ea.embedding", "eb.embedding")} AS score
+       |FROM cand JOIN embeddings ea ON ea.vec_id = vec_a
+       |  JOIN embeddings eb ON eb.vec_id = vec_b
+       |WHERE ${cosineSql("ea.embedding", "eb.embedding")} >= 0.99
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  private val orTablesSpec = Spec(
+    "llm_dedup_embed_ortables", orTablesOracleSql) { (s, d) =>
+    embedNearDupOrTables(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      0.99, orTablesForcedN)
   }
 
   /** Deterministic random-hyperplane signs for LSH: ±1 per (plane, dim).
