@@ -29,11 +29,18 @@ long sweeps can run scale-by-scale or row-chunked):
 
 No oracle runs at amplified scales — this is a scaling witness, not a
 correctness check (the driver's sf0.01 gate is). Most streaming rows
-are micro-batch lifecycle floors, but five real-stream rows whose
-input mass scales (file-source window agg, TWS funnel, update-mode
-ledger, foreachBatch upsert, chained window aggs) ARE probed —
-graft.Amplify writes events as a single FILE so the streaming file
-source can list it.
+are micro-batch lifecycle floors, but the real-stream rows whose
+input mass scales ARE probed — the round-16 five (file-source window
+agg, TWS funnel, update-mode ledger, foreachBatch upsert, chained
+window aggs; graft.Amplify writes events as a single FILE so the
+streaming file source can list it) plus, round 17, the file-source
+stream-stream interval joins (source_stream_join / _outer, which
+re-chunk events into time-ordered micro-batches so watermark-driven
+state eviction actually runs), the remaining stateful rows, the
+TPC-H tail, the write paths, and a MEMORY/STATE axis: TimeQ now
+emits [timeqm] lines (per-task peak execution memory, spill bytes,
+streaming state rows/bytes high-water) and the report flags
+super-linear state growth that wall-time cannot see.
 """
 import json, math, os, re, subprocess, sys
 
@@ -63,7 +70,30 @@ sink_partitioned sink_codec_zstd agg_custom_typed ds_map_partitions
 win_running_frame win_range_frame join_left_anti join_left_semi
 set_intersect llm_winsorize llm_curriculum llm_oov_rate
 source_stream_window stream_transform_with_state stream_update_mode
-stream_foreachbatch_upsert stream_chained_agg""".split()
+stream_foreachbatch_upsert stream_chained_agg
+join_stream_stream join_stream_stream_outer join_stream_stream_full
+join_stream_static stream_join_then_window
+source_stream_join source_stream_join_outer
+stream_dedup stream_session stream_watermark_late
+stream_tumbling stream_sliding stream_stateful_custom
+stream_tws_timers stream_tws_mapstate
+sql_tpch_q2 sql_tpch_q3 sql_tpch_q6 sql_tpch_q7 sql_tpch_q8
+sql_tpch_q10 sql_tpch_q12 sql_tpch_q13 sql_tpch_q14 sql_tpch_q15
+sql_tpch_q16 sql_tpch_q17 sql_tpch_q19 sql_tpch_q20
+sink_compacted zorder_layout snapshot_diff merge_upsert
+llm_dedup_embed_ortables""".split()
+
+# Rows whose retained streaming state is the axis that matters (VERDICT
+# r16 #1/#2): the flagship stream-stream joins + every stateful row. For
+# these the report prints srows/smem and flags super-linear STATE even
+# when wall-time stays linear.
+STATEFUL = set("""join_stream_stream join_stream_stream_outer
+join_stream_stream_full stream_join_then_window
+source_stream_join source_stream_join_outer stream_dedup
+stream_session stream_watermark_late stream_tumbling stream_sliding
+stream_stateful_custom stream_tws_timers stream_tws_mapstate
+source_stream_window stream_transform_with_state stream_update_mode
+stream_chained_agg""".split())
 
 
 def run(cmd, env=None):
@@ -76,8 +106,10 @@ def run(cmd, env=None):
 
 def load_out():
     if os.path.exists(OUT):
-        return json.load(open(OUT))
-    return {"reps": {}, "load1": {}}
+        d = json.load(open(OUT))
+        d.setdefault("mem", {})
+        return d
+    return {"reps": {}, "load1": {}, "mem": {}}
 
 
 def save_out(d):
@@ -112,16 +144,26 @@ def time_scale(tag, rows, reps=2):
     res = {}
     for m in re.finditer(r"\[timeq\] (\S+)\s+([0-9. ]+)", out):
         res[m.group(1)] = [float(x) for x in m.group(2).split()]
+    mem = {}
+    for m in re.finditer(
+            r"\[timeqm\] (\S+)\s+peak=(\S+) spill=(\S+) "
+            r"srows=(\S+) smem=(\S+)", out):
+        mem[m.group(1)] = {
+            "peak": [float(x) for x in m.group(2).split(",")],
+            "spill": [float(x) for x in m.group(3).split(",")],
+            "srows": [int(x) for x in m.group(4).split(",")],
+            "smem": [float(x) for x in m.group(5).split(",")]}
     missing = [r for r in rows if r not in res]
     if missing:
         print(f"[probe] WARNING: no timings for {missing}; "
               f"output tail:\n{out[-1500:]}")
     d = load_out()
     d["reps"].setdefault(tag, {}).update(res)
+    d["mem"].setdefault(tag, {}).update(mem)
     d["load1"].setdefault(tag, []).extend([l0, load1()])
     save_out(d)
-    print(f"[probe] {tag}: merged {len(res)} rows, load1 "
-          f"[{l0:.2f}, {load1():.2f}]")
+    print(f"[probe] {tag}: merged {len(res)} rows "
+          f"(+{len(mem)} mem rows), load1 [{l0:.2f}, {load1():.2f}]")
 
 
 def slope_table():
@@ -141,6 +183,63 @@ def slope_table():
     return table
 
 
+def mem_of(d, tag, row, key):
+    """Capacity high-water for a (scale, row, metric): max across reps —
+    first-rep inflation (one-time materializations) hits every scale the
+    same way, so the 8x->32x slope stays comparable."""
+    m = d.get("mem", {}).get(tag, {}).get(row)
+    if not m or not m.get(key):
+        return None
+    return max(m[key])
+
+
+def mem_table():
+    """Per-row memory/state slopes (VERDICT r16 #2): peak = max per-task
+    peakExecutionMemory MB; spill = total spilled MB; srows/smem =
+    retained streaming-state high-water (rows / MB). Slope exponent on
+    the 8x->32x pair like the time table. Returns
+    (row, peak8, peak32, peakExp, spill32, srows8, srows32, srowsExp,
+    smem32)."""
+    d = load_out()
+    out = []
+    for r in ROWS:
+        def g(tag, k):
+            return mem_of(d, tag, r, k)
+
+        def expo(v8, v32):
+            if v8 is None or v32 is None or v8 <= 0:
+                return None
+            return math.log(max(v32, 1e-9) / v8) / math.log(4)
+        p8, p32 = g("x8", "peak"), g("x32", "peak")
+        s8, s32 = g("x8", "srows"), g("x32", "srows")
+        out.append((r, p8, p32, expo(p8, p32), g("x32", "spill"),
+                    s8, s32, expo(s8, s32), g("x32", "smem")))
+    return out
+
+
+def mem_flags():
+    """Super-linear MEMORY/STATE rows: the cliff wall-time can't see.
+    peak slope > 1.3 only matters once the absolute figure is past the
+    64 MB noise floor (tiny hash maps round-trip through allocator
+    granularity); srows growth is flagged for stateful rows at any
+    absolute size — retained state ∝ input² is a design bug however
+    small the fixture. Spill at the fixture scale (>256 MB) is flagged
+    outright: these inputs fit in memory 100x over, so any spill is an
+    operator holding more than its partition's share."""
+    flags = []
+    for (r, p8, p32, pExp, spill32, s8, s32, sExp, _) in mem_table():
+        if pExp is not None and pExp > 1.3 and (p32 or 0) > 64:
+            flags.append((r, f"peak-mem slope {pExp:.2f} ({p8:.0f}->"
+                             f"{p32:.0f} MB)"))
+        if r in STATEFUL and sExp is not None and sExp > 1.3 and \
+                (s32 or 0) > 1000:
+            flags.append((r, f"state-rows slope {sExp:.2f} ({s8}->"
+                             f"{s32})"))
+        if spill32 is not None and spill32 > 256:
+            flags.append((r, f"spill {spill32:.0f} MB at 32x"))
+    return flags
+
+
 def report():
     d = load_out()
     table = slope_table()
@@ -156,6 +255,23 @@ def report():
     sup = [r for r, *_, s in table if s is not None and s > 1.3]
     print(f"\nsuper-linear (>1.3): {sup or 'none'}")
     print(f"load1 brackets: {d['load1']}")
+    # Memory/state axis (VERDICT r16 #2): only rows with captured data.
+    mt = [row for row in mem_table()
+          if row[2] is not None or row[6] is not None]
+    if mt:
+        print("\n| query | peak8 MB | peak32 MB | peak exp | spill32 MB"
+              " | srows8 | srows32 | srows exp | smem32 MB |")
+        print("|---|---|---|---|---|---|---|---|---|")
+        mt.sort(key=lambda x: -(x[7] if x[7] is not None
+                                else (x[3] if x[3] is not None else -99)))
+        for (r, p8, p32, pExp, sp32, s8, s32, sExp, sm32) in mt:
+            f = lambda v: "—" if v is None else (
+                f"{v:.2f}" if isinstance(v, float) else str(v))
+            print(f"| {r} | {f(p8)} | {f(p32)} | {f(pExp)} | {f(sp32)} |"
+                  f" {f(s8)} | {f(s32)} | {f(sExp)} | {f(sm32)} |")
+        fl = mem_flags()
+        print(f"\nsuper-linear memory/state: "
+              f"{[f'{r}: {why}' for r, why in fl] or 'none'}")
 
 
 def retime():
