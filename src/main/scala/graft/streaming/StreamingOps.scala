@@ -728,7 +728,7 @@ object StreamingOps {
     * registered row drove the real symmetric-hash join state machine
     * over a replayable source, so its 100 TB failure mode, join-state
     * growth, was invisible to the scale probe). Events (clicks+views
-    * only) are split into 8 range-disjoint TIME chunks, one parquet
+    * only) are split into 4 range-disjoint TIME chunks (each micro-batch costs ~0.9 s of addBatch/state-lifecycle floor on this box, so the chunk count trades eviction granularity against a fixed bill), one parquet
     * file each, mtime-stamped in time order ([[writeStampedPieces]]) so
     * `maxFilesPerTrigger=1` replays them as time-ordered micro-batches:
     * the watermark then ADVANCES BETWEEN BATCHES and state eviction
@@ -758,7 +758,7 @@ object StreamingOps {
       val b = ev.agg(min(unix_micros(col("ts"))),
         max(unix_micros(col("ts")))).collect()(0)
       val (lo, hi) = (b.getLong(0), b.getLong(1))
-      val nChunks = 8
+      val nChunks = 4
       val w = math.max(1L, (hi - lo) / nChunks + 1)
       val chunks = (0 until nChunks).map { k =>
         ev.filter(unix_micros(col("ts"))
@@ -801,17 +801,18 @@ object StreamingOps {
     * events (srows high-water ≪ input rows, slope ~1 in rate). Exact
     * batch parity: time-ordered chunks mean zero late drops, inner
     * matches emit as found, and the sentinel watermark-flushes the
-    * outer tail (see [[sjInput]]). 8 shuffle partitions on a session
+    * outer tail (see [[sjInput]]). 4 shuffle partitions on a session
     * clone — the stream-stream join commits 4 state stores per
-    * partition per batch, and the parent's 32 partitions would be pure
-    * fixed I/O at fixture scale (the [[graft.operators.Scans
+    * partition per batch (measured ~1 s/batch of pure commit overhead
+    * at 8 partitions), and the parent's 32 would be pure fixed I/O at
+    * fixture scale (the [[graft.operators.Scans
     * .fewPartitionSession]] rationale; results are partition-count
     * independent, part of the registry contract). */
   private[graft] def fileStreamJoin(s: org.apache.spark.sql.SparkSession,
       d: String, joinType: String): DataFrame = {
     import graft.operators.Scans
     val inDir = sjInput(s, d)
-    val s2 = Scans.fewPartitionSession(s, 8)
+    val s2 = Scans.fewPartitionSession(s, 4)
     // the sentinel only advances the watermark if a batch RUNS after it
     // is ingested; the trailing no-data micro-batch is that batch
     s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
