@@ -663,7 +663,16 @@ object Joins {
     val dim = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_orderstatus"))
       .withColumn("salt", explode(array((0 until r).map(lit(_)): _*)))
-    fact.join(dim,
+    // merge hint (round 17): the scale probe's MEMORY axis caught Spark
+    // broadcasting the r×-exploded dim at the 8× amplification — a
+    // 1.25 GB per-task hash build (vs 128 MB when the 32× estimate
+    // finally tipped it to SMJ) that was also 2.4× SLOWER than the
+    // shuffle join, visible as a confusing negative time slope. Salting
+    // exists precisely for the regime where the build side CANNOT be
+    // broadcast, so the demo forces the shuffle plan: peak memory is
+    // back to linear-in-partition-share and the measured time slope is
+    // the salted shuffle's. PlanSpec pins BroadcastHashJoin ABSENT here.
+    fact.hint("merge").join(dim,
         fact("l_orderkey") === dim("o_orderkey")
           && fact("salt") === dim("salt"))
       .groupBy(col("o_orderstatus"))

@@ -256,7 +256,12 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("join_salted")
     assert(!p.contains("CartesianProduct")
       && !p.contains("BroadcastNestedLoopJoin"), p.take(900))
-    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(900))
+    // Round 17 (probe memory axis): the salted demo must take the
+    // SHUFFLE join — Spark was broadcasting the r×-exploded dim at the
+    // 8× amplification (1.25 GB per-task build, slower than SMJ).
+    // Salting demonstrates the no-broadcast regime by definition.
+    assert(p.contains("SortMergeJoin"), p.take(900))
+    assert(!p.contains("BroadcastHashJoin"), p.take(900))
   }
 
   test("llm_sample_stratified is map-only: no exchange but the sort's") {
