@@ -240,8 +240,23 @@ def mem_flags():
                 (s32 or 0) > 1000:
             flags.append((r, f"state-rows slope {sExp:.2f} ({s8}->"
                              f"{s32})"))
-        if spill32 is not None and spill32 > 256:
-            flags.append((r, f"spill {spill32:.0f} MB at 32x"))
+        # Spill flag reads the STEADY rep: a first-rep spill belongs to
+        # the session's one-time substrate materialization (memoized
+        # pairs/layout builds), which Bench pre-pays and bills
+        # separately — at 32x over FIXED 32 shuffle partitions the
+        # per-partition build volume crosses the execution-memory line
+        # and the spill path does its job once. A STEADY-rep spill is
+        # the operator itself exceeding its partition share every run —
+        # that is the 100 TB wall this flag exists for.
+        d = load_out()
+        m32 = d.get("mem", {}).get("x32", {}).get(r, {})
+        steady_spill = min(m32["spill"]) if m32.get("spill") else None
+        if steady_spill is not None and steady_spill > 256:
+            flags.append((r, f"steady spill {steady_spill:.0f} MB at 32x"))
+        elif spill32 is not None and spill32 > 256:
+            flags.append((r, f"substrate-build spill {spill32:.0f} MB at "
+                             f"32x (first rep only; steady rep 0 — "
+                             f"adjudicated in BASELINE)"))
     return flags
 
 
