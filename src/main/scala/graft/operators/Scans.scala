@@ -932,6 +932,29 @@ object Scans {
     })
   }
 
+  /** Pre-pay hooks for Bench's materialize_layout phase (VERDICT r16
+    * #6 — converge billed per-query numbers to steady cost): force the
+    * memoized statestore checkpoint (first toucher previously paid
+    * ~0.8 s inside its timed line) and boot the embedded Derby engine
+    * (scan_jdbc's first sample carried the one-time engine boot). The
+    * Derby warm routes the engine log to the same scratch the row uses
+    * — the property only binds on FIRST boot, so warming with an
+    * unrouted log would strand derby.log in the CWD for the whole JVM. */
+  private[graft] def prepayStateCheckpoint(
+      s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    statefulCheckpoint(s, d); ()
+  }
+
+  private[graft] def warmDerby(s: org.apache.spark.sql.SparkSession,
+      d: String): Unit = {
+    val logDir = scratch(s, "jdbc", d)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(logDir))
+    System.setProperty("derby.stream.error.file", s"$logDir/derby.log")
+    Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    java.sql.DriverManager
+      .getConnection("jdbc:derby:memory:graft_warm;create=true").close()
+  }
+
   private val scanStateStore = Spec(
     "scan_state_store",
     """SELECT CAST(i % 7 AS BIGINT) AS k, COUNT(*) AS cnt
