@@ -523,6 +523,72 @@ class StreamingSpec extends StreamingParityBase {
   protected def providerTag = "hdfs-default"
   protected def withProvider[A](body: => A): A = body
 
+  test("file-source stream-stream join: state EVICTS mid-stream, " +
+      "batches replay in time order, parity holds") {
+    // The round-17 flagship witness: the registered source_stream_join
+    // rows claim their retained state is bounded by rate × (band +
+    // delay + chunk width), NOT by total input — i.e. the watermark
+    // advances between the time-ordered micro-batches and the
+    // symmetric-hash join actually evicts. This asserts the measurable
+    // form: state-rows high-water strictly BELOW total input (a
+    // single-batch replay, a stuck watermark, or broken eviction would
+    // all push it to ≈ the full input), at least the staged 6 data
+    // batches ran, and the emitted pairs equal the batch twin exactly.
+    // Progress events are read off the shared context bus
+    // (onOtherEvent) because fileStreamJoin runs on a session clone —
+    // a session-scoped spark.streams listener would see nothing.
+    import TestSpark._
+    val maxState = new java.util.concurrent.atomic.AtomicLong
+    val batches = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case p: org.apache.spark.sql.streaming
+              .StreamingQueryListener.QueryProgressEvent
+              if p.progress.name != null
+                && p.progress.name.startsWith("graft_sj_inner") =>
+            batches.incrementAndGet()
+            val ops = p.progress.stateOperators
+            if (ops != null && ops.nonEmpty) {
+              val rows = ops.map(_.numRowsTotal).sum
+              maxState.updateAndGet(c => math.max(c, rows)); ()
+            }
+          case _ =>
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // staging invariants first: 6 one-file pieces (4 chunks + 2
+      // sentinels), strictly ascending mtimes = admission order
+      val inDir = StreamingOps.sjInput(spark, SF001)
+      val mtimes = new java.io.File(inDir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.lastModified).sorted
+      assert(mtimes.length == 6, s"expected 6 staged pieces: ${mtimes.length}")
+      assert(mtimes.distinct.length == 6, "mtimes must be strictly ascending")
+
+      val got = StreamingOps.fileStreamJoin(spark, SF001, "inner")
+        .select("click_id", "view_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ev = graft.sources.Tables.events(spark, SF001)
+      val want = StreamingOps.clickViewPairs(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "view"))
+        .select("click_id", "view_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"stream/batch parity broke: " +
+        s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+      Thread.sleep(500) // drain async listener delivery
+      val totalCv = ev.filter(col("event_type").isin("click", "view")).count()
+      assert(batches.get >= 6,
+        s"expected >= 6 micro-batches (4 chunks + 2 sentinels): ${batches.get}")
+      assert(maxState.get > 0, "no state ever reported — witness is vacuous")
+      assert(maxState.get < totalCv,
+        s"state high-water ${maxState.get} >= total input $totalCv — " +
+          "eviction never ran mid-stream (stuck watermark or one-batch replay)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("stream_update_mode: unchanged groups are ABSENT from batch 1") {
     // The update-vs-complete witness, on a SYNTHETIC staging where the
     // interesting key classes are guaranteed (the sf0.001 fixture gives
