@@ -48,13 +48,22 @@ object PlanAudit {
     "join_bnlj_theta", "join_cross", "llm_cosine_topk", "llm_vocab",
     "llm_dedup_embed", "llm_ann_lsh", "llm_ann_ivf", "llm_dedup_ngram",
     "agg_sketch_cms", "llm_cooccur", "llm_domain_mix",
-    "opt_levenshtein_rule", "sql_tablesample", "win_rolling_distinct")
+    "opt_levenshtein_rule", "sql_tablesample", "win_rolling_distinct",
+    // round 17: one-row corpus-stats cross (N, avgdl broadcast)
+    "llm_bm25",
+    // round 17: k=16-row centroid broadcast for the Lloyd's assign pass
+    "llm_semdedup")
 
   /** (query, fixture-file) pairs where >2 scans of one file are the
     * design: sample + exact-total + anti-join containment need the
     * base relation three times. */
   val knownManyScans: Set[(String, String)] = Set(
-    ("sql_tablesample", "lineitem"))
+    ("sql_tablesample", "lineitem"),
+    // round 17: seed-centroid filter + both sides of the within-cluster
+    // self-join re-read the assignment; at scale the assignment output
+    // is persisted between Lloyd's steps, at fixture scale re-scan is
+    // cheaper than a cache pin (the pagerank round-15 adjudication).
+    ("llm_semdedup", "embeddings"))
 
   /** The deliberate full-scan row — its point is reading every column. */
   val knownWide: Set[String] = Set("scan_parquet")

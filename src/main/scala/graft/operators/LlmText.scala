@@ -20,7 +20,7 @@ import graft.sources.Tables
 object LlmText {
   def specs: Seq[Spec] = Seq(dedupExact, dedupNgram, dedupCluster, textStats,
     langId, quality, tokenCount, fingerprint, tfidf, ngramLm, cooccur,
-    dedupIncremental, lmScore, urlCanonical, textNormalize)
+    dedupIncremental, lmScore, urlCanonical, textNormalize, bm25, dupSpan)
 
   /** Text normalization — the map-only pass that runs BEFORE every
     * dedup/fingerprint stage of a crawl pipeline (llm_dedup_*,
@@ -884,4 +884,141 @@ object LlmText {
       .select(col("canonical"), col("n_variants"), col("doc_id"))
       .orderBy(col("doc_id"))
   }
+
+  /** BM25 document scoring (Robertson/Spärck Jones, k1=1.2 b=0.75) for a
+    * fixed query — the retrieval scorer a pipeline uses for
+    * quality-weighted sampling and retrieval eval, one notch past
+    * [[tfidf]]'s raw counts because of the tf SATURATION and
+    * doc-length normalization. Distributed shape: one explode→(doc,term)
+    * tf agg, a term-level df agg (4 query terms → a broadcast join), a
+    * corpus-stats crossJoin (broadcast of one row), then a per-doc fold —
+    * two shuffles total, both on keys that scale, nothing driver-side.
+    *
+    * Cross-engine float rule (§5.2): every emitted double is built from
+    * +,*,/ only — IEEE-exact-rounded in both engines, so bit-identical
+    * when the expression tree is mirrored. The idf is emitted as the raw
+    * Robertson ODDS (N - df + 0.5)/(df + 0.5); production wraps ln()
+    * around it, but ln is libm-banned from oracle-checked output (same
+    * adjudication as [[cooccur]]'s lift vs ln(lift)). The per-doc sum
+    * folds in TERM-LEX order via sorted-list aggregate on both engines —
+    * a shuffle-order-dependent double sum would be nondeterministic. */
+  private val bm25 = Spec(
+    "llm_bm25",
+    """WITH dl AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+      |stats AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    (CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS avgdl
+      |  FROM dl),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |        FROM documents)
+      |  WHERE term IN ('spark', 'join', 'stream', 'window')
+      |  GROUP BY 1, 2),
+      |df AS (
+      |  SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+      |  FROM tf GROUP BY 1),
+      |weighted AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    ((tf.tf * 2.2)
+      |      / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl))))
+      |      * ((stats.n - df.df + 0.5) / (df.df + 0.5)) AS w
+      |  FROM tf JOIN df ON tf.term = df.term
+      |  JOIN dl ON tf.doc_id = dl.doc_id
+      |  CROSS JOIN stats)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list(w ORDER BY term)), (x, y) -> x + y) AS score
+      |FROM weighted GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    bm25Scores(docsWords(s, d).select(col("doc_id"), col("words")),
+      Seq("spark", "join", "stream", "window"))
+  }
+
+  /** Reusable BM25 pipeline over a (doc_id, words) frame — see [[bm25]]
+    * for the scoring contract (k1=1.2, b=0.75, odds-form idf, term-lex
+    * fold order). Exposed so tests can score constructed corpora. */
+  def bm25Scores(docs: DataFrame, qterms: Seq[String]): DataFrame = {
+    val dl = docs
+      .select(col("doc_id"), size(col("words")).cast("long").as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).cast("double").as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
+        .as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(col("words")).as("term"))
+      .filter(col("term").isin(qterms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val weighted = tf
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        (((col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2) * (lit(0.25)
+            + lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
+          * ((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+          .as("w"))
+    weighted.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("term"), col("w")))),
+            p => p.getField("w")),
+          lit(0.0).cast("double"), (acc, x) => acc + x).as("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Cross-document duplicate SPAN detection — the span-level exact
+    * substring dedup of Lee et al. 2021 ("Deduplicating Training Data
+    * Makes Language Models Better"), approximated the way distributed
+    * pipelines actually run it: every sliding 8-word window becomes one
+    * row (linear in corpus tokens, the same fan-out as a tokenization
+    * pass), one hash shuffle groups identical spans, and a HAVING keeps
+    * spans seen in ≥ 2 distinct documents — the boilerplate/template
+    * mass that span-removal cuts before training. Unlike
+    * [[dedupNgram]]'s doc-level Jaccard this emits the offending spans
+    * themselves. At 100 TB the groupBy key would be a 64-bit rolling
+    * hash of the span (shuffle bytes ∝ 8B not span text) with the text
+    * rejoined only for flagged groups; the fixture-scale row ships the
+    * text directly so the oracle can match on it. */
+  private val dupSpan = Spec(
+    "llm_dup_span",
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 8),
+      |g AS (
+      |  SELECT doc_id, array_to_string(list_slice(ws, i, i + 7), ' ') AS span
+      |  FROM w, UNNEST(generate_series(1, len(ws) - 7)) AS t(i))
+      |SELECT span,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+      |  MIN(doc_id) AS first_doc
+      |FROM g GROUP BY span
+      |HAVING COUNT(DISTINCT doc_id) >= 2
+      |ORDER BY span""".stripMargin) { (s, d) =>
+    dupSpans(docsWords(s, d).select(col("doc_id"), col("words")), 8)
+  }
+
+  /** Reusable duplicate-span pipeline over a (doc_id, words) frame — see
+    * [[dupSpan]]. k = span length in words; spans appearing in ≥ 2
+    * distinct docs are returned. Exposed so tests can run constructed
+    * corpora through the exact registered plan. */
+  def dupSpans(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .filter(size(col("words")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, size(words) - $k),
+           |  i -> concat_ws(' ', slice(words, i + 1, $k)))""".stripMargin))
+        .as("span"))
+      .groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("span"))
 }

@@ -19,7 +19,7 @@ import graft.sources.Tables
 object LlmVector {
   def specs: Seq[Spec] = Seq(cosineTopk, dedupEmbed, orTablesSpec,
     annLsh, annIvf, dedupMinhash, dedupSimhash, multimodalStruct,
-    multimodalDecode, embedQuantize)
+    multimodalDecode, embedQuantize, semDedup)
 
   /** Int8 embedding quantization — the 4× memory/bandwidth lever every
     * 100 TB vector store pulls: q = ⌊clip(x·127, ±127)⌋ per component,
@@ -1211,5 +1211,85 @@ object LlmVector {
       }
     }.toDF("doc_id", "width", "height", "n_px", "px_checksum")
       .orderBy(col("doc_id"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * clustering embeddings and comparing pairs ONLY within a cluster —
+    * the third dedup family next to LSH near-dup ([[dedupEmbed]]) and the
+    * ANN index ([[annIvf]]). One Lloyd's ASSIGNMENT step against k=16
+    * deterministic seed centroids (the embeddings of vec_id < 16, so the
+    * oracle can replay it; production iterates the same broadcast-assign
+    * shuffle to convergence), then a within-cluster self-join marks every
+    * vector that has a LOWER-id cluster-mate at cosine ≥ 0.4 as evicted.
+    *
+    * Scale shape: the assign pass is a broadcast map (k centroids × n
+    * vectors, no shuffle of the corpus); the pair pass shuffles once on
+    * cluster_id and compares ~n²/k pairs — with the IVF sizing rule
+    * (k ∝ n, cluster size bounded) that candidate mass is LINEAR in n,
+    * the same argument as [[annIvf]]'s probe fraction. Cosines are the
+    * bit-exact sequential fold ([[cosineCol]]/[[cosineSql]]), so the
+    * emitted cos_centroid double hash-matches the DuckDB replay. */
+  private val semDedup = Spec(
+    "llm_semdedup",
+    s"""WITH cents AS (
+       |  SELECT vec_id AS centroid_id, embedding AS cent
+       |  FROM embeddings WHERE vec_id < 16),
+       |scored AS (
+       |  SELECT e.vec_id, e.embedding, c.centroid_id,
+       |    ${cosineSql("e.embedding", "c.cent")} AS cos_centroid
+       |  FROM embeddings e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, embedding, centroid_id AS cluster_id, cos_centroid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                       ORDER BY cos_centroid DESC, centroid_id) AS rk
+       |  FROM scored),
+       |members AS (
+       |  SELECT vec_id, embedding, cluster_id, cos_centroid
+       |  FROM assigned WHERE rk = 1),
+       |evicted AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM members a JOIN members b
+       |    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+       |  WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.4)
+       |SELECT m.vec_id, m.cluster_id, m.cos_centroid,
+       |  (ev.vec_id IS NOT NULL) AS evicted
+       |FROM members m LEFT JOIN evicted ev ON m.vec_id = ev.vec_id
+       |ORDER BY m.vec_id""".stripMargin) { (s, d) =>
+    semDedupFlags(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      numSeeds = 16, tau = 0.4)
+  }
+
+  /** Reusable SemDeDup pipeline over a (vec_id, embedding) frame — see
+    * [[semDedup]]: one Lloyd's assignment against the `numSeeds`
+    * lowest-id vectors as seed centroids, then every vector with a
+    * LOWER-id cluster-mate at cosine ≥ tau is flagged evicted. Exposed
+    * so tests can brute-force-verify the eviction set on constructed
+    * corpora. */
+  def semDedupFlags(vecs: DataFrame, numSeeds: Int, tau: Double)
+      : DataFrame = {
+    val cents = vecs.filter(col("vec_id") < numSeeds)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
+    val scored = vecs.crossJoin(broadcast(cents))
+      .withColumn("cos_centroid", cosineCol("embedding", "cent"))
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_centroid").desc, col("centroid_id"))
+    val members = scored
+      .withColumn("rk", row_number().over(byVec))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"),
+        col("centroid_id").as("cluster_id"), col("cos_centroid"))
+    val a = members.select(col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("cluster_id").as("a_cl"))
+    val b = members.select(col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("cluster_id").as("b_cl"))
+    val evicted = a.join(b,
+        col("a_cl") === col("b_cl") && col("a_id") < col("b_id"))
+      .filter(cosineCol("a_emb", "b_emb") >= tau)
+      .select(col("b_id").as("ev_id")).distinct()
+    members.join(evicted, col("vec_id") === col("ev_id"), "left")
+      .select(col("vec_id"), col("cluster_id"), col("cos_centroid"),
+        col("ev_id").isNotNull.as("evicted"))
+      .orderBy(col("vec_id"))
   }
 }

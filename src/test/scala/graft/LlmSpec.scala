@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.LlmVector
+import graft.operators.{LlmText, LlmVector}
 
 /** SURVEY.md §5.3 — properties for the non-SQL-checkable LLM ops (MinHash,
   * SimHash, ANN-LSH) plus sanity on the checkable ones. */
@@ -258,5 +258,77 @@ class LlmSpec extends AnyFunSuite {
     val admitted = SparkEntry.queries("llm_dedup_incremental")(
       spark, tmp.toString).collect().map(_.getLong(0)).toSet
     assert(admitted == Set(5L, 15L))
+  }
+
+  test("semdedup eviction set matches brute force on the fixture") {
+    val vecs = graft.sources.Tables.embeddings(spark, SF001)
+      .select(col("vec_id"), col("embedding"))
+    val out = LlmVector.semDedupFlags(vecs, numSeeds = 16, tau = 0.4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    // Brute-force replay with the SAME fold cosine and tie-break.
+    val all = vecs.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val seeds = all.filter(_._1 < 16)
+    val assign = all.map { case (id, e) =>
+      id -> seeds.map { case (cid, ce) => (cid, LlmVector.cosine(e, ce)) }
+        .minBy { case (cid, c) => (-c, cid) }._1
+    }.toMap
+    val byId = all.toMap
+    val evictedBrute = (for {
+      (a, ea) <- all; (b, _) <- all
+      if a < b && assign(a) == assign(b) &&
+        LlmVector.cosine(ea, byId(b)) >= 0.4
+    } yield b).toSet
+    assert(out.map(_._1).toSeq == out.map(_._1).toSeq.sorted) // vec order
+    assert(out.forall { case (id, cl, _) => assign(id) == cl })
+    val evictedGot = out.filter(_._3).map(_._1).toSet
+    assert(evictedGot == evictedBrute)
+    assert(evictedGot.nonEmpty, "fixture must exercise the eviction path")
+    // the lowest id of a cluster has no lower-id mate -> never evicted
+    val clusterMin = out.groupBy(_._2).values.map(_.map(_._1).min).toSet
+    assert(clusterMin.forall(id => !evictedGot.contains(id)))
+  }
+
+  test("bm25 orders by tf saturation, length norm, and df discrimination") {
+    import spark.implicits._
+    val pad = (1 to 8).map(i => s"x$i").mkString(" ")
+    val longPad = (1 to 28).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"spark $pad z"),          // tf=1, dl=10
+      (2L, s"spark spark $pad"),      // tf=2, dl=10
+      (3L, s"spark $longPad z"),      // tf=1, dl=30 (longer, same tf)
+      (4L, s"join $pad z"),           // rare term: df(join)=1 < df(spark)=3
+      (5L, s"none of these $pad"))    // no query terms -> absent
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+    val scores = LlmText.bm25Scores(docs, Seq("spark", "join"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(!scores.contains(5L))
+    assert(scores(2L) > scores(1L), "higher tf must score higher")
+    assert(scores(2L) < 2 * scores(1L), "saturation: tf=2 < 2x tf=1")
+    assert(scores(1L) > scores(3L), "longer doc penalized at equal tf")
+    assert(scores(4L) > scores(1L), "rarer term (higher idf odds) wins")
+  }
+
+  test("dup_span reports only cross-document spans, with exact counts") {
+    import spark.implicits._
+    val shared = "a b c d e f g h"
+    val docs = Seq(
+      (10L, s"$shared tail1 tail2"),
+      (20L, s"head1 head2 $shared"),
+      // repeated span WITHIN one doc only: must not qualify (n_docs=1)
+      (30L, "p q r s t u v w p q r s t u v w"),
+      (40L, "short doc"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+    val rows = LlmText.dupSpans(docs, 8).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getString(0) == shared)
+    assert(r.getLong(1) == 2L) // n_docs
+    assert(r.getLong(2) == 2L) // n_occurrences
+    assert(r.getLong(3) == 10L) // first_doc
   }
 }
