@@ -47,9 +47,15 @@ object TimeQ {
     val names = args(1).split(",").map(_.trim).filter(_.nonEmpty)
     val reps = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_SHUFFLE: override the shuffle partition count without
+    // changing task parallelism — the knob for measuring the SURVEY §0
+    // sizing rule (shuffle partitions scale with data, so per-partition
+    // build volume — and therefore spill — stays flat). The driver
+    // contract itself stays at partitions = cpus.
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
