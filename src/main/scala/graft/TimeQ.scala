@@ -63,6 +63,7 @@ object TimeQ {
 
     val peakMem = new AtomicLong // max per-task peakExecutionMemory
     val spill = new AtomicLong // Σ (memory+disk) spilled bytes
+    val shufWrite = new AtomicLong // Σ shuffle bytes written
     val stateRows = new AtomicLong // max Σ stateOperators.numRowsTotal
     val stateMem = new AtomicLong // max Σ stateOperators.memoryUsedBytes
     def maxInto(a: AtomicLong, v: Long): Unit = {
@@ -74,7 +75,8 @@ object TimeQ {
         val m = te.taskMetrics
         if (m != null) {
           maxInto(peakMem, m.peakExecutionMemory)
-          spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled): Unit
+          spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
         }
       }
       override def onOtherEvent(event: SparkListenerEvent): Unit =
@@ -94,12 +96,14 @@ object TimeQ {
     def mb(v: Long): String = f"${v / 1048576.0}%.1f"
     names.foreach { name =>
       val samples = (1 to reps).map { _ =>
-        peakMem.set(0); spill.set(0); stateRows.set(0); stateMem.set(0)
+        peakMem.set(0); spill.set(0); shufWrite.set(0)
+        stateRows.set(0); stateMem.set(0)
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir).count()
         val sec = (System.nanoTime() - t0) / 1e9
         Thread.sleep(400) // drain async listener delivery (untimed)
-        (sec, peakMem.get, spill.get, stateRows.get, stateMem.get)
+        (sec, peakMem.get, spill.get, stateRows.get, stateMem.get,
+          shufWrite.get)
       }
       System.err.println(f"[timeq] $name%-28s " +
         samples.map(s => f"${s._1}%.3f").mkString(" "))
@@ -107,7 +111,8 @@ object TimeQ {
         s"peak=${samples.map(s => mb(s._2)).mkString(",")} " +
         s"spill=${samples.map(s => mb(s._3)).mkString(",")} " +
         s"srows=${samples.map(_._4).mkString(",")} " +
-        s"smem=${samples.map(s => mb(s._5)).mkString(",")}")
+        s"smem=${samples.map(s => mb(s._5)).mkString(",")} " +
+        s"shuf=${samples.map(s => mb(s._6)).mkString(",")}")
     }
     spark.stop()
   }

@@ -982,10 +982,20 @@ object LlmText {
     * spans seen in ≥ 2 distinct documents — the boilerplate/template
     * mass that span-removal cuts before training. Unlike
     * [[dedupNgram]]'s doc-level Jaccard this emits the offending spans
-    * themselves. At 100 TB the groupBy key would be a 64-bit rolling
-    * hash of the span (shuffle bytes ∝ 8B not span text) with the text
-    * rejoined only for flagged groups; the fixture-scale row ships the
-    * text directly so the oracle can match on it. */
+    * themselves. The groupBy key is xxhash64(span), not the text
+    * (measured: the text-keyed form added 37 MB to the engine's 90 MB
+    * bench shuffle — a third of the total for one row — because
+    * countDistinct's Expand ships the text through BOTH aggregate
+    * passes). With the 8-byte key, the countDistinct leg ships
+    * (hash, doc_id) pairs and the text rides ONCE as a min(span)
+    * exemplar in the same aggregate, collapsed per-task by map-side
+    * combine before it ever crosses the wire. (A two-pass variant —
+    * count on hashes, rejoin text for qualifying groups — was measured
+    * 2× slower with 10× the per-task peak: the rejoin's SMJ re-sorts
+    * the full span stream, exactly the shipping the hash key avoids.)
+    * Same 64-bit collision stance as [[dedupExact]]/[[docShingles]]: a
+    * collision merges two span groups (2⁻⁶⁴ pairwise — absent in
+    * fixtures; a production 100 TB run widens to a 128-bit key). */
   private val dupSpan = Spec(
     "llm_dup_span",
     """WITH w AS (
@@ -1015,10 +1025,14 @@ object LlmText {
         s"""transform(sequence(0, size(words) - $k),
            |  i -> concat_ws(' ', slice(words, i + 1, $k)))""".stripMargin))
         .as("span"))
-      .groupBy(col("span"))
+      .select(xxhash64(col("span")).as("h"), col("doc_id"), col("span"))
+      .groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occurrences"),
-        min(col("doc_id")).as("first_doc"))
+        min(col("doc_id")).as("first_doc"),
+        min(col("span")).as("span"))
       .filter(col("n_docs") >= 2)
+      .select(col("span"), col("n_docs"), col("n_occurrences"),
+        col("first_doc"))
       .orderBy(col("span"))
 }

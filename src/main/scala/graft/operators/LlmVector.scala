@@ -1270,15 +1270,25 @@ object LlmVector {
       : DataFrame = {
     val cents = vecs.filter(col("vec_id") < numSeeds)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
+    // Argmax as a max(struct) AGGREGATE, not a window: the crossJoin
+    // emits the k centroid rows of a vector inside one partition, so
+    // map-side combine collapses them to ONE row per vector before the
+    // shuffle — a window would ship all k rows (each dragging the
+    // 256-byte embedding) through the exchange just to keep rank 1.
+    // Tie-break matches the oracle's (cos DESC, centroid_id ASC) via
+    // the negated id as the second struct field; cos ties are broken
+    // before the comparison ever reaches the embedding field.
     val scored = vecs.crossJoin(broadcast(cents))
-      .withColumn("cos_centroid", cosineCol("embedding", "cent"))
-    val byVec = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos_centroid").desc, col("centroid_id"))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        cosineCol("embedding", "cent").as("cos_centroid"))
     val members = scored
-      .withColumn("rk", row_number().over(byVec))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"),
-        col("centroid_id").as("cluster_id"), col("cos_centroid"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos_centroid"),
+        (-col("centroid_id")).as("neg_cid"),
+        col("centroid_id"), col("embedding"))).as("b"))
+      .select(col("vec_id"), col("b.embedding").as("embedding"),
+        col("b.centroid_id").as("cluster_id"),
+        col("b.cos_centroid").as("cos_centroid"))
     val a = members.select(col("vec_id").as("a_id"),
       col("embedding").as("a_emb"), col("cluster_id").as("a_cl"))
     val b = members.select(col("vec_id").as("b_id"),
