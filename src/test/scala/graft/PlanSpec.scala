@@ -734,4 +734,27 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("sql_hint_rebalance")
     assert(p.contains("REBALANCE_PARTITIONS_BY_COL"), p.take(1500))
   }
+
+  test("llm_semdedup's argmax is an aggregate — no Window node ever") {
+    // Round-17 continuation: the rank-1 window shipped all 16 centroid
+    // rows per vector (embedding + centroid vector riding the
+    // exchange); the max(struct) aggregate collapses to one row per
+    // vector map-side. A Window reappearing here is the regression.
+    val p = plan("llm_semdedup")
+    assert(!p.contains(") Window"), p.take(1500))
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      p.take(1500))
+  }
+
+  test("llm_dup_span groups on the span hash, one aggregate tree") {
+    // Round-17 continuation: the text-keyed groupBy shipped span text
+    // through both of countDistinct's Expand passes (9.5 MB of bench
+    // shuffle for one row). The shuffle key must stay xxhash64.
+    val p = plan("llm_dup_span")
+    assert(p.contains("xxhash64"), p.take(1500))
+    // exactly one exchange shape: hashpartitioning on the hash column —
+    // no join back (the exemplar rides the aggregate), no text key
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      p.take(1500))
+  }
 }
