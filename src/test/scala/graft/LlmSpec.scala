@@ -291,6 +291,30 @@ class LlmSpec extends AnyFunSuite {
     assert(clusterMin.forall(id => !evictedGot.contains(id)))
   }
 
+  test("semdedup degenerate corpora: n < numSeeds, and an impossible tau") {
+    import spark.implicits._
+    // 5 vectors, 16 requested seeds: every vector is its own centroid
+    // (cos(v,v)=1 wins every argmax; ties impossible — vectors differ),
+    // so clusters are singletons and nothing can evict.
+    val tiny = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)),
+      (2L, Array(0f, 0f, 1f)), (3L, Array(1f, 1f, 0f)),
+      (4L, Array(0f, 1f, 1f))).toDF("vec_id", "embedding")
+    val out = LlmVector.semDedupFlags(tiny, numSeeds = 16, tau = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    assert(out.length == 5)
+    assert(out.forall { case (id, cl, _) => id == cl }, out.mkString(","))
+    assert(out.forall(!_._3))
+    // Falsifiability of the threshold: tau above any achievable cosine
+    // evicts nothing on the real fixture (the tau=0.4 run evicts >0 in
+    // the parity test above, so the flag demonstrably responds to tau).
+    val vecs = graft.sources.Tables.embeddings(spark, SF001)
+      .select(col("vec_id"), col("embedding"))
+    val none = LlmVector.semDedupFlags(vecs, numSeeds = 16, tau = 1.1)
+      .filter(col("evicted")).count()
+    assert(none == 0L)
+  }
+
   test("bm25 orders by tf saturation, length norm, and df discrimination") {
     import spark.implicits._
     val pad = (1 to 8).map(i => s"x$i").mkString(" ")
