@@ -63,7 +63,11 @@ object PlanAudit {
     // self-join re-read the assignment; at scale the assignment output
     // is persisted between Lloyd's steps, at fixture scale re-scan is
     // cheaper than a cache pin (the pagerank round-15 adjudication).
-    ("llm_semdedup", "embeddings"))
+    ("llm_semdedup", "embeddings"),
+    // round 17 continuation: the forced scaled construction adds the
+    // centroid-bucket scan and the orphan anti-join to the same
+    // persisted-at-scale assignment — 4 scans by design, same argument.
+    ("llm_semdedup_scaled", "embeddings"))
 
   /** The deliberate full-scan row — its point is reading every column. */
   val knownWide: Set[String] = Set("scan_parquet")

@@ -19,7 +19,7 @@ import graft.sources.Tables
 object LlmVector {
   def specs: Seq[Spec] = Seq(cosineTopk, dedupEmbed, orTablesSpec,
     annLsh, annIvf, dedupMinhash, dedupSimhash, multimodalStruct,
-    multimodalDecode, embedQuantize, semDedup)
+    multimodalDecode, embedQuantize, semDedup, semDedupScaledSpec)
 
   /** Int8 embedding quantization — the 4× memory/bandwidth lever every
     * 100 TB vector store pulls: q = ⌊clip(x·127, ±127)⌋ per component,
@@ -1255,9 +1255,9 @@ object LlmVector {
        |  (ev.vec_id IS NOT NULL) AS evicted
        |FROM members m LEFT JOIN evicted ev ON m.vec_id = ev.vec_id
        |ORDER BY m.vec_id""".stripMargin) { (s, d) =>
-    semDedupFlags(
+    semDedupDispatch(
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
-      numSeeds = 16, tau = 0.4)
+      tau = 0.4)
   }
 
   /** Reusable SemDeDup pipeline over a (vec_id, embedding) frame — see
@@ -1301,5 +1301,190 @@ object LlmVector {
       .select(col("vec_id"), col("cluster_id"), col("cos_centroid"),
         col("ev_id").isNotNull.as("evicted"))
       .orderBy(col("vec_id"))
+  }
+
+  /** Density dispatch for [[semDedup]] (the [[embedNearDupPairs]]
+    * pattern): at fixture densities (n ≤ 8192) the exact k=16 path —
+    * every cluster small enough that the within-cluster pair pass is
+    * trivially bounded and the DuckDB oracle replays the whole thing;
+    * above it, the production sizing ([[semDedupParams]]: k ∝ n holds
+    * mean cluster size ~256, p grows with k to hold ~8 centroids per
+    * bucket) with LSH-bucketed centroid assignment
+    * ([[semDedupFlagsScaled]]) — both passes LINEAR in n. The count()
+    * is one cheap extra pass (logged, like the near-dup dispatch). */
+  def semDedupDispatch(vecs: DataFrame, tau: Double): DataFrame = {
+    val n = vecs.count()
+    val small = n <= 8192
+    System.err.println(s"[graft] semDedupDispatch n=$n path=" +
+      (if (small) "exact-k16" else "lsh-scaled"))
+    if (small) semDedupFlags(vecs, numSeeds = 16, tau = tau)
+    else {
+      val (k, p) = semDedupParams(n)
+      semDedupFlagsScaled(vecs, k, p, tau)
+    }
+  }
+
+  /** Production sizing: k = ⌈n/256⌉ centroids (mean cluster size ~256 ⇒
+    * within-cluster pair mass ~256·n, linear) and p = ⌈log₂(k/8)⌉
+    * hyperplanes (2^p buckets hold ~8 centroids each ⇒ assignment
+    * candidate mass ~(1+p)·8·n, linear). p is capped at 12 — 4096
+    * buckets carries k ≈ 32k centroids ≈ 8 M vectors per partition-set;
+    * past that the growth belongs in more tables, the
+    * [[orTableParams]] lesson (never widen a bitset past its width). */
+  def semDedupParams(n: Long): (Int, Int) = {
+    val k = math.max(16, math.ceil(n / 256.0).toInt)
+    val p = math.max(2, math.min(12,
+      math.ceil(math.log(k / 8.0) / math.log(2)).toInt))
+    (k, p)
+  }
+
+  /** SemDeDup's production-scale assignment: centroids are LSH-bucketed
+    * once ([[org.apache.spark.sql.graft.HyperplaneBucket]], table 0, p
+    * planes), each vector probes its own bucket plus every radius-1
+    * flip (p+1 distinct buckets — a centroid can meet a vector at most
+    * once, so the argmax needs no dedup), and the best candidate wins
+    * the same max(struct) aggregate as the exact path. A vector whose
+    * probed buckets hold NO centroid is an ORPHAN: cluster −1,
+    * cos_centroid −1.0, a singleton that can never evict — the honest
+    * residue of approximate assignment, mirrored exactly by the oracle
+    * (COALESCE), not hidden. The centroid join is a plain equi-join on
+    * the bucket id: candidate mass ≈ (1+p)·(k/2^p)·n stays linear under
+    * [[semDedupParams]] and nothing is broadcast that grows with n. */
+  def semDedupFlagsScaled(vecs: DataFrame, k: Int, p: Int, tau: Double)
+      : DataFrame = {
+    def bucketOf(c: Column): Column =
+      org.apache.spark.sql.graft.HyperplaneBucket(c, p, 0)
+    val cents = vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"),
+        bucketOf(col("embedding")).as("cbucket"))
+    val masks = 0 +: (0 until p).map(1 << _)
+    val probed = vecs
+      .select(col("vec_id"), col("embedding"),
+        bucketOf(col("embedding")).as("vb"))
+      .select(col("vec_id"), col("embedding"),
+        explode(array(masks.map(m =>
+          col("vb").bitwiseXOR(lit(m))): _*)).as("pb"))
+    val best = probed.join(cents, col("pb") === col("cbucket"))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        cosineCol("embedding", "cent").as("cos_centroid"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos_centroid"),
+        (-col("centroid_id")).as("neg_cid"),
+        col("centroid_id"), col("embedding"))).as("b"))
+      .select(col("vec_id"), col("b.embedding").as("embedding"),
+        col("b.centroid_id").as("cluster_id"),
+        col("b.cos_centroid").as("cos_centroid"))
+    val orphans = vecs
+      .join(best.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("embedding"),
+        lit(-1L).as("cluster_id"), lit(-1.0).as("cos_centroid"))
+    val members = best.unionByName(orphans)
+    val a = members.filter(col("cluster_id") >= 0)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("cluster_id").as("a_cl"))
+    val b = members.filter(col("cluster_id") >= 0)
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        col("cluster_id").as("b_cl"))
+    val evicted = a.join(b,
+        col("a_cl") === col("b_cl") && col("a_id") < col("b_id"))
+      .filter(cosineCol("a_emb", "b_emb") >= tau)
+      .select(col("b_id").as("ev_id")).distinct()
+    members.join(evicted, col("vec_id") === col("ev_id"), "left")
+      .select(col("vec_id"), col("cluster_id"), col("cos_centroid"),
+        col("ev_id").isNotNull.as("evicted"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The scaled construction FORCED at the n=32768 production
+    * parameters (k=128 centroids, p=4 planes) so its candidate
+    * generation has an exact DuckDB replay — the [[orTablesSpec]]
+    * idiom: literal ±1 sign matrix, bit-exact sequential dot folds,
+    * bucket = Σ(dot>0)·2^p, radius-1 probe masks as a VALUES table,
+    * argmax by (cos DESC, centroid ASC), orphans via COALESCE(−1),
+    * within-cluster eviction at τ=0.4. Parity is exact because the
+    * oracle replays the GENERATION — no dependence on assignment
+    * quality. The registered [[semDedup]] row dispatches to this
+    * construction above n=8192 with (k, p) re-derived from the real n
+    * ([[semDedupDispatch]]); this row pins the pinned-parameter form
+    * and is therefore excluded from the scale probe, the same
+    * adjudication as llm_dedup_embed_ortables. */
+  private val semDedupForcedN = 32768L
+
+  private def semDedupScaledOracleSql: String = {
+    val (k, p) = semDedupParams(semDedupForcedN)
+    def fold(l: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $l), (x, y) -> x + y)"
+    val signRows = (0 until p).map { plane =>
+      val ss = (0 until 64)
+        .map(dm => if (hyperplaneSign(plane, dm) > 0) '+' else '-').mkString
+      s"($plane, '$ss')"
+    }.mkString(", ")
+    val maskRows = (0 +: (0 until p).map(1 << _))
+      .map(m => s"($m)").mkString(", ")
+    s"""WITH dims AS (SELECT unnest(generate_series(0, 63)) AS dim),
+       |sgns AS (SELECT * FROM (VALUES $signRows) sg(plane, ss)),
+       |slong AS (
+       |  SELECT plane, dim,
+       |    CASE WHEN substring(ss, dim + 1, 1) = '+' THEN CAST(1.0 AS DOUBLE)
+       |         ELSE CAST(-1.0 AS DOUBLE) END AS sgn
+       |  FROM sgns, dims),
+       |elong AS (
+       |  SELECT vec_id, dim, CAST(embedding[dim + 1] AS DOUBLE) AS val
+       |  FROM embeddings, dims WHERE dim < len(embedding)),
+       |dots AS (
+       |  SELECT vec_id, plane AS p,
+       |    ${fold("list(sgn * val ORDER BY dim)")} AS dot
+       |  FROM elong JOIN slong USING (dim)
+       |  GROUP BY vec_id, plane),
+       |buckets AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+       |      AS bucket
+       |  FROM dots GROUP BY vec_id),
+       |cents AS (
+       |  SELECT e.vec_id AS centroid_id, e.embedding AS cent,
+       |    b.bucket AS cbucket
+       |  FROM embeddings e JOIN buckets b ON b.vec_id = e.vec_id
+       |  WHERE e.vec_id < $k),
+       |masks AS (SELECT * FROM (VALUES $maskRows) mk(mask)),
+       |probed AS (
+       |  SELECT e.vec_id, e.embedding,
+       |    xor(b.bucket, CAST(mask AS BIGINT)) AS pb
+       |  FROM embeddings e JOIN buckets b ON b.vec_id = e.vec_id
+       |  CROSS JOIN masks),
+       |cand AS (
+       |  SELECT pr.vec_id, c.centroid_id,
+       |    ${cosineSql("pr.embedding", "c.cent")} AS cos_centroid
+       |  FROM probed pr JOIN cents c ON pr.pb = c.cbucket),
+       |best AS (
+       |  SELECT vec_id, centroid_id AS cluster_id, cos_centroid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                       ORDER BY cos_centroid DESC, centroid_id) AS rk
+       |  FROM cand),
+       |members AS (
+       |  SELECT e.vec_id, e.embedding,
+       |    COALESCE(b.cluster_id, CAST(-1 AS BIGINT)) AS cluster_id,
+       |    COALESCE(b.cos_centroid, CAST(-1.0 AS DOUBLE)) AS cos_centroid
+       |  FROM embeddings e
+       |  LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+       |    ON b.vec_id = e.vec_id),
+       |evicted AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM members a JOIN members b
+       |    ON a.cluster_id = b.cluster_id AND a.cluster_id >= 0
+       |      AND a.vec_id < b.vec_id
+       |  WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.4)
+       |SELECT m.vec_id, m.cluster_id, m.cos_centroid,
+       |  (ev.vec_id IS NOT NULL) AS evicted
+       |FROM members m LEFT JOIN evicted ev ON m.vec_id = ev.vec_id
+       |ORDER BY m.vec_id""".stripMargin
+  }
+
+  private val semDedupScaledSpec = Spec(
+    "llm_semdedup_scaled", semDedupScaledOracleSql) { (s, d) =>
+    val (k, p) = semDedupParams(semDedupForcedN)
+    semDedupFlagsScaled(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      k, p, 0.4)
   }
 }

@@ -291,6 +291,69 @@ class LlmSpec extends AnyFunSuite {
     assert(clusterMin.forall(id => !evictedGot.contains(id)))
   }
 
+  test("scaled semdedup matches an exact driver-side replay of its own construction") {
+    // Replay the LSH-bucketed assignment bit-for-bit (hyperplaneSign,
+    // sequential dot fold, radius-1 masks, argmax tie-break, orphans,
+    // within-cluster eviction) and require EXACT agreement — the same
+    // contract the DuckDB oracle of llm_semdedup_scaled pins, but
+    // independent of SQL, so a drift in either mirror fails a named
+    // test here too.
+    val (k, p) = (32, 3) // small forced shape exercises multiple buckets
+    val vecs = graft.sources.Tables.embeddings(spark, SF001)
+      .select(col("vec_id"), col("embedding"))
+    val got = LlmVector.semDedupFlagsScaled(vecs, k, p, 0.4)
+      .collect().map(r =>
+        (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    val all = vecs.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    def bucket(e: Array[Float]): Int = (0 until p).foldLeft(0) { (b, pl) =>
+      var dot = 0.0; var i = 0
+      while (i < e.length) {
+        dot += LlmVector.hyperplaneSign(pl, i) * e(i); i += 1
+      }
+      if (dot > 0) b | (1 << pl) else b
+    }
+    val cents = all.filter(_._1 < k).map { case (id, e) =>
+      (id, e, bucket(e))
+    }
+    val masks = 0 +: (0 until p).map(1 << _)
+    val assign = all.map { case (id, e) =>
+      val probed = masks.map(bucket(e) ^ _).toSet
+      val cand = cents.filter(c => probed(c._3))
+        .map { case (cid, ce, _) => (cid, LlmVector.cosine(e, ce)) }
+      id -> (if (cand.isEmpty) (-1L, -1.0)
+             else {
+               val (cid, c) = cand.minBy { case (cid, c) => (-c, cid) }
+               (cid, c)
+             })
+    }.toMap
+    val byId = all.toMap
+    val evicted = (for {
+      (a, (ca, _)) <- assign.toSeq; (b, (cb, _)) <- assign.toSeq
+      if ca >= 0 && ca == cb && a < b &&
+        LlmVector.cosine(byId(a), byId(b)) >= 0.4
+    } yield b).toSet
+    assert(got.keySet == assign.keySet)
+    got.foreach { case (id, (cl, cos, ev)) =>
+      assert(assign(id)._1 == cl, s"cluster mismatch for $id")
+      assert(assign(id)._2 == cos, s"cos mismatch for $id") // bit-exact
+      assert(evicted.contains(id) == ev, s"eviction mismatch for $id")
+    }
+    assert(got.values.count(_._3) > 0, "shape must exercise eviction")
+    assert(got.values.map(_._1).toSet.count(_ >= 0) > 4,
+      "shape must exercise multiple clusters")
+  }
+
+  test("semdedup dispatch takes the exact path at fixture density") {
+    val vecs = graft.sources.Tables.embeddings(spark, SF001)
+      .select(col("vec_id"), col("embedding"))
+    val viaDispatch = LlmVector.semDedupDispatch(vecs, 0.4).collect()
+    val direct = LlmVector.semDedupFlags(vecs, 16, 0.4).collect()
+    assert(viaDispatch.map(_.toString).toSeq ==
+      direct.map(_.toString).toSeq)
+  }
+
   test("semdedup degenerate corpora: n < numSeeds, and an impossible tau") {
     import spark.implicits._
     // 5 vectors, 16 requested seeds: every vector is its own centroid

@@ -81,21 +81,21 @@ sql_tpch_q2 sql_tpch_q3 sql_tpch_q6 sql_tpch_q7 sql_tpch_q8
 sql_tpch_q10 sql_tpch_q12 sql_tpch_q13 sql_tpch_q14 sql_tpch_q15
 sql_tpch_q16 sql_tpch_q17 sql_tpch_q19 sql_tpch_q20
 sink_compacted zorder_layout snapshot_diff merge_upsert
-llm_bm25 llm_dup_span""".split()
+llm_bm25 llm_dup_span llm_semdedup""".split()
 # NOT probed: llm_dedup_embed_ortables — its (b, T) are PINNED at the
 # n=32768 values so the DuckDB oracle can replay them, which makes the
 # row quadratic past that density BY CONSTRUCTION (fixed buckets). The
 # production path (llm_dedup_embed) re-derives b from the real n and is
 # probed above; the forced row exists to oracle-check the construction,
 # not to carry a scale claim.
-# NOT probed: llm_semdedup — its seed-centroid count is PINNED at k=16
-# so the DuckDB oracle can replay the Lloyd's assignment exactly, which
-# makes the within-cluster pair pass quadratic past that density BY
-# CONSTRUCTION (cluster size ∝ n at fixed k). The production sizing is
-# k ∝ n (bounded cluster size, the annIvf rule), which keeps the pair
-# pass linear while the assignment stays a broadcast map per Lloyd's
-# step; the dedup family's measured scale claim is carried by
-# llm_dedup_embed (slope 0.94).
+# llm_semdedup IS probed (round-17 continuation): above n=8192 the
+# registered row dispatches to the production sizing (k ∝ n centroids,
+# LSH-bucketed assignment — semDedupDispatch), so the 8x/32x samples
+# measure the real scale path. NOT probed: llm_semdedup_scaled — the
+# FORCED construction at the pinned n=32768 parameters (k=128, p=4)
+# whose only purpose is the exact DuckDB replay; pinned parameters are
+# quadratic past their design density BY CONSTRUCTION, the same
+# adjudication as llm_dedup_embed_ortables.
 
 # Rows whose retained streaming state is the axis that matters (VERDICT
 # r16 #1/#2): the flagship stream-stream joins + every stateful row. For
