@@ -452,4 +452,81 @@ class ScaleStressSpec extends AnyFunSuite {
       s"binned plan != theta join under one-bin skew: got ${got.length} " +
         s"rows vs ${brute.length}")
   }
+
+  test("scaled semdedup under maximal centroid bucket-skew: exact, orphans surface") {
+    import spark.implicits._
+    // Adversarial shape for the LSH-assigned path: ALL k=64 centroids
+    // sit in ONE bucket (near-identical all-positive vectors, decisive
+    // hyperplane margins), organics spread. Consequences the test
+    // pins: (a) a vector whose radius-1 probe set misses the hot
+    // bucket finds NO centroid and must surface as an explicit
+    // cluster −1 orphan — never a silent misassignment; (b) the
+    // candidate mass degrades gracefully to ≤ n·k (each vector meets
+    // the co-bucketed centroid set at most once), not n², because
+    // candidates only arise through bucket equality; (c) the full
+    // output still equals a bit-exact driver-side replay.
+    val (k, p) = (64, 3)
+    val rng = lcg(7L)
+    val vecs = (0 until 4000).map { i =>
+      val arr =
+        if (i < k)
+          Array.tabulate(64)(d =>
+            (1.0f + d / 64.0f) + (if (d == i % 64) 1e-5f * (i / 64 + 1)
+                                  else 0.0f))
+        else
+          Array.tabulate(64) { _ =>
+            if (((rng.next() >>> 33) & 1L) == 0L) -1.0f else 1.0f
+          }
+      (i.toLong, arr.toSeq)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val got = LlmVector.semDedupFlagsScaled(emb, k, p, 0.4)
+      .collect().map(r =>
+        (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    // driver-side exact replay (the LlmSpec idiom, adversarial corpus)
+    val all = vecs.map { case (id, s) => (id, s.toArray) }
+    def bucket(e: Array[Float]): Int = (0 until p).foldLeft(0) { (b, pl) =>
+      var dot = 0.0; var i = 0
+      while (i < e.length) {
+        dot += LlmVector.hyperplaneSign(pl, i) * e(i); i += 1
+      }
+      if (dot > 0) b | (1 << pl) else b
+    }
+    val cents = all.filter(_._1 < k).map { case (id, e) =>
+      (id, e, bucket(e))
+    }
+    assert(cents.map(_._3).distinct.size == 1,
+      "shape broken: centroids must share ONE bucket")
+    val masks = 0 +: (0 until p).map(1 << _)
+    var candMass = 0L
+    val assign = all.map { case (id, e) =>
+      val probed = masks.map(bucket(e) ^ _).toSet
+      val cand = cents.filter(c => probed(c._3))
+        .map { case (cid, ce, _) => (cid, LlmVector.cosine(e, ce)) }
+      candMass += cand.length
+      id -> (if (cand.isEmpty) (-1L, -1.0)
+             else {
+               val (cid, c) = cand.minBy { case (cid, c) => (-c, cid) }
+               (cid, c)
+             })
+    }.toMap
+    val byId = all.toMap
+    val evicted = (for {
+      (a, (ca, _)) <- assign.toSeq; (b, (cb, _)) <- assign.toSeq
+      if ca >= 0 && ca == cb && a < b &&
+        LlmVector.cosine(byId(a), byId(b)) >= 0.4
+    } yield b).toSet
+    got.foreach { case (id, (cl, cos, ev)) =>
+      assert(assign(id)._1 == cl && assign(id)._2 == cos &&
+        evicted.contains(id) == ev, s"replay mismatch for $id")
+    }
+    val orphans = got.values.count(_._1 == -1L)
+    assert(orphans > 0, "adversarial shape must exercise the orphan path")
+    assert(got.values.count(_._3) > 0, "hot cluster must evict")
+    assert(candMass <= 4000L * k,
+      s"candidate mass $candMass exceeds the n*k skew ceiling")
+    info(s"orphans $orphans of 4000, candidate mass $candMass " +
+      s"(n*k ceiling ${4000L * k}, all-pairs ${4000L * 3999 / 2})")
+  }
 }
