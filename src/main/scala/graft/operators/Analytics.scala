@@ -33,7 +33,8 @@ object Analytics {
     sqlPivotClause, sqlLateralView, sqlScriptTransform, sqlClusterBy,
     sqlHintRebalance, sqlTablesample, sqlExecuteImmediate, sqlScripting,
     sqlValuesInline, sqlTvfRange, sqlStarExcept, graphPagerank,
-    tsInterpolateLinear, sqlScriptingFor, sqlInsertInto)
+    tsInterpolateLinear, sqlScriptingFor, sqlInsertInto, sqlLateralAlias,
+    sqlDefaultColumns)
 
   /** `FROM VALUES … AS t(…)` — the inline-table constructor: the tiny
     * hand-maintained dimension (code → label mappings, config knobs)
@@ -2395,5 +2396,77 @@ object Analytics {
       .groupBy(col("st"))
       .agg(count(lit(1)).as("n"), Det.dsum(col("price")).as("sum_p"))
       .orderBy(col("st"))
+  }
+
+  /** LATERAL COLUMN ALIASES (Spark 3.4+/4): a SELECT-list alias is
+    * visible to LATER expressions in the same list, killing the
+    * nested-subquery-per-derived-column idiom — the analyzer inlines
+    * the chain, so `price → disc_price → charge` plans as ONE
+    * projection (no extra Project nodes, nothing materialized twice).
+    * The oracle is the classic EXPANDED form; because inlining
+    * substitutes the identical double expression tree, the +,*
+    * arithmetic is bit-exact across engines (§5.2). */
+  private val sqlLateralAlias = Spec(
+    "sql_lateral_alias",
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(l_extendedprice AS DOUBLE) AS price,
+      |  CAST(l_extendedprice AS DOUBLE)
+      |    * (1.0 - CAST(l_discount AS DOUBLE)) AS disc_price,
+      |  (CAST(l_extendedprice AS DOUBLE)
+      |    * (1.0 - CAST(l_discount AS DOUBLE)))
+      |    * (1.0 + CAST(l_tax AS DOUBLE)) AS charge
+      |FROM lineitem WHERE l_orderkey < 100
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lca_lineitem")
+    s.sql(
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_extendedprice AS DOUBLE) AS price,
+        |  price * (1.0 - CAST(l_discount AS DOUBLE)) AS disc_price,
+        |  disc_price * (1.0 + CAST(l_tax AS DOUBLE)) AS charge
+        |FROM graft_lca_lineitem WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+  }
+
+  /** DEFAULT column values (Spark 3.4+/4, DML surface): columns declare
+    * a DEFAULT at CREATE time; an INSERT naming a column SUBSET — or
+    * the literal DEFAULT keyword — fills the rest from the declaration.
+    * The schema-evolution workhorse of an append-only lake: producers
+    * on the old column set keep writing while the table grows columns.
+    * Three insert shapes witness it (subset-columns INSERT…SELECT,
+    * VALUES with the DEFAULT keyword, subset VALUES); the oracle spells
+    * every default literally. Same warehouse hygiene as
+    * [[sqlInsertInto]]. */
+  private val sqlDefaultColumns = Spec(
+    "sql_default_columns",
+    """SELECT st, price, src, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      |  SELECT o_orderstatus AS st, 0.0 AS price, 'none' AS src
+      |  FROM orders WHERE CAST(o_totalprice AS DOUBLE) > 300000.0
+      |  UNION ALL SELECT 'Z', 0.0, 'manual'
+      |  UNION ALL SELECT 'Y', 9.5, 'none')
+      |GROUP BY st, price, src ORDER BY st, price, src""".stripMargin) {
+    (s, d) =>
+    val key = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
+      .replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = s"graft_def_orders_$key"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val whConf = s.conf.get("spark.sql.warehouse.dir")
+    val whPath =
+      if (whConf.startsWith("file:")) new java.net.URI(whConf).getPath
+      else whConf
+    Scans.rmRecursive(new java.io.File(new java.io.File(whPath), tbl))
+    s.sql(s"""CREATE TABLE $tbl (
+             |  st STRING,
+             |  price DOUBLE DEFAULT 0.0,
+             |  src STRING DEFAULT 'none') USING parquet""".stripMargin)
+    Tables.orders(s, d).createOrReplaceTempView("graft_def_src")
+    s.sql(s"""INSERT INTO $tbl (st)
+             |SELECT o_orderstatus FROM graft_def_src
+             |WHERE CAST(o_totalprice AS DOUBLE) > 300000.0""".stripMargin)
+    s.sql(s"INSERT INTO $tbl VALUES ('Z', DEFAULT, 'manual')")
+    s.sql(s"INSERT INTO $tbl (st, price) VALUES ('Y', 9.5D)")
+    s.table(tbl)
+      .groupBy(col("st"), col("price"), col("src"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("st"), col("price"), col("src"))
   }
 }

@@ -660,7 +660,8 @@ class EdgeCasesSpec extends AnyFunSuite {
     // JVMs; this pins it in-session: run each writer twice and require
     // CONTENT-identical results — the double-append / empty-replay
     // failure modes both change row content, not just counts.
-    Seq("sink_table_v2", "sql_insert_into", "sink_stream_table")
+    Seq("sink_table_v2", "sql_insert_into", "sink_stream_table",
+      "sql_default_columns")
       .foreach { q =>
         def rows(): Seq[String] =
           SparkEntry.queries(q)(spark, TestSpark.SF001)
