@@ -138,6 +138,14 @@ object Bench {
       graft.streaming.StreamingOps.sjInput(spark, sfDir): Unit
       graft.operators.Scans.prepayStateCheckpoint(spark, sfDir)
       graft.operators.Scans.warmDerby(spark, sfDir)
+      // Round 18 (VERDICT r17 #3 — spike15 ≤ 2): the two first-touch
+      // costs the r17 capture still billed per-query. The socket warm
+      // pays the JVM's socket-provider classload + streaming-engine
+      // boot (source_stream_socket 5.16 s billed vs 0.96 s retime);
+      // the runtime-filter warm pays BloomFilterAggregate/might_contain
+      // classload + codegen (join_bloom 3.30 s vs 0.26 s retime).
+      graft.operators.Scans.warmSocketSource(spark)
+      graft.operators.Joins.warmRuntimeFilter(spark, sfDir)
     }
     // Materialize-phase-end loadavg (VERDICT r13 #7): the pre-paid
     // builds above are inside the headline total but outside the

@@ -51,6 +51,9 @@ object PlanAudit {
     "opt_levenshtein_rule", "sql_tablesample", "win_rolling_distinct",
     // round 17: one-row corpus-stats cross (N, avgdl broadcast)
     "llm_bm25",
+    // round 18: identical one-row stats cross — the ln-idf production
+    // form shares llm_bm25's plan, only the idf arithmetic differs
+    "llm_bm25_ln",
     // round 17: k=16-row centroid broadcast for the Lloyd's assign pass
     "llm_semdedup")
 

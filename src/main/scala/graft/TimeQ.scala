@@ -46,6 +46,11 @@ object TimeQ {
     val sfDir = args(0)
     val names = args(1).split(",").map(_.trim).filter(_.nonEmpty)
     val reps = if (args.length > 2) args(2).toInt else 3
+    // Scale-witness marker (ADVICE r17 #2): amplified inputs push rows
+    // with oracle-domain guards (llm_semdedup's n <= 8192) onto their
+    // production scale paths ON PURPOSE here — no oracle runs in a
+    // TimeQ probe, so the guards stand down instead of failing the rep.
+    System.setProperty("graft.scale.probe", "1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // SPARK_GRAFT_SHUFFLE: override the shuffle partition count without
     // changing task parallelism — the knob for measuring the SURVEY §0

@@ -20,7 +20,8 @@ import graft.sources.Tables
 object LlmText {
   def specs: Seq[Spec] = Seq(dedupExact, dedupNgram, dedupCluster, textStats,
     langId, quality, tokenCount, fingerprint, tfidf, ngramLm, cooccur,
-    dedupIncremental, lmScore, urlCanonical, textNormalize, bm25, dupSpan)
+    dedupIncremental, lmScore, urlCanonical, textNormalize, bm25, bm25Ln,
+    dupSpan)
 
   /** Text normalization — the map-only pass that runs BEFORE every
     * dedup/fingerprint stage of a crawl pipeline (llm_dedup_*,
@@ -937,10 +938,60 @@ object LlmText {
       Seq("spark", "join", "stream", "window"))
   }
 
+  /** PRODUCTION-form BM25 (VERDICT r17 #5): identical pipeline to
+    * [[bm25]] but the idf is the deployed ln((N − df + 0.5)/(df + 0.5))
+    * — the one-line wrap the odds-form row asked users to add
+    * themselves, registered so the scorer a pipeline actually ships is
+    * itself oracle-checked. ln is a libm function (Java Math.log vs
+    * DuckDB's C ln can differ in the last ulp), so this row takes the
+    * SURVEY §5.2 epsilon route instead of raw-bits parity: the final
+    * per-doc score is rounded to 4 decimals on BOTH engines. The
+    * pre-round daylight between engines is a few ulps (~1e-15
+    * relative) per ln term over a ≤ 4-term lex-ordered fold, twelve
+    * orders of magnitude inside the 1e-4 grid, so the rounded doubles
+    * are bit-identical; n_terms and doc_id stay exact integers. */
+  private val bm25Ln = Spec(
+    "llm_bm25_ln",
+    """WITH dl AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+      |stats AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    (CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS avgdl
+      |  FROM dl),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |        FROM documents)
+      |  WHERE term IN ('spark', 'join', 'stream', 'window')
+      |  GROUP BY 1, 2),
+      |df AS (
+      |  SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+      |  FROM tf GROUP BY 1),
+      |weighted AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    ((tf.tf * 2.2)
+      |      / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl))))
+      |      * ln((stats.n - df.df + 0.5) / (df.df + 0.5)) AS w
+      |  FROM tf JOIN df ON tf.term = df.term
+      |  JOIN dl ON tf.doc_id = dl.doc_id
+      |  CROSS JOIN stats)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list(w ORDER BY term)), (x, y) -> x + y), 4) AS score
+      |FROM weighted GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    bm25Scores(docsWords(s, d).select(col("doc_id"), col("words")),
+      Seq("spark", "join", "stream", "window"), lnIdf = true)
+  }
+
   /** Reusable BM25 pipeline over a (doc_id, words) frame — see [[bm25]]
     * for the scoring contract (k1=1.2, b=0.75, odds-form idf, term-lex
-    * fold order). Exposed so tests can score constructed corpora. */
-  def bm25Scores(docs: DataFrame, qterms: Seq[String]): DataFrame = {
+    * fold order) and [[bm25Ln]] for the lnIdf=true production form
+    * (ln idf, score rounded to 4 decimals). Exposed so tests can score
+    * constructed corpora. */
+  def bm25Scores(docs: DataFrame, qterms: Seq[String],
+      lnIdf: Boolean = false): DataFrame = {
     val dl = docs
       .select(col("doc_id"), size(col("words")).cast("long").as("dl"))
     val stats = dl.agg(
@@ -954,6 +1005,9 @@ object LlmText {
       .agg(count(lit(1)).cast("double").as("tf"))
     val df = tf.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val odds = (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    // functions.log spelled out: `log` bare resolves to the slf4j logger
+    val idf = if (lnIdf) org.apache.spark.sql.functions.log(odds) else odds
     val weighted = tf
       .join(broadcast(df), "term")
       .join(dl, "doc_id")
@@ -962,14 +1016,15 @@ object LlmText {
         (((col("tf") * lit(2.2))
           / (col("tf") + lit(1.2) * (lit(0.25)
             + lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
-          * ((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+          * idf)
           .as("w"))
+    val folded = aggregate(
+      transform(array_sort(collect_list(struct(col("term"), col("w")))),
+        p => p.getField("w")),
+      lit(0.0).cast("double"), (acc, x) => acc + x)
     weighted.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"),
-        aggregate(
-          transform(array_sort(collect_list(struct(col("term"), col("w")))),
-            p => p.getField("w")),
-          lit(0.0).cast("double"), (acc, x) => acc + x).as("score"))
+        (if (lnIdf) round(folded, 4) else folded).as("score"))
       .orderBy(col("doc_id"))
   }
 
@@ -993,9 +1048,14 @@ object LlmText {
     * count on hashes, rejoin text for qualifying groups — was measured
     * 2× slower with 10× the per-task peak: the rejoin's SMJ re-sorts
     * the full span stream, exactly the shipping the hash key avoids.)
-    * Same 64-bit collision stance as [[dedupExact]]/[[docShingles]]: a
-    * collision merges two span groups (2⁻⁶⁴ pairwise — absent in
-    * fixtures; a production 100 TB run widens to a 128-bit key). */
+    * The group key is 128-BIT (two independently-seeded xxhash64
+    * passes — ADVICE r17 #1): the oracle groups on span TEXT, so a
+    * key collision would merge two distinct span groups in the engine
+    * only, and at 64 bits that asymmetry was documented rather than
+    * closed. The second hash seeds its chain with a leading literal,
+    * so a pair colliding under the first hash collides under the
+    * second only at an independent 2⁻⁶⁴ — joint 2⁻¹²⁸, the stated
+    * production widening, for 8 extra shuffle bytes per span row. */
   private val dupSpan = Spec(
     "llm_dup_span",
     """WITH w AS (
@@ -1025,8 +1085,14 @@ object LlmText {
         s"""transform(sequence(0, size(words) - $k),
            |  i -> concat_ws(' ', slice(words, i + 1, $k)))""".stripMargin))
         .as("span"))
-      .select(xxhash64(col("span")).as("h"), col("doc_id"), col("span"))
-      .groupBy(col("h"))
+      // 128-bit key: h chains seed42→span; h2 chains seed42→lit(1)→span,
+      // i.e. a different effective seed — the literal must lead, because
+      // xxhash64(span, lit) folds the literal over h's OUTPUT and would
+      // inherit every h collision.
+      .select(xxhash64(col("span")).as("h"),
+        xxhash64(lit(1), col("span")).as("h2"),
+        col("doc_id"), col("span"))
+      .groupBy(col("h"), col("h2"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occurrences"),
         min(col("doc_id")).as("first_doc"),

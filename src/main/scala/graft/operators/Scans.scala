@@ -619,6 +619,61 @@ object Scans {
     dir
   }
 
+  /** Session-INDEPENDENT shared scratch (VERDICT r17 #4): a staged
+    * layout derived purely from an immutable fixture need not be
+    * rebuilt per JVM — the per-pid [[scratch]] keying made every fresh
+    * Bench/Verify JVM re-pay the sjInput staging (~17 MB of shuffle +
+    * seconds of materialize_layout). The shared dir is keyed by op +
+    * absolutized sfDir + a caller-supplied CONTENT fingerprint (mtime +
+    * size of the fixture file the staging derives from), so a
+    * regenerated fixture keys to a NEW directory rather than serving
+    * stale chunks — the guardMtime stance, filesystem edition. No
+    * application-end deletion: cross-JVM reuse is the point; stale
+    * fingerprints are bounded by fixture size and land under the OS
+    * tmp reaper like a crashed JVM's [[scratch]] leftovers. */
+  private[graft] def sharedScratchDir(op: String, sfDir: String,
+      fingerprint: String): String = {
+    val abs = java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize.toString
+    val key = abs.replaceAll("[^A-Za-z0-9]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_shared_${op}_${key}_$fingerprint"
+  }
+
+  private val sharedBuilds = new java.util.concurrent.atomic.AtomicLong
+
+  /** Build-once-publish-atomically for [[sharedScratchDir]] layouts:
+    * concurrent JVMs (or sessions) that miss the healthy check each
+    * build into a private sibling dir and race on an ATOMIC_MOVE rename
+    * (same tmpfs ⇒ rename(2), which preserves the admission-order
+    * mtimes the stream stagings depend on); losers verify the winner's
+    * publish and discard their own build. A reader only ever sees the
+    * target either absent or fully published — never mid-write. */
+  private[graft] def ensureShared(dir: String,
+      healthy: java.io.File => Boolean)(build: String => Unit): String = {
+    val target = new java.io.File(dir)
+    if (healthy(target)) return dir
+    val tmp = new java.io.File(
+      dir + ".build" + jvmTag + "_" + sharedBuilds.incrementAndGet())
+    rmRecursive(tmp)
+    build(tmp.toString)
+    import java.nio.file.{Files, StandardCopyOption}
+    def move(): Unit = {
+      Files.move(tmp.toPath, target.toPath,
+        StandardCopyOption.ATOMIC_MOVE): Unit
+    }
+    try move()
+    catch { case _: java.nio.file.FileSystemException =>
+      // another builder published first, or unhealthy leftovers occupy
+      // the target: keep a healthy winner, replace anything else
+      if (!healthy(target)) {
+        rmRecursive(target)
+        try move()
+        catch { case _: java.nio.file.FileSystemException => rmRecursive(tmp) }
+      } else rmRecursive(tmp)
+    }
+    require(healthy(target), s"shared scratch publish failed for $dir")
+    dir
+  }
+
   /** Full projection of the largest fixture table, deterministic order. */
   private val scanParquet = Spec(
     "scan_parquet",
@@ -943,6 +998,50 @@ object Scans {
   private[graft] def prepayStateCheckpoint(
       s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     statefulCheckpoint(s, d); ()
+  }
+
+  /** Pre-pay the socket-source first-touch (VERDICT r17 #3): the first
+    * socket stream in a JVM bills ~3-4 s of provider classload +
+    * streaming-engine boot that the r17 driver capture kept flagging as
+    * a spike on source_stream_socket (5.16 s billed, 0.96 s retime). A
+    * two-word warm stream through the same loopback-feeder plumbing
+    * pays exactly those JVM-wide costs in materialize_layout; the timed
+    * row still does all its own per-query work. */
+  private[graft] def warmSocketSource(
+      s: org.apache.spark.sql.SparkSession): Unit = {
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getLoopbackAddress)
+    val feeder = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+          sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+        out.print("warm up\n")
+        out.flush()
+      } catch { case _: Throwable => () }
+    }, "graft-socket-warm")
+    feeder.setDaemon(true)
+    feeder.start()
+    val s2 = fewPartitionSession(s, 1)
+    val words = s2.readStream.format("socket")
+      .option("host", server.getInetAddress.getHostAddress)
+      .option("port", server.getLocalPort.toString)
+      .load()
+      .select(explode(split(col("value"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val name = "graft_socket_warm_" + streamRuns.incrementAndGet()
+    val q = words.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(80))
+      .start()
+    try drainStream(q, 2L, "socket warm") { () =>
+      val r = s2.table(name).agg(sum(col("n"))).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    finally {
+      q.stop()
+      try server.close() catch { case _: Throwable => () }
+    }
   }
 
   private[graft] def warmDerby(s: org.apache.spark.sql.SparkSession,

@@ -399,6 +399,43 @@ class LlmSpec extends AnyFunSuite {
     assert(scores(4L) > scores(1L), "rarer term (higher idf odds) wins")
   }
 
+  test("bm25 lnIdf form matches the hand-computed ln score after rounding") {
+    import spark.implicits._
+    // All docs exactly 10 words, so dl = avgdl and the length norm is
+    // (0.25 + 0.75·1) = 1; with tf = 1 the tf part is 2.2/(1 + 1.2) = 1,
+    // leaving score = ln((n − df + 0.5)/(df + 0.5)) exactly — the whole
+    // pipeline collapses to the one ln the row exists to check.
+    val pad9 = (1 to 9).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"spark $pad9"),
+      (2L, s"y1 $pad9"), (3L, s"y2 $pad9"), (4L, s"y3 $pad9"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+    val out = LlmText.bm25Scores(docs, Seq("spark"), lnIdf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq == Seq(1L)) // only the term-bearing doc
+    assert(out.head._2 == 1L)
+    val expected = BigDecimal(math.log((4.0 - 1.0 + 0.5) / (1.0 + 0.5)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.head._3 == expected)
+    // And the saturation/idf orderings survive the ln wrap (ln is
+    // monotone, so the odds-form orderings carry over WHERE idf > 0 —
+    // enough filler docs keep every df under n/2; a df of exactly n/2
+    // would make odds = 1 and ln = 0, collapsing the comparison).
+    val pad8 = (1 to 8).map(i => s"x$i").mkString(" ")
+    val docs2 = Seq(
+      (1L, s"spark $pad8 z"), (2L, s"spark spark $pad8"),
+      (4L, s"join $pad8 z"), (5L, s"none of these $pad8"),
+      (6L, s"f1 f2 f3 $pad8"), (7L, s"g1 g2 g3 $pad8"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+    val s2 = LlmText.bm25Scores(docs2, Seq("spark", "join"), lnIdf = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(!s2.contains(5L) && !s2.contains(6L) && !s2.contains(7L))
+    assert(s2(1L) > 0.0, "idf must be positive in this construction")
+    assert(s2(2L) > s2(1L) && s2(4L) > s2(1L))
+  }
+
   test("dup_span reports only cross-document spans, with exact counts") {
     import spark.implicits._
     val shared = "a b c d e f g h"

@@ -50,52 +50,20 @@ OUT = os.path.join(REPO, "tools", "scale_probe_out.json")
 SCALES = {"x1": (SRC, 1), "x8": ("/tmp/graft_scale/x8", 8),
           "x32": ("/tmp/graft_scale/x32", 32)}
 
-ROWS = """sql_tpch_q1 sql_tpch_q4 sql_tpch_q5 sql_tpch_q9 sql_tpch_q11
-sql_tpch_q18 sql_tpch_q21 sql_tpch_q22
-join_inner_hash join_multiway join_broadcast join_asof join_skew_aqe
-join_salted join_fuzzy join_range_bin
-agg_hash_group agg_distinct agg_grouping_sets agg_sketch_quantile
-agg_sketch_cms agg_approx_distinct
-win_topk_per_group win_ntile win_retention sort_multi set_union_distinct
-scan_parquet filter_pred
-llm_dedup_exact llm_dedup_near llm_dedup_simhash llm_dedup_incremental
-llm_cosine_topk llm_ann_lsh llm_ann_ivf llm_text_stats llm_tfidf
-llm_lm_score llm_cooccur llm_chunking llm_multimodal_decode
-graph_pagerank ts_interpolate_linear
-llm_dedup_ngram llm_dedup_cluster llm_dedup_embed llm_vocab
-llm_lang_id llm_quality_score llm_fingerprint llm_ngram_lm
-llm_contamination llm_pack_sequences llm_split_hash
-win_lag_lead agg_rollup agg_cube set_except pivot_status
-sink_partitioned sink_codec_zstd agg_custom_typed ds_map_partitions
-win_running_frame win_range_frame join_left_anti join_left_semi
-set_intersect llm_winsorize llm_curriculum llm_oov_rate
-source_stream_window stream_transform_with_state stream_update_mode
-stream_foreachbatch_upsert stream_chained_agg
-join_stream_stream join_stream_stream_outer join_stream_stream_full
-join_stream_static stream_join_then_window
-source_stream_join source_stream_join_outer
-stream_dedup stream_session stream_watermark_late
-stream_tumbling stream_sliding stream_stateful_custom
-stream_tws_timers stream_tws_mapstate
-sql_tpch_q2 sql_tpch_q3 sql_tpch_q6 sql_tpch_q7 sql_tpch_q8
-sql_tpch_q10 sql_tpch_q12 sql_tpch_q13 sql_tpch_q14 sql_tpch_q15
-sql_tpch_q16 sql_tpch_q17 sql_tpch_q19 sql_tpch_q20
-sink_compacted zorder_layout snapshot_diff merge_upsert
-llm_bm25 llm_dup_span llm_semdedup""".split()
-# NOT probed: llm_dedup_embed_ortables — its (b, T) are PINNED at the
-# n=32768 values so the DuckDB oracle can replay them, which makes the
-# row quadratic past that density BY CONSTRUCTION (fixed buckets). The
-# production path (llm_dedup_embed) re-derives b from the real n and is
-# probed above; the forced row exists to oracle-check the construction,
-# not to carry a scale claim.
-# llm_semdedup IS probed (round-17 continuation): above n=8192 the
-# registered row dispatches to the production sizing (k ∝ n centroids,
-# LSH-bucketed assignment — semDedupDispatch), so the 8x/32x samples
-# measure the real scale path. NOT probed: llm_semdedup_scaled — the
-# FORCED construction at the pinned n=32768 parameters (k=128, p=4)
-# whose only purpose is the exact DuckDB replay; pinned parameters are
-# quadratic past their design density BY CONSTRUCTION, the same
-# adjudication as llm_dedup_embed_ortables.
+# The probed-row list is the EXECUTABLE ledger (VERDICT r17 #2):
+# tools/probe_ledger.json assigns every registry row a category —
+# probed / micro-batch-floor / sub-floor-scalar / fixed-domain /
+# pinned-witness / family-covered — with a one-line reason per
+# exclusion. ProbeLedgerSpec enforces (a) ledger keys == the live
+# registry, (b) every "probed" row actually carries x8+x32 samples in
+# scale_probe_out.json, so "zero super-linear" is auditable from two
+# machine-checked artifacts instead of three prose sections.
+# gen_probe_ledger.py regenerates the ledger after a Spec add/remove.
+with open(os.path.join(REPO, "tools", "probe_ledger.json")) as _f:
+    _LEDGER = json.load(_f)
+ROWS = sorted(n for n, e in _LEDGER.items() if e["category"] == "probed")
+# Per-row exclusion rationale (the former NOT-probed comment block)
+# lives in the ledger's reason strings — one source of truth.
 
 # Rows whose retained streaming state is the axis that matters (VERDICT
 # r16 #1/#2): the flagship stream-stream joins + every stateful row. For
