@@ -75,7 +75,20 @@ sql_tpch_q2 sql_tpch_q3 sql_tpch_q6 sql_tpch_q7 sql_tpch_q8
 sql_tpch_q10 sql_tpch_q12 sql_tpch_q13 sql_tpch_q14 sql_tpch_q15
 sql_tpch_q16 sql_tpch_q17 sql_tpch_q19 sql_tpch_q20
 sink_compacted zorder_layout snapshot_diff merge_upsert
-llm_bm25 llm_bm25_ln llm_dup_span llm_semdedup""".split()
+llm_bm25 llm_bm25_ln llm_dup_span llm_semdedup
+scan_csv scan_json scan_avro scan_orc scan_xml scan_text
+scan_schema_evolve scan_partition_prune
+join_left_outer join_full_outer join_using_natural join_dpp
+join_bucketed join_bloom join_lateral subquery_correlated
+win_rank win_scd2_intervals win_session_gap win_cume_dist
+sql_lateral_view sql_udf_scalar sql_udf_table sql_script_transform
+sql_cluster_by sql_hint_rebalance
+set_union_all set_except_all set_intersect_all set_union_byname
+llm_pii_scrub llm_token_count llm_repetition llm_url_canonical
+llm_embed_quantize llm_bpe_apply llm_multimodal_resize
+llm_multimodal_audio
+agg_collect agg_string_concat agg_skew_salted agg_max_by
+filter_date project gap_fill_daily sink_json_lines""".split()
 
 PROBED_REASON = ("slope/state measured at 1x/8x/32x steady reps "
                  "(tools/scale_probe_out.json)")
@@ -111,6 +124,14 @@ _mmfam = ("multimodal batch plumbing (binary column + typed metadata), "
           "the decode representative llm_multimodal_decode is probed")
 
 EXCLUDED = {
+    # re-homed entries whose original lines were shared with rows the
+    # round-18 probe expansion promoted to `probed`
+    "agg_mode": (FAM, _aggfam),
+    "join_hint_shj": (FAM, _joinfam),
+    "join_right_outer": (FAM, _joinfam),
+    "scan_json_multiline": (FAM, _scanfam),
+    "win_first_last": (FAM, _winfam),
+    "win_rolling_distinct": (FAM, _winfam),
     # aggregates beyond the probed reps
     "agg_any_value": (FAM, _aggfam), "agg_approx_percentile": (FAM, _aggfam),
     "agg_approx_topk": (FAM, _aggfam), "agg_bitmap_distinct": (FAM, _aggfam),
@@ -118,25 +139,15 @@ EXCLUDED = {
     "agg_corr_covar": (FAM, _aggfam), "agg_filtered": (FAM, _aggfam),
     "agg_global": (FAM, _aggfam), "agg_grouping_id": (FAM, _aggfam),
     "agg_higher_moments": (FAM, _aggfam), "agg_histogram": (FAM, _aggfam),
-    "agg_max_by": (FAM, _aggfam), "agg_mode": (FAM, _aggfam),
     "agg_percentile": (FAM, _aggfam), "agg_regression": (FAM, _aggfam),
     "agg_sketch_hll": (FAM, _aggfam + "; agg_sketch_cms/quantile probed"),
-    "agg_skew_salted": (FAM, "two-stage salted agg = two hash-agg "
-        "exchanges (probed shape); the salting memory lesson was caught "
-        "and re-probed on join_salted"),
     "agg_stats_builtin": (FAM, _aggfam), "agg_stats_moments": (FAM, _aggfam),
     "agg_try_arith": (FAM, _aggfam),
     "agg_within_group": (FAM, _aggfam),
     "agg_unpivot": (FXD, "unpivot of a single global-agg row; output is "
         "O(measures), fixed"),
-    "agg_collect": (FAM, "collect-per-group array output is proportional "
-        "to group size BY CONTRACT (docstring adjudicates bounded-group "
-        "usage); the agg exchange is the probed agg_hash_group shape"),
     "agg_listagg": (FAM, "per-group string fold, same bounded-group "
         "contract and agg exchange as agg_collect"),
-    "agg_string_concat": (FAM, "per-group string fold, same "
-        "bounded-group contract and agg exchange as agg_collect"),
-    # dataset API
     "ds_cache_reuse": (FXD, "cache-hit semantics witness; fixed 5-row "
         "output over one scan"),
     "ds_checkpoint": (FXD, "lineage-truncation witness; fixed output"),
@@ -145,11 +156,8 @@ EXCLUDED = {
     "ds_typed_api": (SFS, "typed map/filter projection (encoder path); "
         "no exchange"),
     # filters / projection / paging
-    "filter_date": (FAM, "pushed-down filter scan, probed via filter_pred"),
     "filter_like_family": (FAM, "pushed-down filter scan, probed via "
         "filter_pred"),
-    "project": (FAM, "column-pruned projection; pruning reach measured "
-        "on the probed scan_parquet"),
     "limit_topk": (FAM, "global sort+limit = TakeOrderedAndProject, "
         "strictly less work than the probed sort_multi"),
     "offset_page": (FAM, "sort+offset+limit over the probed sort_multi "
@@ -186,36 +194,16 @@ EXCLUDED = {
     "fn_id_generation": (FXD, "id-uniqueness witness; 1-row output"),
     "fn_encode": (FXD, "20-row charset round-trip witness"),
     # time series / gap fill
-    "gap_fill_daily": (FXD, "fixed date-range sequence explode; output "
-        "is O(days x groups) with days fixed"),
-    # joins beyond the probed reps
-    "join_bloom": (FAM, "scoped-conf InjectRuntimeFilter showcase over "
-        "the probed shuffle-join shape; the runtime filter strictly "
-        "REDUCES shuffled rows at scale (plan-pinned in PlanSpec)"),
     "join_bnlj_theta": (FXD, "bounded dim-side build, BNLJ allowlisted "
         "in PlanAuditSpec for bounded builds only"),
-    "join_bucketed": (FAM, "pay-once bucketed layout + zero-exchange "
-        "SMJ; layout build billed in materialize_layout, join side is "
-        "the probed SMJ shape with one exchange REMOVED"),
     "join_cross": (FXD, "bounded dim x dim cross (region/nation); "
         "cartesian allowlisted for bounded builds only"),
-    "join_dpp": (FAM, "partition-pruned scan + broadcast — strictly "
-        "less IO than the probed join_broadcast at scale; pruning "
-        "plan-pinned"),
-    "join_full_outer": (FAM, _joinfam), "join_hint_shj": (FAM, _joinfam),
-    "join_lateral": (FAM, "lateral correlated join decorrelates to the "
-        "probed win_topk_per_group shape"),
-    "join_left_outer": (FAM, _joinfam), "join_right_outer": (FAM, _joinfam),
     "join_null_aware_anti": (FAM, _joinfam),
     "join_null_safe": (FAM, _joinfam),
     "join_point_in_time": (FAM, "struct-max as-of idiom, probed via "
         "join_asof (slope 0.86)"),
     "join_theta_range": (FAM, "equi-anchored range join; the unanchored "
         "binned form is probed via join_range_bin"),
-    "join_using_natural": (FAM, _joinfam),
-    # llm rows beyond the probed reps
-    "llm_bpe_apply": (SFS, "map-only merge application per doc over the "
-        "memoized BPE substrate"),
     "llm_bpe_pairs": (FAM, "one pair-count aggregation of the probed "
         "llm_cooccur shape over the memoized substrate"),
     "llm_bpe_train": (FAM, "k fixed merge rounds, each one pair-count "
@@ -229,24 +217,13 @@ EXCLUDED = {
         "replay; same adjudication as llm_dedup_embed_ortables — the "
         "production dispatch llm_semdedup is probed (slope 0.44)"),
     "llm_domain_mix": (FAM, "groupBy source + broadcast weights; " + _aggfam),
-    "llm_embed_quantize": (SFS, "map-only array quantization; no shuffle"),
     "llm_filter_funnel": (FAM, "filter cascade + one global agg; " + _aggfam),
     "llm_instruction_format": (SFS, "map-only template formatting"),
-    "llm_multimodal_audio": (FAM, _mmfam),
     "llm_multimodal_framesample": (FAM, _mmfam),
-    "llm_multimodal_resize": (FAM, _mmfam),
     "llm_multimodal_struct": (FAM, _mmfam),
-    "llm_pii_scrub": (SFS, "codegen'd regexp_replace chain, map-only"),
-    "llm_repetition": (FAM, "per-doc n-gram explode+agg, probed via "
-        "llm_text_stats/llm_ngram_lm"),
     "llm_sample_stratified": (FAM, "per-stratum sampleBy filter over "
         "one scan; no exchange beyond the probed agg shape"),
     "llm_text_normalize": (SFS, "map-only normalization chain"),
-    "llm_token_count": (FAM, "explode+count per doc, probed via "
-        "llm_text_stats"),
-    "llm_url_canonical": (FAM, "regex canonicalization + hash groupBy; "
-        + _aggfam),
-    # optimizer witnesses
     "opt_aqe_coalesce": (FAM, "AQE runtime coalesce witness over the "
         "probed agg exchange; the optimization strictly reduces tasks"),
     "opt_exchange_reuse": (FAM, "self-join exchange-reuse witness; the "
@@ -276,11 +253,7 @@ EXCLUDED = {
     "profile_stream_progress": (MBF, "progress-event introspection of a "
         "fixed 2-batch stream; cost is the trigger lifecycle"),
     # scans beyond parquet
-    "scan_avro": (FAM, _scanfam), "scan_csv": (FAM, _scanfam),
     "scan_csv_corrupt": (FAM, _scanfam + "; corrupt-record policy witness"),
-    "scan_json": (FAM, _scanfam), "scan_json_multiline": (FAM, _scanfam),
-    "scan_orc": (FAM, _scanfam), "scan_text": (FAM, _scanfam),
-    "scan_xml": (FAM, _scanfam),
     "scan_binaryfile": (FAM, "binaryFile listing scan of 10 planted "
         "files; per-file payload read, no exchange"),
     "scan_file_metadata": (FAM, "_metadata projection riding the probed "
@@ -289,24 +262,14 @@ EXCLUDED = {
         "375-row table; the 4-partition split is the witness"),
     "scan_manifest_pruned": (FAM, "manifest-driven file pruning; "
         "pruned scan reads strictly less at scale"),
-    "scan_partition_prune": (FAM, "hive-partition pruning witness; the "
-        "pruned scan reads one partition regardless of sf"),
     "scan_recursive_lookup": (FAM, "recursive listing + glob filter; "
         "listing is O(files), payload is the probed scan shape"),
-    "scan_schema_evolve": (FAM, "mergeSchema two-layout read; per-file "
-        "decode of the probed scan shape"),
     "scan_state_metadata": (FXD, "metadata of the fixed 600-row "
         "synthetic checkpoint"),
     "scan_state_store": (FXD, "state read-back of the fixed 600-row "
         "synthetic checkpoint"),
     # set ops beyond the probed reps
-    "set_except_all": (FAM, _setfam), "set_intersect_all": (FAM, _setfam),
-    "set_union_all": (FAM, "union-all is a zero-exchange concatenation; "
-        + _setfam),
-    "set_union_byname": (FAM, "by-name column alignment + union-all; "
-        "zero exchange"),
-    # sinks beyond the probed reps
-    "sink_csv_options": (FAM, _sinkfam), "sink_json_lines": (FAM, _sinkfam),
+    "sink_csv_options": (FAM, _sinkfam),
     "sink_partition_overwrite": (FAM, _sinkfam + "; dynamic-overwrite "
         "witness"),
     "sink_table_v2": (FAM, _sinkfam + "; DSv2 catalog witness"),
@@ -329,8 +292,6 @@ EXCLUDED = {
         "stream_session; provider-independence of state rows pinned in "
         "the 64x doubling table"),
     # SQL surfaces
-    "sql_cluster_by": (FAM, "CLUSTER BY = the probed sort/exchange "
-        "shape (sort_multi)"),
     "sql_default_columns": (FXD, "DEFAULT-column DDL/DML witness over a "
         "5-row managed table"),
     "sql_execute_immediate": (FXD, _sqlsurf),
@@ -339,14 +300,10 @@ EXCLUDED = {
         "join_broadcast plan"),
     "sql_hint_merge": (FAM, "hinted SMJ variant of the probed join "
         "family"),
-    "sql_hint_rebalance": (FAM, "REBALANCE hint = AQE shuffle over the "
-        "probed exchange shape"),
     "sql_identifier_clause": (FXD, _sqlsurf),
     "sql_insert_into": (FXD, _sqlsurf + " (4-row managed table)"),
     "sql_lateral_alias": (FAM, "analyzer-surface witness; physical plan "
         "is a pushed-down filter projection (filter_pred)"),
-    "sql_lateral_view": (FAM, "LATERAL VIEW explode; explode+agg "
-        "scaling probed via llm_chunking"),
     "sql_named_window": (FAM, _winfam),
     "sql_parameterized": (FXD, _sqlsurf),
     "sql_pipe_syntax": (FXD, _sqlsurf),
@@ -354,30 +311,20 @@ EXCLUDED = {
         "pivot representative"),
     "sql_recursive_cte": (FXD, "bounded-depth recursion over a small "
         "edge set; output fixed by the closure"),
-    "sql_script_transform": (FAM, "TRANSFORM pipes rows through a "
-        "process per partition; linear map, partition-bounded forks"),
     "sql_scripting": (FXD, _sqlsurf), "sql_scripting_for": (FXD, _sqlsurf),
     "sql_session_variable": (FXD, _sqlsurf),
     "sql_star_except": (FXD, _sqlsurf),
     "sql_tablesample": (FXD, "TABLESAMPLE witness; 1-row count output"),
     "sql_tvf_range": (FXD, "range() TVF witness; 10-row synthetic "
         "domain"),
-    "sql_udf_scalar": (FAM, "SQL-language UDF lowers to a codegen'd "
-        "projection at analysis time — the probed projection shape"),
-    "sql_udf_table": (FAM, "SQL table UDF lowers to the probed "
-        "explode/join shapes at analysis time"),
     "sql_unpivot_clause": (FXD, _sqlsurf),
     "sql_values_inline": (FXD, "inline VALUES; no fixture scan at all"),
     # correlated subquery
-    "subquery_correlated": (FAM, "decorrelates to the probed left-semi "
-        "join + agg shape (plan-pinned)"),
-    # windows beyond the probed reps
-    "win_cume_dist": (FAM, _winfam), "win_first_last": (FAM, _winfam),
     "win_locf": (FAM, _winfam), "win_pattern_match": (FAM, _winfam),
     "win_percent_rank": (FAM, _winfam), "win_range_interval": (FAM, _winfam),
-    "win_rank": (FAM, _winfam), "win_rolling_distinct": (FAM, _winfam),
-    "win_scd2_intervals": (FAM, _winfam), "win_session_gap": (FAM, _winfam),
+
 }
+
 
 VALID = {"probed", PIN, MBF, SFS, FXD, FAM}
 
