@@ -70,7 +70,14 @@ object PlanAudit {
     // round 17 continuation: the forced scaled construction adds the
     // centroid-bucket scan and the orphan anti-join to the same
     // persisted-at-scale assignment — 4 scans by design, same argument.
-    ("llm_semdedup_scaled", "embeddings"))
+    ("llm_semdedup_scaled", "embeddings"),
+    // round 18: IVF-PQ reads embeddings three times BY DESIGN — the
+    // resident (cell, codes) build, the probe fan-out, and the
+    // shortlist's raw-vector re-rank fetch; at scale the resident is a
+    // persisted 10-byte/vector relation and the re-rank fetch is the
+    // production random read (64 rows per probe), so the re-scan shape
+    // only exists at fixture scale (the pagerank adjudication).
+    ("llm_ann_ivfpq", "embeddings"))
 
   /** The deliberate full-scan row — its point is reading every column. */
   val knownWide: Set[String] = Set("scan_parquet")

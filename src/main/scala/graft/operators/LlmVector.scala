@@ -18,7 +18,7 @@ import graft.sources.Tables
   */
 object LlmVector {
   def specs: Seq[Spec] = Seq(cosineTopk, dedupEmbed, orTablesSpec,
-    annLsh, annIvf, dedupMinhash, dedupSimhash, multimodalStruct,
+    annLsh, annIvf, annIvfPq, dedupMinhash, dedupSimhash, multimodalStruct,
     multimodalDecode, embedQuantize, semDedup, semDedupScaledSpec)
 
   /** Int8 embedding quantization — the 4× memory/bandwidth lever every
@@ -751,11 +751,16 @@ object LlmVector {
     * identical to the Spark plan's plain equi-join.
     * Domain restriction (as for the LSH oracle): dims 0..63 and a corpus
     * of ≥ ivfK sampled vectors — the fixture geometry at every SF. */
-  private def annIvfOracleSql: String = {
-    val k = ivfK; val np = ivfNProbe; val cap = ivfSampleCap
-    def fold(l: String) =
-      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $l), (x, y) -> x + y)"
-    val rounds = (1 to ivfIters).map { t =>
+  /** Shared fold helper for the generated quantizer replays. */
+  private def ivfFold(l: String) =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $l), (x, y) -> x + y)"
+
+  /** The coarse-quantizer replay pieces, shared verbatim by
+    * [[annIvfOracleSql]] and [[annIvfPqOracleSql]] (the IVF-PQ row runs
+    * the IDENTICAL coarse stage — same training, same cells). */
+  private def ivfSqlRounds: String = {
+    def fold(l: String) = ivfFold(l)
+    (1 to ivfIters).map { t =>
       s""",
          |a$t AS MATERIALIZED (
          |  SELECT xid, cell FROM (
@@ -780,55 +785,70 @@ object LlmVector {
          |  LEFT JOIN m$t m ON m.cell = c.cell AND m.dim = c.dim
          |  LEFT JOIN mn$t mn ON mn.cell = c.cell)""".stripMargin
     }.mkString
-    val head =
-      s"""WITH dims AS (SELECT unnest(generate_series(0, 63)) AS dim),
-         |xs AS MATERIALIZED (
-         |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS xid, embedding
-         |  FROM (SELECT vec_id, embedding FROM embeddings
-         |        ORDER BY vec_id LIMIT $cap)),
-         |nx AS MATERIALIZED (SELECT COUNT(*) AS n FROM xs),
-         |xraw AS MATERIALIZED (
-         |  SELECT xid, dim, CAST(embedding[dim + 1] AS DOUBLE) AS v
-         |  FROM xs, dims WHERE dim < len(embedding)),
-         |xn AS MATERIALIZED (SELECT xid, sqrt(${fold("list(v * v ORDER BY dim)")}) AS nrm
-         |       FROM xraw GROUP BY xid),
-         |x AS MATERIALIZED (
-         |  SELECT xraw.xid, dim, CASE WHEN nrm = 0 THEN v ELSE v / nrm END
-         |    AS v
-         |  FROM xraw JOIN xn ON xraw.xid = xn.xid),
-         |cells AS (SELECT unnest(generate_series(0, ${k - 1})) AS cell),
-         |c0 AS MATERIALIZED (
-         |  SELECT cell, dim, v AS cv
-         |  FROM cells JOIN x ON x.xid = (cell * (SELECT n FROM nx)) // $k)"""
-        .stripMargin
+  }
+
+  private def ivfSqlHead: String = {
+    val k = ivfK; val cap = ivfSampleCap
+    def fold(l: String) = ivfFold(l)
+    s"""WITH dims AS (SELECT unnest(generate_series(0, 63)) AS dim),
+       |xs AS MATERIALIZED (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS xid, embedding
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        ORDER BY vec_id LIMIT $cap)),
+       |nx AS MATERIALIZED (SELECT COUNT(*) AS n FROM xs),
+       |xraw AS MATERIALIZED (
+       |  SELECT xid, dim, CAST(embedding[dim + 1] AS DOUBLE) AS v
+       |  FROM xs, dims WHERE dim < len(embedding)),
+       |xn AS MATERIALIZED (SELECT xid, sqrt(${fold("list(v * v ORDER BY dim)")}) AS nrm
+       |       FROM xraw GROUP BY xid),
+       |x AS MATERIALIZED (
+       |  SELECT xraw.xid, dim, CASE WHEN nrm = 0 THEN v ELSE v / nrm END
+       |    AS v
+       |  FROM xraw JOIN xn ON xraw.xid = xn.xid),
+       |cells AS (SELECT unnest(generate_series(0, ${k - 1})) AS cell),
+       |c0 AS MATERIALIZED (
+       |  SELECT cell, dim, v AS cv
+       |  FROM cells JOIN x ON x.xid = (cell * (SELECT n FROM nx)) // $k)"""
+      .stripMargin
+  }
+
+  /** Corpus/probe coarse assignment + candidate CTEs (corp, asgn, pcell,
+    * pemb, cand) — identical candidate generation in both rows. */
+  private def ivfSqlCandidates: String = {
+    val np = ivfNProbe
+    def fold(l: String) = ivfFold(l)
+    s""",
+       |corp AS MATERIALIZED (
+       |  SELECT e.vec_id, dim, CAST(embedding[dim + 1] AS DOUBLE) AS v
+       |  FROM embeddings e, dims WHERE dim < len(embedding)),
+       |asgn AS MATERIALIZED (
+       |  SELECT vec_id AS neighbor_id, cell FROM (
+       |    SELECT corp.vec_id, c.cell,
+       |      ${fold("list(c.cv * corp.v ORDER BY dim)")} AS s
+       |    FROM corp JOIN c$ivfIters c USING (dim)
+       |    GROUP BY corp.vec_id, c.cell)
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                             ORDER BY s DESC, cell) = 1),
+       |pcell AS MATERIALIZED (
+       |  SELECT vec_id AS probe_id, cell FROM (
+       |    SELECT corp.vec_id, c.cell,
+       |      ${fold("list(c.cv * corp.v ORDER BY dim)")} AS s
+       |    FROM corp JOIN c$ivfIters c USING (dim)
+       |    WHERE corp.vec_id < 10
+       |    GROUP BY corp.vec_id, c.cell)
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                             ORDER BY s DESC, cell) <= $np),
+       |pemb AS (SELECT vec_id AS probe_id, embedding AS pe
+       |         FROM embeddings WHERE vec_id < 10),
+       |cand AS (
+       |  SELECT p.probe_id, a.neighbor_id
+       |  FROM pcell p JOIN asgn a USING (cell)
+       |  WHERE a.neighbor_id <> p.probe_id)""".stripMargin
+  }
+
+  private def annIvfOracleSql: String = {
     val tail =
       s""",
-         |corp AS MATERIALIZED (
-         |  SELECT e.vec_id, dim, CAST(embedding[dim + 1] AS DOUBLE) AS v
-         |  FROM embeddings e, dims WHERE dim < len(embedding)),
-         |asgn AS MATERIALIZED (
-         |  SELECT vec_id AS neighbor_id, cell FROM (
-         |    SELECT corp.vec_id, c.cell,
-         |      ${fold("list(c.cv * corp.v ORDER BY dim)")} AS s
-         |    FROM corp JOIN c$ivfIters c USING (dim)
-         |    GROUP BY corp.vec_id, c.cell)
-         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
-         |                             ORDER BY s DESC, cell) = 1),
-         |pcell AS MATERIALIZED (
-         |  SELECT vec_id AS probe_id, cell FROM (
-         |    SELECT corp.vec_id, c.cell,
-         |      ${fold("list(c.cv * corp.v ORDER BY dim)")} AS s
-         |    FROM corp JOIN c$ivfIters c USING (dim)
-         |    WHERE corp.vec_id < 10
-         |    GROUP BY corp.vec_id, c.cell)
-         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
-         |                             ORDER BY s DESC, cell) <= $np),
-         |pemb AS (SELECT vec_id AS probe_id, embedding AS pe
-         |         FROM embeddings WHERE vec_id < 10),
-         |cand AS (
-         |  SELECT p.probe_id, a.neighbor_id
-         |  FROM pcell p JOIN asgn a USING (cell)
-         |  WHERE a.neighbor_id <> p.probe_id),
          |scored AS (
          |  SELECT c.probe_id, c.neighbor_id,
          |    ${cosineSql("pe", "embedding")} AS score
@@ -841,7 +861,7 @@ object LlmVector {
          |  FROM scored)
          |SELECT probe_id, rk, neighbor_id, score FROM ranked WHERE rk <= 5
          |ORDER BY probe_id, rk""".stripMargin
-    head + rounds + tail
+    ivfSqlHead + ivfSqlRounds + ivfSqlCandidates + tail
   }
 
   private val annIvf = Spec("llm_ann_ivf", annIvfOracleSql) { (s, d) =>
@@ -858,6 +878,231 @@ object LlmVector {
         s"fixture has ${probe.getLong(0)} vectors, dims " +
         s"${probe.getInt(1)}..${probe.getInt(2)} under $d")
     ivfTopk(s, Tables.embeddings(s, d), ivfK, ivfNProbe)
+  }
+
+  // ------------------------------------------------------------- IVF-PQ ANN
+
+  private val pqM = 16 // subspaces (64 dims / 16 = 4-dim subvectors)
+  private val pqKs = 32 // codes per sub-codebook (5 bits; 5 B/vector packed)
+  private val pqSubDim = 4
+  private val pqIters = 4
+  private val pqShortlist = 64 // ADC shortlist re-ranked exactly
+
+  /** Per-subspace PQ codebooks, trained driver-side on the SAME
+    * deterministic sample as [[ivfCentroids]] (the sampleCap lowest
+    * vec_ids, full-vector normalized) — standard IVF-PQ recipe: train
+    * both quantizers once offline, broadcast, encode distributed. Lloyd
+    * under SQUARED L2 on subvectors (PQ's objective; sub-centroids are
+    * NOT re-normalized — they are means, not directions), ties to the
+    * lower code on strict `<`, an emptied code keeps its previous
+    * centroid, means accumulate in ascending sample order — every rule
+    * chosen so [[annIvfPqOracleSql]] replays the training bit-for-bit
+    * (the ivfCentroids discipline, subspace edition). */
+  def pqCodebooks(emb: DataFrame, m: Int = pqM, subDim: Int = pqSubDim,
+      ks: Int = pqKs, iters: Int = pqIters, sampleCap: Int = ivfSampleCap)
+      : Array[Array[Array[Double]]] = {
+    val xs = emb.orderBy(col("vec_id")).limit(sampleCap)
+      .select(col("embedding")).collect()
+      .map(r => normalized(r.getSeq[Float](0).toArray.map(_.toDouble)))
+    require(xs.nonEmpty, "pqCodebooks: empty corpus")
+    val n = xs.length
+    val kk = math.min(ks, n)
+    var books = Array.tabulate(m) { j =>
+      Array.tabulate(kk) { c =>
+        val x = xs(c * n / kk)
+        Array.tabulate(subDim)(d =>
+          if (j * subDim + d < x.length) x(j * subDim + d) else 0.0)
+      }
+    }
+    var it = 0
+    while (it < iters) {
+      val acc = Array.tabulate(m, kk)((_, _) => new Array[Double](subDim))
+      val counts = Array.ofDim[Int](m, kk)
+      xs.foreach { x =>
+        var j = 0
+        while (j < m) {
+          var best = Double.PositiveInfinity; var bc = 0; var c = 0
+          while (c < kk) {
+            var s = 0.0; var d = 0
+            while (d < subDim && j * subDim + d < x.length) {
+              val t = x(j * subDim + d) - books(j)(c)(d)
+              s += t * t
+              d += 1
+            }
+            if (s < best) { best = s; bc = c } // ties keep the lower code
+            c += 1
+          }
+          counts(j)(bc) += 1
+          var d = 0
+          while (d < subDim && j * subDim + d < x.length) {
+            acc(j)(bc)(d) += x(j * subDim + d)
+            d += 1
+          }
+          j += 1
+        }
+      }
+      books = Array.tabulate(m) { j =>
+        Array.tabulate(kk) { c =>
+          if (counts(j)(c) == 0) books(j)(c)
+          else acc(j)(c).map(_ / counts(j)(c))
+        }
+      }
+      it += 1
+    }
+    books
+  }
+
+  /** IVF-PQ top-5: the memory-bound ANN path a 100 TB vector store
+    * actually ships. The coarse stage is [[ivfTopk]]'s verbatim (same
+    * trained cells, same nProbe fan-out, same equi-join candidate
+    * generation — nothing broadcast that grows with n); the difference
+    * is WHAT the scan touches: the resident relation is
+    * (vec_id, cell, codes) — 8 one-byte codes per vector instead of the
+    * 256-byte embedding, the 32× memory/bandwidth lever — scored by
+    * asymmetric distance (normalized probe · PQ reconstruction, a
+    * codegen'd [[org.apache.spark.sql.graft.PqAdc]] fold), and only the
+    * ADC top-[[pqShortlist]] per probe fetch their raw vectors back (an
+    * equi-join on neighbor_id — the production random read) for the
+    * exact cosine re-rank that orders the emitted top-5. Both windows are
+    * per-probe row_numbers with full tie-breaks, so the output is
+    * deterministic and the oracle replays construction + ADC + re-rank
+    * exactly. */
+  def ivfPqTopk(s: SparkSession, emb: DataFrame): DataFrame = {
+    val cents = ivfCentroids(emb)
+    val books = pqCodebooks(emb)
+    import org.apache.spark.sql.graft.{NearestCells, PqAdc, PqEncode}
+    val resident = emb.select(col("vec_id").as("neighbor_id"),
+      NearestCells(col("embedding"), cents, 1).getItem(0).as("cell"),
+      PqEncode(col("embedding"), books, pqSubDim).as("codes"))
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        explode(NearestCells(col("embedding"), cents, ivfNProbe)).as("cell"))
+    val winAdc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val shortlist = probes.join(resident, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("adc", PqAdc(col("codes"), col("pe"), books, pqSubDim))
+      .withColumn("ar", row_number().over(winAdc))
+      .filter(col("ar") <= pqShortlist)
+      .select(col("probe_id"), col("pe"), col("neighbor_id"))
+    val reranked = shortlist.join(
+        emb.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        Seq("neighbor_id"))
+      .withColumn("score", cosineCol("pe", "embedding"))
+    rankTop5(reranked, rank = true)
+  }
+
+  /** Exact DuckDB replay of [[ivfPqTopk]] INCLUDING both trainings: the
+    * coarse Lloyd rounds are [[annIvfOracleSql]]'s shared CTEs verbatim
+    * ([[ivfSqlHead]]/[[ivfSqlRounds]]/[[ivfSqlCandidates]]); the PQ
+    * rounds replay [[pqCodebooks]] in (sub, code, dim) space — one CTE
+    * round trains ALL subspaces at once because subspaces are
+    * independent over disjoint dim ranges. Assignment is argmin of the
+    * dim-ascending fold of (x − b)², ties to the lower code
+    * (ROW_NUMBER ... ORDER BY s ASC, code); means fold in ascending
+    * sample order; an emptied code COALESCEs to its previous value; NO
+    * renormalization (means, not directions). Encoding/ADC replay the
+    * [[org.apache.spark.sql.graft.PqImpl]] folds: full-vector-normalized
+    * corpus, per-(vec, sub) argmin, then adc = Σ over global dims of
+    * pn.v · b.bv — one row per dim after the (cenc → book → probe)
+    * joins, folded ORDER BY dim, exactly the expression's loop. The ADC
+    * shortlist and the exact re-rank are per-probe ROW_NUMBERs with the
+    * same tie-breaks as the Spark windows. Domain: dims 0..63 and
+    * ≥ pqKs sampled vectors (guarded in the Spec body, the llm_ann_ivf
+    * idiom). */
+  private def annIvfPqOracleSql: String = {
+    def fold(l: String) = ivfFold(l)
+    val pqRounds = (1 to pqIters).map { t =>
+      s""",
+         |pa$t AS MATERIALIZED (
+         |  SELECT xid, sub, code FROM (
+         |    SELECT x.xid, b.sub, b.code,
+         |      ${fold("list((x.v - b.bv) * (x.v - b.bv) ORDER BY x.dim)")} AS s
+         |    FROM x JOIN b${t - 1} b ON x.dim = b.dim
+         |    GROUP BY x.xid, b.sub, b.code)
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY xid, sub
+         |                             ORDER BY s ASC, code) = 1),
+         |pm$t AS MATERIALIZED (
+         |  SELECT a.sub, a.code, x.dim,
+         |    ${fold("list(x.v ORDER BY x.xid)")} / COUNT(*) AS mv
+         |  FROM pa$t a JOIN x ON a.xid = x.xid
+         |    AND x.dim >= a.sub * $pqSubDim AND x.dim < (a.sub + 1) * $pqSubDim
+         |  GROUP BY a.sub, a.code, x.dim),
+         |b$t AS MATERIALIZED (
+         |  SELECT b.sub, b.code, b.dim, COALESCE(m.mv, b.bv) AS bv
+         |  FROM b${t - 1} b
+         |  LEFT JOIN pm$t m ON m.sub = b.sub AND m.code = b.code
+         |    AND m.dim = b.dim)""".stripMargin
+    }.mkString
+    val pqHead =
+      s""",
+         |subs AS (SELECT unnest(generate_series(0, ${pqM - 1})) AS sub),
+         |pcodes AS (SELECT unnest(generate_series(0, ${pqKs - 1})) AS code),
+         |b0 AS MATERIALIZED (
+         |  SELECT s.sub, pc.code, x.dim, x.v AS bv
+         |  FROM subs s CROSS JOIN pcodes pc
+         |  JOIN x ON x.xid = (pc.code * (SELECT n FROM nx)) // $pqKs
+         |    AND x.dim >= s.sub * $pqSubDim AND x.dim < (s.sub + 1) * $pqSubDim)"""
+        .stripMargin
+    val tail =
+      s""",
+         |corpnn AS MATERIALIZED (
+         |  SELECT vec_id, sqrt(${fold("list(v * v ORDER BY dim)")}) AS nrm
+         |  FROM corp GROUP BY vec_id),
+         |corpn AS MATERIALIZED (
+         |  SELECT corp.vec_id, dim,
+         |    CASE WHEN nrm = 0 THEN v ELSE v / nrm END AS v
+         |  FROM corp JOIN corpnn USING (vec_id)),
+         |cenc AS MATERIALIZED (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT cn.vec_id, b.sub, b.code,
+         |      ${fold("list((cn.v - b.bv) * (cn.v - b.bv) ORDER BY cn.dim)")} AS s
+         |    FROM corpn cn JOIN b$pqIters b ON cn.dim = b.dim
+         |    GROUP BY cn.vec_id, b.sub, b.code)
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |                             ORDER BY s ASC, code) = 1),
+         |pn AS MATERIALIZED (
+         |  SELECT vec_id AS probe_id, dim, v FROM corpn WHERE vec_id < 10),
+         |adc AS MATERIALIZED (
+         |  SELECT c.probe_id, c.neighbor_id,
+         |    ${fold("list(pn.v * b.bv ORDER BY pn.dim)")} AS adc
+         |  FROM cand c
+         |  JOIN cenc ce ON ce.vec_id = c.neighbor_id
+         |  JOIN b$pqIters b ON b.sub = ce.sub AND b.code = ce.code
+         |  JOIN pn ON pn.probe_id = c.probe_id AND pn.dim = b.dim
+         |  GROUP BY c.probe_id, c.neighbor_id),
+         |short AS (
+         |  SELECT probe_id, neighbor_id FROM adc
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                             ORDER BY adc DESC, neighbor_id)
+         |    <= $pqShortlist),
+         |scored AS (
+         |  SELECT s.probe_id, s.neighbor_id,
+         |    ${cosineSql("pe", "embedding")} AS score
+         |  FROM short s JOIN pemb USING (probe_id)
+         |    JOIN embeddings e ON e.vec_id = s.neighbor_id),
+         |ranked AS (
+         |  SELECT probe_id, neighbor_id, score,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                       ORDER BY score DESC, neighbor_id) AS rk
+         |  FROM scored)
+         |SELECT probe_id, rk, neighbor_id, score FROM ranked WHERE rk <= 5
+         |ORDER BY probe_id, rk""".stripMargin
+    ivfSqlHead + ivfSqlRounds + pqHead + pqRounds + ivfSqlCandidates + tail
+  }
+
+  private val annIvfPq = Spec("llm_ann_ivfpq", annIvfPqOracleSql) { (s, d) =>
+    // same oracle-domain guard family as llm_ann_ivf: the generated SQL
+    // hardcodes dims 0..63 and both quantizers' code counts
+    val probe = Tables.embeddings(s, d)
+      .agg(count(lit(1)), min(size(col("embedding"))),
+        max(size(col("embedding")))).collect()(0)
+    require(probe.getLong(0) >= math.max(ivfK, pqKs) && probe.getInt(1) == 64
+        && probe.getInt(2) == 64,
+      s"llm_ann_ivfpq oracle domain: needs >= ${math.max(ivfK, pqKs)} " +
+        s"vectors of dim 64, fixture has ${probe.getLong(0)} vectors, " +
+        s"dims ${probe.getInt(1)}..${probe.getInt(2)} under $d")
+    ivfPqTopk(s, Tables.embeddings(s, d))
   }
 
   /** MinHash signature params: k hash functions h_i(x) = (a_i·x + b_i) mod P

@@ -307,6 +307,142 @@ object NearestCells {
       cents.map(_.toIndexedSeq).toIndexedSeq, n))
 }
 
+/** Product-quantization kernels for the IVF-PQ ANN path
+  * (llm_ann_ivfpq): [[encode]] maps a float vector to its m sub-codebook
+  * code ids (the 8-byte resident a 100 TB vector store actually holds),
+  * [[adc]] is the asymmetric-distance score — the normalized probe
+  * dotted with the PQ reconstruction, folded dim-ascending from 0.0 so
+  * the DuckDB oracle replays it bit-for-bit (the cosineSql discipline).
+  *
+  * Determinism contract mirrored by the oracle's generated CTEs:
+  * full-vector L2 normalization (dim-ascending norm fold; zero vectors
+  * pass through), per-subspace argmin of the L2 distance with ties to
+  * the LOWER code (strict `<` over ascending codes), dims past the
+  * vector's length SKIPPED on both sides (the SQL join drops them). */
+class PqImpl(books: Array[Array[Array[Double]]], subDim: Int)
+    extends Serializable {
+
+  private def normalized(v: ArrayData): Array[Double] = {
+    val n = v.numElements()
+    val x = new Array[Double](n)
+    var i = 0; var s = 0.0
+    while (i < n) {
+      val d = v.getFloat(i).toDouble; x(i) = d; s += d * d; i += 1
+    }
+    val nrm = math.sqrt(s)
+    if (nrm == 0) x
+    else { var j = 0; while (j < n) { x(j) /= nrm; j += 1 }; x }
+  }
+
+  def encode(v: ArrayData): ArrayData = {
+    val x = normalized(v)
+    val m = books.length
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val book = books(j)
+      var best = Double.PositiveInfinity; var bc = 0; var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var s = 0.0; var d = 0
+        while (d < subDim && j * subDim + d < x.length) {
+          val t = x(j * subDim + d) - cent(d)
+          s += t * t
+          d += 1
+        }
+        if (s < best) { best = s; bc = c } // ties keep the lower code
+        c += 1
+      }
+      out(j) = bc
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def adc(codes: ArrayData, probe: ArrayData): Double = {
+    val p = normalized(probe)
+    val m = books.length
+    var s = 0.0
+    var dim = 0
+    val total = m * subDim
+    while (dim < total && dim < p.length) {
+      val j = dim / subDim
+      s += p(dim) * books(j)(codes.getInt(j))(dim % subDim)
+      dim += 1
+    }
+    s
+  }
+}
+
+/** PQ-encode a float-vector column against trained sub-codebooks —
+  * returns array<int> of m code ids. Codebooks ride as IndexedSeq (not
+  * Array) for the same semanticEquals reason as [[NearestCells]]. */
+case class PqEncode(child: Expression,
+    books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]], subDim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  private lazy val impl =
+    new PqImpl(books.map(_.map(_.toArray).toArray).toArray, subDim)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+
+  override def nullSafeEval(a: Any): Any =
+    impl.encode(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncodeImpl", impl,
+      classOf[PqImpl].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.encode($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+object PqEncode {
+  def apply(c: Column, books: Array[Array[Array[Double]]],
+      subDim: Int): Column =
+    ExpressionUtils.column(PqEncode(ExpressionUtils.expression(c),
+      books.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq, subDim))
+}
+
+/** Asymmetric-distance score of (codes array<int>, probe array<float>)
+  * against the same codebooks — see [[PqImpl.adc]]. */
+case class PqAdc(left: Expression, right: Expression,
+    books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]], subDim: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  private lazy val impl =
+    new PqImpl(books.map(_.map(_.toArray).toArray).toArray, subDim)
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(IntegerType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc"
+
+  override def nullSafeEval(codes: Any, probe: Any): Any =
+    impl.adc(codes.asInstanceOf[ArrayData], probe.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdcImpl", impl, classOf[PqImpl].getName)
+    defineCodeGen(ctx, ev, (c, p) => s"$ref.adc($c, $p)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAdc {
+  def apply(codes: Column, probe: Column,
+      books: Array[Array[Array[Double]]], subDim: Int): Column =
+    ExpressionUtils.column(PqAdc(ExpressionUtils.expression(codes),
+      ExpressionUtils.expression(probe),
+      books.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq, subDim))
+}
+
 /** Session-extension injection (`spark.sql.extensions=org.apache.spark.sql
   * .graft.GraftExtensions`): registers the engine's native functions at
   * session build time — the deployment path for clusters where users only

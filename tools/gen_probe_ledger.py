@@ -88,7 +88,8 @@ llm_pii_scrub llm_token_count llm_repetition llm_url_canonical
 llm_embed_quantize llm_bpe_apply llm_multimodal_resize
 llm_multimodal_audio
 agg_collect agg_string_concat agg_skew_salted agg_max_by
-filter_date project gap_fill_daily sink_json_lines""".split()
+filter_date project gap_fill_daily sink_json_lines
+llm_ann_ivfpq""".split()
 
 PROBED_REASON = ("slope/state measured at 1x/8x/32x steady reps "
                  "(tools/scale_probe_out.json)")
