@@ -266,10 +266,11 @@ object Bench {
     }
     val annRecall = recallOf("llm_ann_lsh")
     val ivfRecall = recallOf("llm_ann_ivf")
+    val pqRecall = recallOf("llm_ann_ivfpq")
     val line = renderLine(total, ordered,
       SparkEntry.queries.keys.zipWithIndex.toMap, retimed,
       (loadAtStart, loadAtEnd), loadAfterMat, matPairs, matPs, matBpe,
-      matFrag, matLayout, gcSec, annRecall, ivfRecall,
+      matFrag, matLayout, gcSec, annRecall, ivfRecall, pqRecall,
       benchShuffleBytes / 1e6, sfDir)
     // Full per-query map to stderr (driver ignores stderr): the stdout
     // line's budget keeps only the slowest ~60, and noise analysis
@@ -327,7 +328,8 @@ object Bench {
       retimed: Seq[Double], load1: (Double, Double), load1Mat: Double,
       matPairs: Double, matPs: Double, matBpe: Double, matFrag: Double,
       matLayout: Double, gcSec: Double, annRecall: Double,
-      ivfRecall: Double, shuffleMb: Double, sfDir: String): String = {
+      ivfRecall: Double, pqRecall: Double, shuffleMb: Double,
+      sfDir: String): String = {
     val entries = entryJson(ordered)
     // Execution-order positions of the slowest queries (VERDICT r9 #3):
     // the r8/r9 spike adjudications hinged on whether the outliers were
@@ -389,7 +391,7 @@ object Bench {
     def fmt2(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     val load1Json = s"[${fmt2(load1._1)},${fmt2(load1._2)}]"
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${entries.length},"omitted":$omitted,"pos15":$pos15,"retimed":$retimedJson,"spike15":$spike15,"load1":$load1Json,"load1_mat":${fmt2(load1Mat)},"materialize_pairs":${fmt(matPairs)},"materialize_ps":${fmt(matPs)},"materialize_bpe":${fmt(matBpe)},"materialize_frag":${fmt(matFrag)},"materialize_layout":${fmt(matLayout)},"gc_sec":${fmt(gcSec)},"ann_recall":${fmt(annRecall)},"ivf_recall":${fmt(ivfRecall)},"shuffle_mb":${fmt(shuffleMb)},"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${entries.length},"omitted":$omitted,"pos15":$pos15,"retimed":$retimedJson,"spike15":$spike15,"load1":$load1Json,"load1_mat":${fmt2(load1Mat)},"materialize_pairs":${fmt(matPairs)},"materialize_ps":${fmt(matPs)},"materialize_bpe":${fmt(matBpe)},"materialize_frag":${fmt(matFrag)},"materialize_layout":${fmt(matLayout)},"gc_sec":${fmt(gcSec)},"ann_recall":${fmt(annRecall)},"ivf_recall":${fmt(ivfRecall)},"pq_recall":${fmt(pqRecall)},"shuffle_mb":${fmt(shuffleMb)},"sf":"$sfDir"}"""
   }
 
   /** Strict framing check on a rendered line: valid single-object JSON

@@ -27,7 +27,8 @@ class BenchSpec extends AnyFunSuite {
       load1 = (999.99, 999.99), load1Mat = 999.99,
       matPairs = -1.0, matPs = 9999.999, matBpe = -1.0, matFrag = 9999.999,
       matLayout = 9999.999, gcSec = 9999.999,
-      annRecall = -1.0, ivfRecall = -1.0, shuffleMb = 99999.999,
+      annRecall = -1.0, ivfRecall = -1.0, pqRecall = -1.0,
+      shuffleMb = 99999.999,
       sfDir = "/root/testdata/sf0.1")
   }
 
