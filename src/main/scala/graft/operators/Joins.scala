@@ -1103,7 +1103,20 @@ object Joins {
     * broadcast-sized demo would reuse the broadcast instead — same
     * rule, smaller stakes); the row REQUIRES the ReusedExchange node
     * after execution, so a Catalyst change that stopped deduplicating
-    * fails the row rather than just doubling the cost. */
+    * fails the row rather than just doubling the cost.
+    *
+    * SCALE ADJUDICATION (round-18 probe, survives isolated retimes:
+    * x8 ~44 s, x32 ~283 s, slope 1.35): the time is the query's OWN
+    * OUTPUT MASS, not a plan defect — order-count values have bounded
+    * support, so equal-count buckets grow linearly in customers and
+    * the emitted pair set quadratically (×16 from x8 to x32). That is
+    * inherent to "every pair sharing a property"; the reuse this row
+    * pins is the optimizer HALVING that inherent cost (one scan, one
+    * shuffle). A production pipeline asking only for the pair COUNTS
+    * (this row's final projection) would skip the join entirely:
+    * pairs(n) = cnt(n)·(cnt(n)−1) on the bucket aggregate — linear.
+    * The probe ledger carries this adjudication next to the
+    * measurement (tools/probe_ledger.json). */
   private val exchangeReuse = Spec(
     "opt_exchange_reuse",
     """WITH a AS (SELECT o_custkey AS k, COUNT(*) AS n

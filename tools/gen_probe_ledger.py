@@ -89,10 +89,37 @@ llm_embed_quantize llm_bpe_apply llm_multimodal_resize
 llm_multimodal_audio
 agg_collect agg_string_concat agg_skew_salted agg_max_by
 filter_date project gap_fill_daily sink_json_lines
-llm_ann_ivfpq""".split()
+llm_ann_ivfpq
+agg_any_value agg_approx_percentile agg_approx_topk agg_bitmap_distinct agg_bitmap_native agg_bool_family
+agg_corr_covar agg_filtered agg_global agg_grouping_id agg_higher_moments agg_histogram
+agg_mode agg_percentile agg_regression agg_sketch_hll agg_stats_builtin agg_stats_moments
+agg_listagg agg_within_group agg_try_arith win_first_last win_rolling_distinct win_locf
+win_percent_rank win_pattern_match join_right_outer join_hint_shj join_point_in_time join_theta_range
+scan_json_multiline scan_csv_corrupt scan_manifest_pruned scan_recursive_lookup scan_binaryfile sink_csv_options
+sink_partition_overwrite sink_table_v2 opt_aqe_coalesce opt_exchange_reuse opt_levenshtein_rule llm_instruction_format
+llm_text_normalize llm_sample_stratified llm_filter_funnel llm_domain_mix llm_bpe_pairs llm_bpe_train
+llm_multimodal_framesample llm_multimodal_struct fn_math fn_regex fn_json fn_sequence_array
+fn_stack ds_typed_api ds_random_split limit_topk offset_page pivot_multi_agg""".split()
 
 PROBED_REASON = ("slope/state measured at 1x/8x/32x steady reps "
                  "(tools/scale_probe_out.json)")
+
+# Probed rows whose super-linear slope is REAL and adjudicated: the
+# measurement stays on disk and in the report, with the evidence here.
+ADJUDICATED = {
+    "opt_exchange_reuse": (
+        "slope 1.35 SURVIVES isolated 3-rep retime (x8 ~44 s, x32 "
+        "~283 s) and is the query's OWN OUTPUT MASS, not a plan "
+        "defect: the equal-count self-join emits every customer pair "
+        "sharing an order count, and count values have bounded "
+        "support, so buckets grow linearly in customers and pairs "
+        "quadratically (x8->x32 pair mass x16). The row exists to pin "
+        "the ReusedExchange node - ONE scan+shuffle feeding both join "
+        "sides, i.e. the optimizer HALVES an inherently quadratic "
+        "query. The scalable production form of the same question "
+        "needs no join at all: pairs(n) = cnt(n)*(cnt(n)-1) on the "
+        "bucket aggregate (noted in the row's docstring)."),
+}
 
 # ---- excluded rows: {row: (category, reason)} -------------------------
 MBF = "micro-batch-floor"
@@ -126,44 +153,18 @@ _mmfam = ("multimodal batch plumbing (binary column + typed metadata), "
 
 EXCLUDED = {
     # re-homed entries whose original lines were shared with rows the
-    # round-18 probe expansion promoted to `probed`
-    "agg_mode": (FAM, _aggfam),
-    "join_hint_shj": (FAM, _joinfam),
-    "join_right_outer": (FAM, _joinfam),
-    "scan_json_multiline": (FAM, _scanfam),
-    "win_first_last": (FAM, _winfam),
-    "win_rolling_distinct": (FAM, _winfam),
-    # aggregates beyond the probed reps
-    "agg_any_value": (FAM, _aggfam), "agg_approx_percentile": (FAM, _aggfam),
-    "agg_approx_topk": (FAM, _aggfam), "agg_bitmap_distinct": (FAM, _aggfam),
-    "agg_bitmap_native": (FAM, _aggfam), "agg_bool_family": (FAM, _aggfam),
-    "agg_corr_covar": (FAM, _aggfam), "agg_filtered": (FAM, _aggfam),
-    "agg_global": (FAM, _aggfam), "agg_grouping_id": (FAM, _aggfam),
-    "agg_higher_moments": (FAM, _aggfam), "agg_histogram": (FAM, _aggfam),
-    "agg_percentile": (FAM, _aggfam), "agg_regression": (FAM, _aggfam),
-    "agg_sketch_hll": (FAM, _aggfam + "; agg_sketch_cms/quantile probed"),
-    "agg_stats_builtin": (FAM, _aggfam), "agg_stats_moments": (FAM, _aggfam),
-    "agg_try_arith": (FAM, _aggfam),
-    "agg_within_group": (FAM, _aggfam),
+    # round-18 probe expansions promoted to `probed`
+    "fn_regex_position": (SFS, _scalar),
+    "fn_str_to_map": (SFS, _scalar),
+    "win_range_interval": (FAM, _winfam),
     "agg_unpivot": (FXD, "unpivot of a single global-agg row; output is "
         "O(measures), fixed"),
-    "agg_listagg": (FAM, "per-group string fold, same bounded-group "
-        "contract and agg exchange as agg_collect"),
     "ds_cache_reuse": (FXD, "cache-hit semantics witness; fixed 5-row "
         "output over one scan"),
     "ds_checkpoint": (FXD, "lineage-truncation witness; fixed output"),
-    "ds_random_split": (SFS, "map-only Bernoulli sample + one count"),
     "ds_transpose": (FXD, "2-row transposed output; O(columns) domain"),
-    "ds_typed_api": (SFS, "typed map/filter projection (encoder path); "
-        "no exchange"),
-    # filters / projection / paging
     "filter_like_family": (FAM, "pushed-down filter scan, probed via "
         "filter_pred"),
-    "limit_topk": (FAM, "global sort+limit = TakeOrderedAndProject, "
-        "strictly less work than the probed sort_multi"),
-    "offset_page": (FAM, "sort+offset+limit over the probed sort_multi "
-        "shape"),
-    # scalar function rows
     "fn_aes_roundtrip": (SFS, _scalar), "fn_array": (SFS, _scalar),
     "fn_array_construct": (SFS, _scalar), "fn_array_edit": (SFS, _scalar),
     "fn_array_set_ops": (SFS, _scalar), "fn_avro_roundtrip": (SFS, _scalar),
@@ -173,15 +174,13 @@ EXCLUDED = {
     "fn_datetime_format": (SFS, _scalar), "fn_datetime_make": (SFS, _scalar),
     "fn_datetime_names": (SFS, _scalar), "fn_explode_outer": (SFS, _scalar),
     "fn_guards": (SFS, _scalar), "fn_hash": (SFS, _scalar),
-    "fn_interval": (SFS, _scalar), "fn_json": (SFS, _scalar),
+    "fn_interval": (SFS, _scalar),
     "fn_json_meta": (SFS, _scalar), "fn_luhn": (SFS, _scalar),
     "fn_map": (SFS, _scalar), "fn_map_hof": (SFS, _scalar),
-    "fn_mask": (SFS, _scalar), "fn_math": (SFS, _scalar),
+    "fn_mask": (SFS, _scalar),
     "fn_na_fill": (SFS, _scalar), "fn_number_format": (SFS, _scalar),
     "fn_printf": (SFS, _scalar), "fn_reflect": (SFS, _scalar),
-    "fn_regex": (SFS, _scalar), "fn_regex_position": (SFS, _scalar),
-    "fn_rounding": (SFS, _scalar), "fn_sequence_array": (SFS, _scalar),
-    "fn_stack": (SFS, _scalar), "fn_str_to_map": (SFS, _scalar),
+    "fn_rounding": (SFS, _scalar),
     "fn_string": (SFS, _scalar), "fn_string_edit": (SFS, _scalar),
     "fn_timezone": (SFS, _scalar), "fn_to_number": (SFS, _scalar),
     "fn_try_arith": (SFS, _scalar), "fn_try_cast": (SFS, _scalar),
@@ -201,15 +200,6 @@ EXCLUDED = {
         "cartesian allowlisted for bounded builds only"),
     "join_null_aware_anti": (FAM, _joinfam),
     "join_null_safe": (FAM, _joinfam),
-    "join_point_in_time": (FAM, "struct-max as-of idiom, probed via "
-        "join_asof (slope 0.86)"),
-    "join_theta_range": (FAM, "equi-anchored range join; the unanchored "
-        "binned form is probed via join_range_bin"),
-    "llm_bpe_pairs": (FAM, "one pair-count aggregation of the probed "
-        "llm_cooccur shape over the memoized substrate"),
-    "llm_bpe_train": (FAM, "k fixed merge rounds, each one pair-count "
-        "agg of the probed llm_cooccur shape; substrate billed in "
-        "materialize_bpe"),
     "llm_dedup_embed_ortables": (PIN, "(b, T) pinned at the n=32768 "
         "design values so the DuckDB oracle replays the construction; "
         "quadratic past that density BY CONSTRUCTION — the production "
@@ -217,24 +207,6 @@ EXCLUDED = {
     "llm_semdedup_scaled": (PIN, "k=128/p=4 pinned for the exact oracle "
         "replay; same adjudication as llm_dedup_embed_ortables — the "
         "production dispatch llm_semdedup is probed (slope 0.44)"),
-    "llm_domain_mix": (FAM, "groupBy source + broadcast weights; " + _aggfam),
-    "llm_filter_funnel": (FAM, "filter cascade + one global agg; " + _aggfam),
-    "llm_instruction_format": (SFS, "map-only template formatting"),
-    "llm_multimodal_framesample": (FAM, _mmfam),
-    "llm_multimodal_struct": (FAM, _mmfam),
-    "llm_sample_stratified": (FAM, "per-stratum sampleBy filter over "
-        "one scan; no exchange beyond the probed agg shape"),
-    "llm_text_normalize": (SFS, "map-only normalization chain"),
-    "opt_aqe_coalesce": (FAM, "AQE runtime coalesce witness over the "
-        "probed agg exchange; the optimization strictly reduces tasks"),
-    "opt_exchange_reuse": (FAM, "self-join exchange-reuse witness; the "
-        "reused exchange is the probed agg/join shape computed ONCE"),
-    "opt_levenshtein_rule": (FAM, "custom rewrite rule witness; "
-        "post-rewrite plan is a pushed-down filter scan (filter_pred)"),
-    # pivots
-    "pivot_multi_agg": (FAM, "pivot over the fixed status domain with "
-        "two aggs; pivot_status is the probed representative"),
-    # profiling / diagnostics
     "profile_accumulator": (FAM, "one scan + O(1) accumulator output; "
         "scan substrate probed via scan_parquet"),
     "profile_analyze_stats": (FAM, "ANALYZE = one scan + O(columns) "
@@ -254,26 +226,15 @@ EXCLUDED = {
     "profile_stream_progress": (MBF, "progress-event introspection of a "
         "fixed 2-batch stream; cost is the trigger lifecycle"),
     # scans beyond parquet
-    "scan_csv_corrupt": (FAM, _scanfam + "; corrupt-record policy witness"),
-    "scan_binaryfile": (FAM, "binaryFile listing scan of 10 planted "
-        "files; per-file payload read, no exchange"),
     "scan_file_metadata": (FAM, "_metadata projection riding the probed "
         "scan_parquet scan; zero extra IO"),
     "scan_jdbc": (FXD, "embedded-Derby partitioned read of a fixed "
         "375-row table; the 4-partition split is the witness"),
-    "scan_manifest_pruned": (FAM, "manifest-driven file pruning; "
-        "pruned scan reads strictly less at scale"),
-    "scan_recursive_lookup": (FAM, "recursive listing + glob filter; "
-        "listing is O(files), payload is the probed scan shape"),
     "scan_state_metadata": (FXD, "metadata of the fixed 600-row "
         "synthetic checkpoint"),
     "scan_state_store": (FXD, "state read-back of the fixed 600-row "
         "synthetic checkpoint"),
     # set ops beyond the probed reps
-    "sink_csv_options": (FAM, _sinkfam),
-    "sink_partition_overwrite": (FAM, _sinkfam + "; dynamic-overwrite "
-        "witness"),
-    "sink_table_v2": (FAM, _sinkfam + "; DSv2 catalog witness"),
     "sink_stream_foreach": (MBF, "foreach sink lifecycle over a staged "
         "replay; per-batch sink commits dominate"),
     "sink_stream_table": (MBF, "toTable sink lifecycle; fixed staged "
@@ -321,10 +282,9 @@ EXCLUDED = {
     "sql_unpivot_clause": (FXD, _sqlsurf),
     "sql_values_inline": (FXD, "inline VALUES; no fixture scan at all"),
     # correlated subquery
-    "win_locf": (FAM, _winfam), "win_pattern_match": (FAM, _winfam),
-    "win_percent_rank": (FAM, _winfam), "win_range_interval": (FAM, _winfam),
 
 }
+
 
 
 VALID = {"probed", PIN, MBF, SFS, FXD, FAM}
@@ -343,6 +303,10 @@ def main():
     ledger = {}
     for n in PROBED:
         ledger[n] = {"category": "probed", "reason": PROBED_REASON}
+        if n in ADJUDICATED:
+            ledger[n]["adjudication"] = ADJUDICATED[n]
+    assert not (set(ADJUDICATED) - set(PROBED)), \
+        "adjudications only apply to probed rows"
     for n, (cat, reason) in EXCLUDED.items():
         assert n not in ledger, f"{n} both probed and excluded"
         ledger[n] = {"category": cat, "reason": reason}

@@ -64,6 +64,11 @@ with open(os.path.join(REPO, "tools", "probe_ledger.json")) as _f:
 ROWS = sorted(n for n, e in _LEDGER.items() if e["category"] == "probed")
 # Per-row exclusion rationale (the former NOT-probed comment block)
 # lives in the ledger's reason strings — one source of truth.
+# Probed rows whose >1.3 slope is ADJUDICATED in the ledger (an
+# "adjudication" field with the evidence): measured, real, and
+# explained — the report lists them separately instead of flagging.
+ADJUDICATED = {n: e["adjudication"] for n, e in _LEDGER.items()
+               if e.get("adjudication")}
 
 # Rows whose retained streaming state is the axis that matters (VERDICT
 # r16 #1/#2): the flagship stream-stream joins + every stateful row. For
@@ -249,8 +254,15 @@ def report():
     for r, t1, t8, t32, s in table:
         f = lambda v: "—" if v is None else f"{v:.2f}"
         print(f"| {r} | {f(t1)} | {f(t8)} | {f(t32)} | {f(s)} |")
-    sup = [r for r, *_, s in table if s is not None and s > 1.3]
-    print(f"\nsuper-linear (>1.3): {sup or 'none'}")
+    sup = [r for r, *_, s in table
+           if s is not None and s > 1.3 and r not in ADJUDICATED]
+    adj = [r for r, *_, s in table
+           if s is not None and s > 1.3 and r in ADJUDICATED]
+    print(f"\nsuper-linear (>1.3, unadjudicated): {sup or 'none'}")
+    if adj:
+        print("adjudicated super-linear (evidence in the ledger):")
+        for r in adj:
+            print(f"  {r}: {ADJUDICATED[r]}")
     print(f"load1 brackets: {d['load1']}")
     # Memory/state axis (VERDICT r16 #2): only rows with captured data.
     mt = [row for row in mem_table()
@@ -272,14 +284,16 @@ def report():
 
 
 def retime():
-    flagged = [r for r, *_, s in slope_table() if s is not None and s > 1.3]
+    flagged = [r for r, *_, s in slope_table()
+               if s is not None and s > 1.3 and r not in ADJUDICATED]
     if not flagged:
         print("[probe] no rows flagged >1.3 — nothing to retime")
         return
     print(f"[probe] retiming flagged rows in fresh JVMs: {flagged}")
     for tag in ("x8", "x32"):
         time_scale(tag, flagged, reps=3)
-    still = [r for r, *_, s in slope_table() if s is not None and s > 1.3]
+    still = [r for r, *_, s in slope_table()
+             if s is not None and s > 1.3 and r not in ADJUDICATED]
     print(f"[probe] after isolated retime, still >1.3: {still or 'none'} "
           "(a row that survives the retime is a REAL finding — fix or "
           "adjudicate with evidence; a collapsed one was chunk-window "
