@@ -99,7 +99,11 @@ scan_json_multiline scan_csv_corrupt scan_manifest_pruned scan_recursive_lookup 
 sink_partition_overwrite sink_table_v2 opt_aqe_coalesce opt_exchange_reuse opt_levenshtein_rule llm_instruction_format
 llm_text_normalize llm_sample_stratified llm_filter_funnel llm_domain_mix llm_bpe_pairs llm_bpe_train
 llm_multimodal_framesample llm_multimodal_struct fn_math fn_regex fn_json fn_sequence_array
-fn_stack ds_typed_api ds_random_split limit_topk offset_page pivot_multi_agg""".split()
+fn_stack ds_typed_api ds_random_split limit_topk offset_page pivot_multi_agg
+filter_like_family join_null_aware_anti join_null_safe profile_accumulator profile_analyze_stats
+profile_columns profile_crosstab profile_observe profile_sketch_functions profile_stat_functions
+profile_summary scan_file_metadata sql_hint_broadcast sql_hint_merge sql_lateral_alias
+sql_named_window stream_rocksdb_state win_range_interval""".split()
 
 PROBED_REASON = ("slope/state measured at 1x/8x/32x steady reps "
                  "(tools/scale_probe_out.json)")
@@ -156,15 +160,12 @@ EXCLUDED = {
     # round-18 probe expansions promoted to `probed`
     "fn_regex_position": (SFS, _scalar),
     "fn_str_to_map": (SFS, _scalar),
-    "win_range_interval": (FAM, _winfam),
     "agg_unpivot": (FXD, "unpivot of a single global-agg row; output is "
         "O(measures), fixed"),
     "ds_cache_reuse": (FXD, "cache-hit semantics witness; fixed 5-row "
         "output over one scan"),
     "ds_checkpoint": (FXD, "lineage-truncation witness; fixed output"),
     "ds_transpose": (FXD, "2-row transposed output; O(columns) domain"),
-    "filter_like_family": (FAM, "pushed-down filter scan, probed via "
-        "filter_pred"),
     "fn_aes_roundtrip": (SFS, _scalar), "fn_array": (SFS, _scalar),
     "fn_array_construct": (SFS, _scalar), "fn_array_edit": (SFS, _scalar),
     "fn_array_set_ops": (SFS, _scalar), "fn_avro_roundtrip": (SFS, _scalar),
@@ -198,8 +199,6 @@ EXCLUDED = {
         "in PlanAuditSpec for bounded builds only"),
     "join_cross": (FXD, "bounded dim x dim cross (region/nation); "
         "cartesian allowlisted for bounded builds only"),
-    "join_null_aware_anti": (FAM, _joinfam),
-    "join_null_safe": (FAM, _joinfam),
     "llm_dedup_embed_ortables": (PIN, "(b, T) pinned at the n=32768 "
         "design values so the DuckDB oracle replays the construction; "
         "quadratic past that density BY CONSTRUCTION — the production "
@@ -207,27 +206,9 @@ EXCLUDED = {
     "llm_semdedup_scaled": (PIN, "k=128/p=4 pinned for the exact oracle "
         "replay; same adjudication as llm_dedup_embed_ortables — the "
         "production dispatch llm_semdedup is probed (slope 0.44)"),
-    "profile_accumulator": (FAM, "one scan + O(1) accumulator output; "
-        "scan substrate probed via scan_parquet"),
-    "profile_analyze_stats": (FAM, "ANALYZE = one scan + O(columns) "
-        "stats; scan substrate probed via scan_parquet"),
-    "profile_columns": (FAM, "per-column profile aggs; one scan + "
-        "O(columns) output"),
-    "profile_crosstab": (FAM, "crosstab over fixed category domains; "
-        "one agg exchange"),
-    "profile_observe": (FAM, "observe() metrics piggyback on one scan; "
-        "O(1) output"),
-    "profile_sketch_functions": (FAM, "df.stat sketches; one scan + "
-        "O(1) output"),
-    "profile_stat_functions": (FAM, "df.stat estimators; one scan + "
-        "O(1) output"),
-    "profile_summary": (FAM, "summary() aggs; one scan + O(columns) "
-        "output"),
     "profile_stream_progress": (MBF, "progress-event introspection of a "
         "fixed 2-batch stream; cost is the trigger lifecycle"),
     # scans beyond parquet
-    "scan_file_metadata": (FAM, "_metadata projection riding the probed "
-        "scan_parquet scan; zero extra IO"),
     "scan_jdbc": (FXD, "embedded-Derby partitioned read of a fixed "
         "375-row table; the 4-partition split is the witness"),
     "scan_state_metadata": (FXD, "metadata of the fixed 600-row "
@@ -249,24 +230,12 @@ EXCLUDED = {
         "Bench since r18)"),
     "stream_incremental_restart": (MBF, "checkpoint kill/restart "
         "witness; cost is restart + offset-replay lifecycle"),
-    "stream_rocksdb_state": (FAM, "RocksDB-provider witness of the "
-        "windowed-agg state machine probed via stream_tumbling/"
-        "stream_session; provider-independence of state rows pinned in "
-        "the 64x doubling table"),
-    # SQL surfaces
     "sql_default_columns": (FXD, "DEFAULT-column DDL/DML witness over a "
         "5-row managed table"),
     "sql_execute_immediate": (FXD, _sqlsurf),
     "sql_group_by_all": (FXD, _sqlsurf),
-    "sql_hint_broadcast": (FAM, "hinted variant of the probed "
-        "join_broadcast plan"),
-    "sql_hint_merge": (FAM, "hinted SMJ variant of the probed join "
-        "family"),
     "sql_identifier_clause": (FXD, _sqlsurf),
     "sql_insert_into": (FXD, _sqlsurf + " (4-row managed table)"),
-    "sql_lateral_alias": (FAM, "analyzer-surface witness; physical plan "
-        "is a pushed-down filter projection (filter_pred)"),
-    "sql_named_window": (FAM, _winfam),
     "sql_parameterized": (FXD, _sqlsurf),
     "sql_pipe_syntax": (FXD, _sqlsurf),
     "sql_pivot_clause": (FXD, _sqlsurf + "; pivot_status is the probed "
@@ -284,9 +253,6 @@ EXCLUDED = {
     # correlated subquery
 
 }
-
-
-
 VALID = {"probed", PIN, MBF, SFS, FXD, FAM}
 
 
