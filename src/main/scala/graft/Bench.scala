@@ -146,6 +146,10 @@ object Bench {
       // classload + codegen (join_bloom 3.30 s vs 0.26 s retime).
       graft.operators.Scans.warmSocketSource(spark)
       graft.operators.Joins.warmRuntimeFilter(spark, sfDir)
+      // Round 19 (VERDICT r18 #4): the IVF-PQ trainings + the pay-once
+      // (vec_id, cell, codes) resident layout — build-once/query-many,
+      // so the timed llm_ann_ivfpq line measures scan+ADC+re-rank.
+      graft.operators.LlmVector.materializeIvfPqLayout(spark, sfDir)
     }
     // Materialize-phase-end loadavg (VERDICT r13 #7): the pre-paid
     // builds above are inside the headline total but outside the

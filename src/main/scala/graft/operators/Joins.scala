@@ -20,8 +20,8 @@ object Joins {
     innerHash, leftOuter, rightOuter, fullOuter, leftSemi, leftAnti,
     broadcastJoin, multiway, thetaRange, asOf, bucketed, nullSafe, salted,
     dpp, fuzzy, bloom, rangeBin, skewAqe, hintShj, nullAwareAnti,
-    sqlHintBroadcast, usingNatural, sqlHintMerge, optLevRule, bnljTheta,
-    exchangeReuse, aqeCoalesce)
+    antiNullRewrite, sqlHintBroadcast, usingNatural, sqlHintMerge,
+    optLevRule, bnljTheta, exchangeReuse, aqeCoalesce)
 
   /** The engine's one custom optimizer rule, demonstrated end-to-end
     * (`org.apache.spark.sql.graft.ThresholdLevenshtein` — see its
@@ -193,6 +193,73 @@ object Joins {
         |          ELSE o_custkey END
         |   FROM graft_naaj_orders WHERE o_orderstatus = 'F')
         |ORDER BY branch, c_custkey""".stripMargin)
+  }
+
+  /** The PRODUCTION rewrite of `NOT IN (subquery)` (VERDICT r18 #3 —
+    * registered beside [[nullAwareAnti]], which measured WHY this row
+    * must exist): Spark plans NOT-IN-over-nullable ONLY as a
+    * null-aware BroadcastHashJoin, and the probe measured its per-task
+    * build peak growing exactly linearly with the INNER side (2.1 →
+    * 24 → 96 MB at 1×/8×/32×) — at 100 TB an unbounded inner side OOMs
+    * every executor, full stop. The shippable form is the null-handled
+    * left-anti: guard the OUTER key with IS NOT NULL and phrase the
+    * test as NOT EXISTS on equality (an inner NULL never equals, so it
+    * cannot poison the result), which plans as an ordinary SHUFFLED
+    * anti join — both sides hash-partition by the key, no broadcast
+    * build, no driver-side collect. The `merge` hint pins that shape
+    * (a broadcastable fixture inner would otherwise let AQE pick BHJ
+    * and the row would demonstrate nothing) and the body REQUIRES a
+    * non-broadcast LeftAnti after planning, so a silent fallback to
+    * the broadcast-only NAAJ fails the row.
+    *
+    * SEMANTIC DIFFERENCE, documented by the second branch: under a
+    * null-free inner both spellings agree (this row's 'clean' branch ==
+    * join_null_aware_anti's 'clean' branch). Under an inner containing
+    * NULLs, NOT IN returns EMPTY (three-valued logic) while NOT EXISTS
+    * keeps every customer none of whose NON-NULL inner keys match —
+    * the 'nulled_inner' branch here is near-clean, not empty, and a
+    * customer whose only 'F' orders had their keys nulled REAPPEARS.
+    * That is exactly the behavior change a migration from NOT IN must
+    * sign off on; DuckDB's NOT EXISTS agrees, which is the check. */
+  private val antiNullRewrite = Spec(
+    "join_anti_null_rewrite",
+    """SELECT 'clean' AS branch, c_custkey FROM customer
+      |WHERE c_custkey IS NOT NULL AND NOT EXISTS
+      |  (SELECT 1 FROM orders o WHERE o.o_orderstatus = 'F'
+      |   AND o.o_custkey = customer.c_custkey)
+      |UNION ALL
+      |SELECT 'nulled_inner', c_custkey FROM customer
+      |WHERE c_custkey IS NOT NULL AND NOT EXISTS
+      |  (SELECT 1 FROM orders o WHERE o.o_orderstatus = 'F'
+      |   AND (CASE WHEN o.o_orderkey % 97 = 0 THEN NULL
+      |        ELSE o.o_custkey END) = customer.c_custkey)
+      |ORDER BY branch, c_custkey""".stripMargin) { (s, d) =>
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey")).filter(col("c_custkey").isNotNull)
+    val fOrders = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F")
+    val clean = cust.join(
+      fOrders.select(col("o_custkey").as("k")).hint("merge"),
+      col("c_custkey") === col("k"), "left_anti")
+    val nulled = cust.join(
+      fOrders.select(when(col("o_orderkey") % 97 === 0, lit(null))
+        .otherwise(col("o_custkey")).as("k")).hint("merge"),
+      col("c_custkey") === col("k"), "left_anti")
+    val out = clean.select(lit("clean").as("branch"), col("c_custkey"))
+      .union(nulled.select(lit("nulled_inner").as("branch"),
+        col("c_custkey")))
+      .orderBy(col("branch"), col("c_custkey"))
+    // Planning-time witness (the hint makes the shape deterministic, so
+    // no execution is needed): both anti joins must be SHUFFLED — the
+    // whole point of the rewrite — and the null-aware broadcast marker
+    // must be absent.
+    val ep = out.queryExecution.executedPlan.toString
+    require(ep.contains("SortMergeJoin") && ep.contains("LeftAnti")
+        && !ep.contains("BroadcastHashJoin"),
+      "the null-handled rewrite did not plan as a shuffled anti join " +
+        "(a BroadcastHashJoin here would include the null-aware form " +
+        "this row exists to avoid):\n" + ep.take(1500))
+    out
   }
 
   /** Scoped session-conf override: saves the previous values, runs `body`,
@@ -1089,65 +1156,66 @@ object Joins {
   }
 
   /** `ReuseExchange` — ONE shuffle feeding two consumers: a derived
-    * aggregate referenced twice (the self-join every "which groups share
-    * a property" query has) plans as ONE scan + ONE aggregation + ONE
-    * shuffle, with the second reference served from the first's shuffle
-    * files (`ReusedExchange` in the physical plan). At 100 TB this is
-    * the difference between reading the fact table once or twice — and
-    * it is FREE as long as the two subtrees stay literally identical,
-    * which is why the CTE is written once and joined to itself rather
-    * than spelled twice with cosmetic differences (a differing alias
-    * set or filter order breaks subtree equality and silently doubles
-    * the scan). Broadcast is disabled for the row so the reuse shown is
-    * the SHUFFLE reuse a big derived aggregate actually needs (a
-    * broadcast-sized demo would reuse the broadcast instead — same
-    * rule, smaller stakes); the row REQUIRES the ReusedExchange node
-    * after execution, so a Catalyst change that stopped deduplicating
-    * fails the row rather than just doubling the cost.
+    * aggregate referenced twice plans as ONE scan + ONE aggregation +
+    * ONE shuffle, with the second reference served from the first's
+    * shuffle files (`ReusedExchange` in the physical plan). At 100 TB
+    * this is the difference between reading the fact table once or
+    * twice — and it is FREE as long as the two subtrees stay literally
+    * identical, which is why the CTE is written once and consumed twice
+    * rather than spelled twice with cosmetic differences (a differing
+    * alias set or filter order breaks subtree equality and silently
+    * doubles the scan). The row REQUIRES the reuse node after
+    * execution, so a Catalyst change that stopped deduplicating fails
+    * the row rather than just doubling the cost.
     *
-    * SCALE ADJUDICATION (round-18 probe, survives isolated retimes:
-    * x8 ~44 s, x32 ~283 s, slope 1.35): the time is the query's OWN
-    * OUTPUT MASS, not a plan defect — order-count values have bounded
-    * support, so equal-count buckets grow linearly in customers and
-    * the emitted pair set quadratically (×16 from x8 to x32). That is
-    * inherent to "every pair sharing a property"; the reuse this row
-    * pins is the optimizer HALVING that inherent cost (one scan, one
-    * shuffle). A production pipeline asking only for the pair COUNTS
-    * (this row's final projection) would skip the join entirely:
-    * pairs(n) = cnt(n)·(cnt(n)−1) on the bucket aggregate — linear.
-    * The probe ledger carries this adjudication next to the
-    * measurement (tools/probe_ledger.json). */
+    * SHAPE (VERDICT r18 #1 — re-shaped from the equal-count SELF-JOIN
+    * form, which the round-18 probe adjudicated intermediate-quadratic:
+    * count values have bounded support, so the pair mass it emitted
+    * grew as pairs(n) = cnt(n)·(cnt(n)−1) — measured ×16 output from
+    * x8 to x32, slope 1.35, surviving isolated retimes. DO NOT ship
+    * that shape; a pipeline wanting pair counts computes the closed
+    * form on the bucket aggregate instead). The reuse witness here is
+    * the scale-safe spelling of the same optimizer fact: two DIFFERENT
+    * second-level aggregates — bucket sizes and bucket key-sums over
+    * the per-customer order counts — consume the ONE hash-partitioned
+    * exchange of the per-customer aggregate, union'd. Output is
+    * O(distinct counts), linear work end-to-end, and the exchange
+    * still feeds two consumers. */
   private val exchangeReuse = Spec(
     "opt_exchange_reuse",
     """WITH a AS (SELECT o_custkey AS k, COUNT(*) AS n
       |           FROM orders GROUP BY o_custkey)
-      |SELECT x.n AS n, CAST(COUNT(*) AS BIGINT) AS pairs
-      |FROM a x JOIN a y ON x.n = y.n AND x.k <> y.k
-      |GROUP BY x.n ORDER BY x.n""".stripMargin) { (s, d) =>
+      |SELECT 'bucket_size' AS agg, n AS grp, CAST(COUNT(*) AS BIGINT) AS v
+      |FROM a GROUP BY n
+      |UNION ALL
+      |SELECT 'bucket_keysum', n, CAST(SUM(k) AS BIGINT)
+      |FROM a GROUP BY n
+      |ORDER BY agg, grp""".stripMargin) { (s, d) =>
     Tables.orders(s, d).createOrReplaceTempView("graft_xr_orders")
-    withConfs(s, "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
-      val out = s.sql(
-        """WITH a AS (SELECT o_custkey AS k, COUNT(*) AS n
-          |           FROM graft_xr_orders GROUP BY o_custkey)
-          |SELECT x.n AS n, COUNT(*) AS pairs
-          |FROM a x JOIN a y ON x.n = y.n AND x.k <> y.k
-          |GROUP BY x.n ORDER BY x.n""".stripMargin)
-      // count() would execute a DIFFERENT derived plan and leave out's
-      // own adaptive plan unfinalized (same trap skewAqeRun documents) —
-      // collect() executes THIS queryExecution.
-      val rows = out.collect()
-      val ep = finalPlanString(out)
-      // Non-adaptive plans print the reuse as a ReusedExchange node; the
-      // adaptive plan materializes it as the SAME ShuffleQueryStage id
-      // consumed twice (or an explicit reuse marker, version-dependent).
-      require(ep.contains("ReusedExchange") || reusedStageId(ep).nonEmpty,
-        "exchange reuse did not fire — the self-joined aggregate is " +
-          "being computed twice:\n" + ep.take(1500))
-      // Return the witnessed execution's own rows (the skewAqe idiom) —
-      // a plain `out` would re-execute the whole plan on the write.
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-        .orderBy(col("n"))
-    }
+    val out = s.sql(
+      """WITH a AS (SELECT o_custkey AS k, COUNT(*) AS n
+        |           FROM graft_xr_orders GROUP BY o_custkey)
+        |SELECT 'bucket_size' AS agg, n AS grp, COUNT(*) AS v
+        |FROM a GROUP BY n
+        |UNION ALL
+        |SELECT 'bucket_keysum', n, SUM(k)
+        |FROM a GROUP BY n
+        |ORDER BY agg, grp""".stripMargin)
+    // count() would execute a DIFFERENT derived plan and leave out's
+    // own adaptive plan unfinalized (same trap skewAqeRun documents) —
+    // collect() executes THIS queryExecution.
+    val rows = out.collect()
+    val ep = finalPlanString(out)
+    // Non-adaptive plans print the reuse as a ReusedExchange node; the
+    // adaptive plan materializes it as the SAME ShuffleQueryStage id
+    // consumed twice (or an explicit reuse marker, version-dependent).
+    require(ep.contains("ReusedExchange") || reusedStageId(ep).nonEmpty,
+      "exchange reuse did not fire — the shared per-customer aggregate " +
+        "is being computed twice:\n" + ep.take(1500))
+    // Return the witnessed execution's own rows (the skewAqe idiom) —
+    // a plain `out` would re-execute the whole plan on the write.
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      .orderBy(col("agg"), col("grp"))
   }
 
   /** The adaptive root's toString prints only itself — unwrap to the

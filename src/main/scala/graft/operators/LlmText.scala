@@ -402,7 +402,40 @@ object LlmText {
     * volume and rejected: it accumulates a hot shingle's full posting list
     * BEFORE any size filter can drop it, so the df-cap join is the form
     * whose skew bound actually holds at 100 TB.) */
+  /** Recursive on-disk byte size of a fixture path (file or directory). */
+  private def pathBytes(f: java.io.File): Long =
+    if (f.isDirectory)
+      Option(f.listFiles()).fold(0L)(_.map(pathBytes).sum)
+    else if (f.isFile) f.length else 0L
+
+  /** Shuffle width for the substrate BUILD, scaled with corpus bytes
+    * (VERDICT r18 #5): the build's first pass at the 32× probe scale
+    * spilled 7.2 GB — partial-aggregate overflow ∝ the self-join's
+    * output volume over a FIXED reducer count — and the round-18
+    * adjudication measured the rule that bounds it: doubling reducers
+    * halves the spill (per-reducer build volume is what crosses the
+    * execution-memory line). Encode the rule as a scoped width: one
+    * reducer per ~64 KiB of compressed corpus, floored at the session
+    * default (fixture scale stays on the default width — bench plans
+    * unchanged) and capped at 1024 (task-launch overhead bound). At
+    * 100 TB this is the standard practice the row models: shuffle
+    * width follows input volume, not a global constant. */
+  private def substrateShuffleWidth(s: SparkSession, d: String): Int = {
+    val base = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val bytes = pathBytes(new java.io.File(
+      java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString,
+      "documents.parquet"))
+    math.max(base, math.min(1024, (bytes / (64L << 10)).toInt))
+  }
+
   private def computeNgramPairs(s: SparkSession, d: String,
+      maxDf: Int): DataFrame =
+    Joins.withConfs(s, "spark.sql.shuffle.partitions" ->
+      substrateShuffleWidth(s, d).toString) {
+      computeNgramPairsScoped(s, d, maxDf)
+    }
+
+  private def computeNgramPairsScoped(s: SparkSession, d: String,
       maxDf: Int): DataFrame = {
     // The postings index feeds three consumers below (sizes, the df cap,
     // and both sides of the self-join); persist it for the computation and
@@ -903,39 +936,58 @@ object LlmText {
     * adjudication as [[cooccur]]'s lift vs ln(lift)). The per-doc sum
     * folds in TERM-LEX order via sorted-list aggregate on both engines —
     * a shuffle-order-dependent double sum would be nondeterministic. */
-  private val bm25 = Spec(
-    "llm_bm25",
-    """WITH dl AS (
-      |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
-      |stats AS (
-      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-      |    (CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS avgdl
-      |  FROM dl),
-      |tf AS (
-      |  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
-      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-      |        FROM documents)
-      |  WHERE term IN ('spark', 'join', 'stream', 'window')
-      |  GROUP BY 1, 2),
-      |df AS (
-      |  SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
-      |  FROM tf GROUP BY 1),
-      |weighted AS (
-      |  SELECT tf.doc_id, tf.term,
-      |    ((tf.tf * 2.2)
-      |      / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl))))
-      |      * ((stats.n - df.df + 0.5) / (df.df + 0.5)) AS w
-      |  FROM tf JOIN df ON tf.term = df.term
-      |  JOIN dl ON tf.doc_id = dl.doc_id
-      |  CROSS JOIN stats)
-      |SELECT doc_id,
-      |  CAST(COUNT(*) AS BIGINT) AS n_terms,
-      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-      |    list(w ORDER BY term)), (x, y) -> x + y) AS score
-      |FROM weighted GROUP BY doc_id
-      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+  /** The fixed demo query both BM25 rows score — single source so the
+    * Scala pipeline and the generated oracle SQL can never disagree on
+    * the term set. */
+  private val bm25QueryTerms = Seq("spark", "join", "stream", "window")
+
+  /** ONE oracle-SQL template for BOTH BM25 rows (VERDICT r18 #7): the
+    * odds form and the ln production form share every CTE — document
+    * lengths, corpus stats, tf, df, the saturation weight, the
+    * term-lex-ordered per-doc fold — and differ ONLY in the idf wrap
+    * and the §5.2 epsilon rounding the ln form needs. The shared ~30
+    * lines used to exist twice; generating both from this builder makes
+    * drift under a future edit impossible. */
+  private def bm25OracleSql(lnIdf: Boolean): String = {
+    val odds = "(stats.n - df.df + 0.5) / (df.df + 0.5)"
+    val idf = if (lnIdf) s"ln($odds)" else s"($odds)"
+    val (scoreOpen, scoreClose) = if (lnIdf) ("round(", ", 4)") else ("", "")
+    val terms = bm25QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH dl AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+       |stats AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |    (CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS avgdl
+       |  FROM dl),
+       |tf AS (
+       |  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |        FROM documents)
+       |  WHERE term IN ($terms)
+       |  GROUP BY 1, 2),
+       |df AS (
+       |  SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+       |  FROM tf GROUP BY 1),
+       |weighted AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    ((tf.tf * 2.2)
+       |      / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl))))
+       |      * $idf AS w
+       |  FROM tf JOIN df ON tf.term = df.term
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN stats)
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_terms,
+       |  ${scoreOpen}list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list(w ORDER BY term)), (x, y) -> x + y)$scoreClose AS score
+       |FROM weighted GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  private val bm25 = Spec("llm_bm25", bm25OracleSql(lnIdf = false)) {
+    (s, d) =>
     bm25Scores(docsWords(s, d).select(col("doc_id"), col("words")),
-      Seq("spark", "join", "stream", "window"))
+      bm25QueryTerms)
   }
 
   /** PRODUCTION-form BM25 (VERDICT r17 #5): identical pipeline to
@@ -950,39 +1002,10 @@ object LlmText {
     * relative) per ln term over a ≤ 4-term lex-ordered fold, twelve
     * orders of magnitude inside the 1e-4 grid, so the rounded doubles
     * are bit-identical; n_terms and doc_id stay exact integers. */
-  private val bm25Ln = Spec(
-    "llm_bm25_ln",
-    """WITH dl AS (
-      |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
-      |stats AS (
-      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-      |    (CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS avgdl
-      |  FROM dl),
-      |tf AS (
-      |  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
-      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-      |        FROM documents)
-      |  WHERE term IN ('spark', 'join', 'stream', 'window')
-      |  GROUP BY 1, 2),
-      |df AS (
-      |  SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
-      |  FROM tf GROUP BY 1),
-      |weighted AS (
-      |  SELECT tf.doc_id, tf.term,
-      |    ((tf.tf * 2.2)
-      |      / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl))))
-      |      * ln((stats.n - df.df + 0.5) / (df.df + 0.5)) AS w
-      |  FROM tf JOIN df ON tf.term = df.term
-      |  JOIN dl ON tf.doc_id = dl.doc_id
-      |  CROSS JOIN stats)
-      |SELECT doc_id,
-      |  CAST(COUNT(*) AS BIGINT) AS n_terms,
-      |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-      |    list(w ORDER BY term)), (x, y) -> x + y), 4) AS score
-      |FROM weighted GROUP BY doc_id
-      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+  private val bm25Ln = Spec("llm_bm25_ln", bm25OracleSql(lnIdf = true)) {
+    (s, d) =>
     bm25Scores(docsWords(s, d).select(col("doc_id"), col("words")),
-      Seq("spark", "join", "stream", "window"), lnIdf = true)
+      bm25QueryTerms, lnIdf = true)
   }
 
   /** Reusable BM25 pipeline over a (doc_id, words) frame — see [[bm25]]

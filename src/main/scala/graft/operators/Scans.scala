@@ -640,13 +640,32 @@ object Scans {
 
   private val sharedBuilds = new java.util.concurrent.atomic.AtomicLong
 
+  /** Within-JVM monitor per shared-scratch path: `FileLock` excludes
+    * other PROCESSES but throws `OverlappingFileLockException` when two
+    * threads of one JVM lock the same file — the monitor serializes
+    * those before the OS lock is taken. */
+  private val sharedPublishMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
+
   /** Build-once-publish-atomically for [[sharedScratchDir]] layouts:
     * concurrent JVMs (or sessions) that miss the healthy check each
-    * build into a private sibling dir and race on an ATOMIC_MOVE rename
-    * (same tmpfs ⇒ rename(2), which preserves the admission-order
-    * mtimes the stream stagings depend on); losers verify the winner's
-    * publish and discard their own build. A reader only ever sees the
-    * target either absent or fully published — never mid-write. */
+    * build into a private sibling dir — builds stay parallel — and then
+    * PUBLISH under an exclusive OS lock on a sibling `.lock` file
+    * (ADVICE r18 #1: the earlier protocol raced an unguarded
+    * ATOMIC_MOVE against a recovering builder's check-then-delete, so a
+    * builder that observed an unhealthy/absent target could delete a
+    * healthy directory another JVM published in between — a third JVM
+    * already streaming files from it would fail mid-query). Inside the
+    * critical section the target is re-checked: a healthy target means
+    * another builder won (discard own build); anything else is replaced
+    * via rmRecursive + ATOMIC_MOVE (same tmpfs ⇒ rename(2), preserving
+    * the admission-order mtimes the stream stagings depend on). Because
+    * EVERY delete-or-publish now happens inside the lock and a delete
+    * only ever follows an unhealthy observation made inside the same
+    * critical section, a healthy published directory can never be
+    * deleted, and the post-lock `require(healthy)` cannot fire
+    * spuriously. The `.lock` sidecar is a few bytes and lives as long
+    * as the layout's tmpdir — the OS reaper handles both together. */
   private[graft] def ensureShared(dir: String,
       healthy: java.io.File => Boolean)(build: String => Unit): String = {
     val target = new java.io.File(dir)
@@ -655,20 +674,23 @@ object Scans {
       dir + ".build" + jvmTag + "_" + sharedBuilds.incrementAndGet())
     rmRecursive(tmp)
     build(tmp.toString)
-    import java.nio.file.{Files, StandardCopyOption}
-    def move(): Unit = {
-      Files.move(tmp.toPath, target.toPath,
-        StandardCopyOption.ATOMIC_MOVE): Unit
-    }
-    try move()
-    catch { case _: java.nio.file.FileSystemException =>
-      // another builder published first, or unhealthy leftovers occupy
-      // the target: keep a healthy winner, replace anything else
-      if (!healthy(target)) {
-        rmRecursive(target)
-        try move()
-        catch { case _: java.nio.file.FileSystemException => rmRecursive(tmp) }
-      } else rmRecursive(tmp)
+    import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
+    val monitor =
+      sharedPublishMonitors.computeIfAbsent(dir, _ => new Object)
+    monitor.synchronized {
+      val ch = java.nio.channels.FileChannel.open(Paths.get(dir + ".lock"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val lk = ch.lock()
+        try {
+          if (healthy(target)) rmRecursive(tmp) // another builder won
+          else {
+            rmRecursive(target) // absent, or unhealthy leftovers
+            Files.move(tmp.toPath, target.toPath,
+              StandardCopyOption.ATOMIC_MOVE): Unit
+          }
+        } finally lk.release()
+      } finally ch.close()
     }
     require(healthy(target), s"shared scratch publish failed for $dir")
     dir
@@ -1006,19 +1028,46 @@ object Scans {
     * a spike on source_stream_socket (5.16 s billed, 0.96 s retime). A
     * two-word warm stream through the same loopback-feeder plumbing
     * pays exactly those JVM-wide costs in materialize_layout; the timed
-    * row still does all its own per-query work. */
+    * row still does all its own per-query work.
+    *
+    * ADVICE r18 #2: the warm is purely an optimization, so a flaky
+    * warm-up must cost one spike, never the bench — failures are logged
+    * and swallowed here. Inside, the feeder closes its socket/writer
+    * deterministically AFTER the drain (an eager close could reset the
+    * connection under the still-draining source; the old code leaked
+    * both to GC, whose finalizer-driven close had the same hazard at an
+    * arbitrary time), and the warm's memory-sink table is dropped. */
   private[graft] def warmSocketSource(
+      s: org.apache.spark.sql.SparkSession): Unit =
+    try warmSocketSourceImpl(s)
+    catch { case e: Throwable =>
+      org.slf4j.LoggerFactory.getLogger("graft.Scans").warn(
+        s"socket warm failed (continuing — the warm is an optimization, " +
+          s"the first timed socket row just pays the first-touch): $e")
+    }
+
+  private def warmSocketSourceImpl(
       s: org.apache.spark.sql.SparkSession): Unit = {
     val server = new java.net.ServerSocket(0, 1,
       java.net.InetAddress.getLoopbackAddress)
+    // Counted down once the drain is complete: the feeder holds its end
+    // open until then, and only then closes writer + socket itself.
+    val drained = new java.util.concurrent.CountDownLatch(1)
     val feeder = new Thread(() => {
+      var sock: java.net.Socket = null
+      var out: java.io.PrintWriter = null
       try {
-        val sock = server.accept()
-        val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+        sock = server.accept()
+        out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
           sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
         out.print("warm up\n")
         out.flush()
+        drained.await(60, java.util.concurrent.TimeUnit.SECONDS): Unit
       } catch { case _: Throwable => () }
+      finally {
+        if (out != null) { try out.close() catch { case _: Throwable => () } }
+        if (sock != null) { try sock.close() catch { case _: Throwable => () } }
+      }
     }, "graft-socket-warm")
     feeder.setDaemon(true)
     feeder.start()
@@ -1039,8 +1088,10 @@ object Scans {
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
     finally {
+      drained.countDown()
       q.stop()
       try server.close() catch { case _: Throwable => () }
+      try s2.catalog.dropTempView(name) catch { case _: Throwable => () }
     }
   }
 

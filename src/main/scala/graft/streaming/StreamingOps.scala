@@ -722,13 +722,25 @@ object StreamingOps {
     new java.util.concurrent.ConcurrentHashMap[
       (org.apache.spark.sql.SparkSession, String), String]
 
+  /** Data chunks in the sjInput staging (sentinels add 2 more pieces).
+    * 2 is the proof minimum — see [[sjInput]]'s docstring. */
+  private[graft] val sjChunks = 2
+
   /** Memoized TIME-CHUNKED staging for the file-source stream-stream
     * join rows (VERDICT r16 #1: the flagship interval join previously
     * ran as a registered BATCH twin plus MemoryStream spec proofs — no
     * registered row drove the real symmetric-hash join state machine
     * over a replayable source, so its 100 TB failure mode, join-state
     * growth, was invisible to the scale probe). Events (clicks+views
-    * only) are split into 4 range-disjoint TIME chunks (each micro-batch costs ~0.9 s of addBatch/state-lifecycle floor on this box, so the chunk count trades eviction granularity against a fixed bill), one parquet
+    * only) are split into range-disjoint TIME chunks (each micro-batch
+    * costs ~0.9 s of addBatch/state-lifecycle floor on this box, so the
+    * chunk count trades eviction granularity against a fixed bill;
+    * VERDICT r18 #6 cut it from 4 to 2 — the minimum that still proves
+    * BOTH witnesses: pairs straddling the one chunk boundary only emit
+    * if the earlier side was retained in state ACROSS batches, and the
+    * watermark advancing between the chunk batches evicts chunk-1 state
+    * mid-stream, read by StreamingSpec as state high-water strictly
+    * below total input), one parquet
     * file each, mtime-stamped in time order ([[writeStampedPieces]]) so
     * `maxFilesPerTrigger=1` replays them as time-ordered micro-batches:
     * the watermark then ADVANCES BETWEEN BATCHES and state eviction
@@ -759,7 +771,11 @@ object StreamingOps {
       // oldest-first ordering reads — absolute stamp values don't
       // matter, only their order.
       val src = new java.io.File(abs, "events.parquet")
-      val fp = s"m${src.lastModified}_s${src.length}"
+      // the chunk count is part of the key: a layout staged under a
+      // different chunking is healthy-by-stamp but WRONG for the floor
+      // this build expects (the r18->r19 4->2 cut would otherwise keep
+      // serving the old 6-piece staging on a warm box forever)
+      val fp = s"c${sjChunks}_m${src.lastModified}_s${src.length}"
       // evict only the MEMO entry with the session (the map would
       // otherwise pin dead sessions); the shared dir itself survives
       // for the next JVM — that is the point.
@@ -775,7 +791,7 @@ object StreamingOps {
         val b = ev.agg(min(unix_micros(col("ts"))),
           max(unix_micros(col("ts")))).collect()(0)
         val (lo, hi) = (b.getLong(0), b.getLong(1))
-        val nChunks = 4
+        val nChunks = sjChunks
         val w = math.max(1L, (hi - lo) / nChunks + 1)
         val chunks = (0 until nChunks).map { k =>
           ev.filter(unix_micros(col("ts"))

@@ -32,9 +32,10 @@ Categories:
   fixed-domain     — input/output is a fixed-size domain (dims,
                      synthetic series, SQL-surface witnesses over
                      bounded tables) that does not scale with sf
-  family-covered   — same physical-plan shape (exchange/agg/join/window
-                     pattern) as a named probed representative; the row
-                     exists for semantic/API-surface coverage
+
+(the former family-covered category — trust-by-analogy plan-shape
+coverage — was eliminated in round 18 and DELETED from the taxonomy in
+round 19, ADVICE r18 #3.)
 
 Run from the repo root after adding/removing a Spec; ProbeLedgerSpec
 fails the build if the ledger and the registry drift.
@@ -100,7 +101,7 @@ sink_partition_overwrite sink_table_v2 opt_aqe_coalesce opt_exchange_reuse opt_l
 llm_text_normalize llm_sample_stratified llm_filter_funnel llm_domain_mix llm_bpe_pairs llm_bpe_train
 llm_multimodal_framesample llm_multimodal_struct fn_math fn_regex fn_json fn_sequence_array
 fn_stack ds_typed_api ds_random_split limit_topk offset_page pivot_multi_agg
-filter_like_family join_null_aware_anti join_null_safe profile_accumulator profile_analyze_stats
+filter_like_family join_null_aware_anti join_anti_null_rewrite join_null_safe profile_accumulator profile_analyze_stats
 profile_columns profile_crosstab profile_observe profile_sketch_functions profile_stat_functions
 profile_summary scan_file_metadata sql_hint_broadcast sql_hint_merge sql_lateral_alias
 sql_named_window stream_rocksdb_state win_range_interval""".split()
@@ -110,50 +111,29 @@ PROBED_REASON = ("slope/state measured at 1x/8x/32x steady reps "
 
 # Probed rows whose super-linear slope is REAL and adjudicated: the
 # measurement stays on disk and in the report, with the evidence here.
-ADJUDICATED = {
-    "opt_exchange_reuse": (
-        "slope 1.35 SURVIVES isolated 3-rep retime (x8 ~44 s, x32 "
-        "~283 s) and is the query's OWN OUTPUT MASS, not a plan "
-        "defect: the equal-count self-join emits every customer pair "
-        "sharing an order count, and count values have bounded "
-        "support, so buckets grow linearly in customers and pairs "
-        "quadratically (x8->x32 pair mass x16). The row exists to pin "
-        "the ReusedExchange node - ONE scan+shuffle feeding both join "
-        "sides, i.e. the optimizer HALVES an inherently quadratic "
-        "query. The scalable production form of the same question "
-        "needs no join at all: pairs(n) = cnt(n)*(cnt(n)-1) on the "
-        "bucket aggregate (noted in the row's docstring)."),
-}
+# (round 19: the opt_exchange_reuse adjudication was RETIRED by
+# re-shaping the row itself — the reuse witness is now two different
+# aggregates over one exchange, linear output; the quadratic
+# equal-count self-join shape is documented in the row's docstring as
+# do-not-ship, with the closed form. Fresh x8/x32 samples for the
+# re-shaped row replaced the old ones in scale_probe_out.json.)
+ADJUDICATED = {}
 
 # ---- excluded rows: {row: (category, reason)} -------------------------
+# (ADVICE r18 #3: the family-covered category was eliminated in round 18
+# — every former member is measured — so FAM and its reason strings are
+# DELETED from this taxonomy and from ProbeLedgerSpec's valid set;
+# reintroducing trust-by-analogy coverage now requires an explicit,
+# reviewable change to both files.)
 MBF = "micro-batch-floor"
 SFS = "sub-floor-scalar"
 FXD = "fixed-domain"
-FAM = "family-covered"
 PIN = "pinned-witness"
 
 _scalar = ("map-only codegen'd scalar projection over the fixture; "
            "no exchange, steady time under the per-query floor")
-_winfam = ("partitioned Window exchange+sort, the shape probed via "
-           "win_topk_per_group/win_ntile/win_lag_lead/win_running_frame/"
-           "win_range_frame; PlanAuditSpec pins every Window partitioned")
-_aggfam = ("hash-aggregate exchange with map-side partials, the shape "
-           "probed via agg_hash_group/agg_distinct/agg_grouping_sets/"
-           "agg_rollup/agg_cube and the sketch rows")
-_joinfam = ("shuffled/broadcast equi-join, the shape probed via "
-            "join_inner_hash/join_left_semi/join_left_anti/"
-            "join_broadcast/join_multiway")
-_setfam = ("set-op exchange, the shape probed via set_union_distinct/"
-           "set_intersect/set_except")
-_scanfam = ("format-decode scan of the fixture slice: per-row decode, "
-            "no exchange; the IO-scaling story is the probed "
-            "scan_parquet (column pruning + pushdown reach the scan)")
-_sinkfam = ("write path, the shape probed via sink_partitioned/"
-            "sink_codec_zstd/sink_compacted/zorder_layout")
 _sqlsurf = ("SQL-surface witness over a fixed/dim-sized domain; no "
             "sf-proportional data work")
-_mmfam = ("multimodal batch plumbing (binary column + typed metadata), "
-          "the decode representative llm_multimodal_decode is probed")
 
 EXCLUDED = {
     # re-homed entries whose original lines were shared with rows the
@@ -253,7 +233,7 @@ EXCLUDED = {
     # correlated subquery
 
 }
-VALID = {"probed", PIN, MBF, SFS, FXD, FAM}
+VALID = {"probed", PIN, MBF, SFS, FXD}
 
 
 def registry_names():
