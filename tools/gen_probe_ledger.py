@@ -97,7 +97,7 @@ agg_mode agg_percentile agg_regression agg_sketch_hll agg_stats_builtin agg_stat
 agg_listagg agg_within_group agg_try_arith win_first_last win_rolling_distinct win_locf
 win_percent_rank win_pattern_match join_right_outer join_hint_shj join_point_in_time join_theta_range
 scan_json_multiline scan_csv_corrupt scan_manifest_pruned scan_recursive_lookup scan_binaryfile sink_csv_options
-sink_partition_overwrite sink_table_v2 opt_aqe_coalesce opt_exchange_reuse opt_levenshtein_rule llm_instruction_format
+sink_partition_overwrite sink_table_v2 opt_aqe_coalesce opt_exchange_reuse opt_cbo_reorder opt_levenshtein_rule llm_instruction_format
 llm_text_normalize llm_sample_stratified llm_filter_funnel llm_domain_mix llm_bpe_pairs llm_bpe_train
 llm_multimodal_framesample llm_multimodal_struct fn_math fn_regex fn_json fn_sequence_array
 fn_stack ds_typed_api ds_random_split limit_topk offset_page pivot_multi_agg
