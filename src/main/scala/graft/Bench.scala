@@ -230,7 +230,19 @@ object Bench {
     // print). Never run Verify after Bench in the same JVM.
     val (failed, ok) = results.toSeq.partition(_._2 < 0)
     val ordered = failed ++ ok.sortBy(-_._2)
-    val retimed = ordered.take(math.min(failed.length + 10, 15))
+    // Retime coverage (VERDICT r19 #2): the old take(failed+10, cap 15)
+    // left positions 11+ unclassified — a co-tenant hit on a 2.5 s entry
+    // there was indistinguishable from a regression. Now every successful
+    // entry whose first sample is ≥ 1.5 s is re-timed (anything below
+    // that is inside the 2.5×-noise-floor's resolution and cannot carry
+    // an adjudicable spike), still at least the historical failed+10,
+    // capped at 20 to bound both the re-run wall time and the stdout
+    // budget (BenchSpec pins the 20-slot worst case).
+    val slowOk = ok.count(_._2 >= 1.5)
+    val retimeN = math.min(
+      math.max(failed.length + slowOk, math.min(failed.length + 10, 15)),
+      20)
+    val retimed = ordered.take(retimeN)
       .map { case (name, first) =>
       if (first < 0) -1.0
       else {
@@ -347,12 +359,13 @@ object Bench {
     val pos15 = ordered.take(15).map { case (k, _) => execIdx(k) }
       .mkString("[", ",", "]")
     // BENCH_r01.json showed the driver keeps exactly the last 2000 chars of
-    // stdout, and sbt's "[success] ..." (~70 chars) trails our line. 1300
-    // chars of query map (1500 until r10, 1420 until r11 — shaved for
-    // pos15, then for retimed + materialize_frag) keeps the whole line
+    // stdout, and sbt's "[success] ..." (~70 chars) trails our line. 1230
+    // chars of query map (1500 until r10, 1420 until r11, 1300 until r19
+    // — shaved for pos15, then retimed + materialize_frag, then
+    // value_adjusted + the 20-slot retime coverage) keeps the whole line
     // ≤ ~1.7 KB: fully inside the window with margin, while recording
-    // ~50-55 of the slowest per-query timings.
-    val budget = 1300
+    // ~45-50 of the slowest per-query timings.
+    val budget = 1230
     // PREFIX truncation, not best-fit (ADVICE r13 #1): stop at the first
     // entry that does not fit. A continue-past-the-misfit loop could drop
     // a long name inside the first 15 while keeping later short ones,
@@ -386,16 +399,33 @@ object Bench {
     // (-2) mark 0 — they adjudicate themselves. A driver capture like
     // r14's 4.34 s llm_multimodal_decode now self-labels in the JSON;
     // SUSTAINED load (both samples inflated) remains load1's job.
-    val spike15 = retimed.zipWithIndex.map { case (rt, i) =>
+    val spikeFlags = retimed.zipWithIndex.map { case (rt, i) =>
       val first = ordered(i)._2
-      if (rt >= 0 && first > 0 && rt < first / 2.5) 1 else 0
-    }.mkString("[", ",", "]")
+      rt >= 0 && first > 0 && rt < first / 2.5
+    }
+    val spike15 = spikeFlags.map(f => if (f) 1 else 0)
+      .mkString("[", ",", "]")
+    // Spike-adjusted headline (VERDICT r19 #1): the driver's capture box
+    // is co-tenanted (r19: load1 up to 24.7, headline 262 s vs ~200 s
+    // spike-subtracted vs 156 s clean-window), and the judge previously
+    // had to do the subtraction by hand. value_adjusted = value minus,
+    // for each spike-convicted entry (the spike15 rule above), the
+    // difference between its inflated first sample and its clean re-time
+    // — i.e. the total re-stated as if the convicted first samples had
+    // run in the clean window their retimes did. Entries the retime pass
+    // did not cover (below 1.5 s) and SUSTAINED load (both samples
+    // inflated — load1's job) are deliberately not adjusted, so
+    // value_adjusted is a conservative upper bound on the engine's
+    // clean-window total, never an optimistic one.
+    val valueAdjusted = total - spikeFlags.zipWithIndex.collect {
+      case (true, i) => ordered(i)._2 - retimed(i)
+    }.sum
     // load1 as a 2-element [start, end] array (2-decimal — loadavg has no
     // more precision worth stdout budget; ~20 chars total).
     def fmt2(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     val load1Json = s"[${fmt2(load1._1)},${fmt2(load1._2)}]"
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${entries.length},"omitted":$omitted,"pos15":$pos15,"retimed":$retimedJson,"spike15":$spike15,"load1":$load1Json,"load1_mat":${fmt2(load1Mat)},"materialize_pairs":${fmt(matPairs)},"materialize_ps":${fmt(matPs)},"materialize_bpe":${fmt(matBpe)},"materialize_frag":${fmt(matFrag)},"materialize_layout":${fmt(matLayout)},"gc_sec":${fmt(gcSec)},"ann_recall":${fmt(annRecall)},"ivf_recall":${fmt(ivfRecall)},"pq_recall":${fmt(pqRecall)},"shuffle_mb":${fmt(shuffleMb)},"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${fmt(total)},"value_adjusted":${fmt(valueAdjusted)},"unit":"sec","queries":$qs,"n_queries":${entries.length},"omitted":$omitted,"pos15":$pos15,"retimed":$retimedJson,"spike15":$spike15,"load1":$load1Json,"load1_mat":${fmt2(load1Mat)},"materialize_pairs":${fmt(matPairs)},"materialize_ps":${fmt(matPs)},"materialize_bpe":${fmt(matBpe)},"materialize_frag":${fmt(matFrag)},"materialize_layout":${fmt(matLayout)},"gc_sec":${fmt(gcSec)},"ann_recall":${fmt(annRecall)},"ivf_recall":${fmt(ivfRecall)},"pq_recall":${fmt(pqRecall)},"shuffle_mb":${fmt(shuffleMb)},"sf":"$sfDir"}"""
   }
 
   /** Strict framing check on a rendered line: valid single-object JSON
@@ -407,6 +437,7 @@ object Bench {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper
     val tree = mapper.readTree(line)
     require(tree.isObject && tree.has("value") && tree.get("value").isNumber
+        && tree.has("value_adjusted") && tree.get("value_adjusted").isNumber
         && tree.has("queries") && tree.get("queries").isObject
         && tree.has("pos15") && tree.get("pos15").isArray
         && tree.has("retimed") && tree.get("retimed").isArray

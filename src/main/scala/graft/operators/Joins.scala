@@ -1279,32 +1279,51 @@ object Joins {
   private val cboCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), (String, String, String)]
 
-  /** Managed, ANALYZEd copies of orders/customer/nation for the CBO
-    * witness — catalog statistics only attach to catalog tables, so the
-    * row stages the three relations once per (session, sfDir) with full
-    * column stats (the `profile_analyze_stats` lifecycle: drop, clear
-    * the stale warehouse dir, create, ANALYZE). Content is identical to
-    * the parquet fixtures, which is why the oracle runs on the fixtures
-    * directly. */
+  /** ANALYZEd copies of orders/customer/nation for the CBO witness —
+    * catalog statistics only attach to catalog tables, so the row stages
+    * the three relations once per (session, sfDir) with full column
+    * stats. Staged as EXTERNAL tables at a pid-tagged tmp location like
+    * [[bucketedTables]] (ADVICE r19 medium): the previous shared-
+    * warehouse DROP + rmRecursive + recreate meant a concurrent graft
+    * JVM on the same sfDir deleted the live parquet files out from under
+    * the first JVM's pre-paid tables mid-run — pid-tagging makes the
+    * files unshareable by construction, and the catalog entries were
+    * already session-lived. The key/table name is LOWERCASED (ADVICE r19
+    * low): the catalog lowercases identifiers, so an uppercase sfDir
+    * would otherwise break both the stale-cleanup path and the
+    * bottomJoinString contains() witnesses against the plan's lowercased
+    * names. Content is identical to the parquet fixtures, which is why
+    * the oracle runs on the fixtures directly. */
   private[graft] def cboTables(s: org.apache.spark.sql.SparkSession,
       d: String): (String, String, String) = {
     val abs = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
     cboCache.computeIfAbsent((s, abs), { _ =>
-      val key = abs.replaceAll("[^A-Za-z0-9]", "_")
-      val whConf = s.conf.get("spark.sql.warehouse.dir")
-      val whPath =
-        if (whConf.startsWith("file:")) new java.net.URI(whConf).getPath
-        else whConf
+      val key = abs.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+      val loc = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_p${Scans.jvmTag}_cbo_$key"
       def make(name: String, df: DataFrame, statCols: String): String = {
         val tbl = s"graft_cbo_${name}_$key"
-        s.sql(s"DROP TABLE IF EXISTS $tbl")
-        Scans.rmRecursive(new java.io.File(new java.io.File(whPath), tbl))
-        df.writeTo(tbl).using("parquet").create()
-        s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR COLUMNS $statCols")
+        val dir = new java.io.File(loc, name)
+        // Same self-heal as bucketize: a stale catalog entry whose
+        // external files were deleted (or partially deleted) is dropped
+        // and rebuilt; completeness is the `_graft_expected` stamp, not
+        // any-file-present.
+        if (s.catalog.tableExists(tbl) && !Scans.healthyStamped(dir))
+          s.sql(s"DROP TABLE IF EXISTS $tbl")
+        if (!s.catalog.tableExists(tbl)) {
+          Scans.rmRecursive(dir)
+          df.write.mode("overwrite").option("path", dir.toString)
+            .saveAsTable(tbl)
+          Scans.stampExpected(dir.toString)
+          s.sql(
+            s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR COLUMNS $statCols")
+        }
         tbl
       }
       graft.sources.SessionHooks.onApplicationEnd(s, s"cbo-tables-$abs") {
-        () => cboCache.remove((s, abs)); ()
+        () =>
+          cboCache.remove((s, abs))
+          Scans.rmRecursive(new java.io.File(loc))
       }
       (make("orders", Tables.orders(s, d)
          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),

@@ -995,7 +995,14 @@ object LlmVector {
     pqResidentCache.computeIfAbsent((s, abs), { _ =>
       val (cents, books) = pqModel(s, d)
       val src = new java.io.File(abs, "embeddings.parquet")
-      val fp = s"m${src.lastModified}_s${src.length}"
+      // Fingerprint covers the quantizer params too (ADVICE r19 low):
+      // the staged (vec_id, cell, codes) content depends on pqM/pqKs/
+      // pqSubDim/ivfK (+ the iteration counts baked into the trainings),
+      // not just the source fixture — without them a param retune would
+      // serve a stale resident layout from a warm box's shared scratch,
+      // surfacing as a warm-box-only oracle mismatch.
+      val fp = s"v1_m${pqM}k${pqKs}d${pqSubDim}c${ivfK}i${pqIters}" +
+        s"j${ivfIters}_m${src.lastModified}_s${src.length}"
       graft.sources.SessionHooks.onApplicationEnd(s, s"pq-res-$abs") {
         () => pqResidentCache.remove((s, abs)); ()
       }

@@ -40,7 +40,8 @@ class BenchSpec extends AnyFunSuite {
     val names = SparkEntry.queries.keys.toSeq
     assert(names.size >= 180, s"registry shrank? ${names.size} queries")
     val ordered = names.map(_ -> 99999.999)
-    val retimed = Seq.fill(5)(-1.0) ++ Seq.fill(10)(-2.0)
+    // 20 retime slots — the round-20 coverage cap (every entry ≥ 1.5 s).
+    val retimed = Seq.fill(5)(-1.0) ++ Seq.fill(15)(-2.0)
     val line = render(ordered, retimed)
     Bench.selfCheck(line) // includes the ≤1900 cap
   }
@@ -52,7 +53,7 @@ class BenchSpec extends AnyFunSuite {
     // must stay bounded no matter how the registry grows.
     val names = (0 until 400).map(i => f"q${i}%03d_" + "x" * 55)
     val ordered = names.map(_ -> 99999.999)
-    val retimed = Seq.fill(15)(-2.0)
+    val retimed = Seq.fill(20)(-2.0)
     val line = render(ordered, retimed)
     Bench.selfCheck(line)
   }
@@ -147,5 +148,29 @@ class BenchSpec extends AnyFunSuite {
     assert(s.size == 5, line)
     assert((0 until 5).map(s.get(_).asInt) == Seq(0, 1, 0, 0, 0),
       s"spike adjudication wrong: $line")
+  }
+
+  test("value_adjusted subtracts exactly the spike-convicted deltas") {
+    // VERDICT r19 #1: value_adjusted = value − Σ over spike15==1 entries
+    // of (first sample − retime). Failures, crashed re-runs, steady
+    // entries, and uncovered entries contribute nothing. The fixture
+    // reuses the spike15 test's five adjudication classes: only
+    // "spiked_q" (10.0 → 1.0) is convicted, so adjusted = 99999.999 − 9.
+    val ordered = Seq(
+      "failed_q" -> -1.0,
+      "spiked_q" -> 10.0,
+      "steady_q" -> 2.0,
+      "crashed_q" -> 5.0,
+      "boundary_q" -> 2.5)
+    val line = render(ordered, Seq(-1.0, 1.0, 1.9, -2.0, 1.0))
+    Bench.selfCheck(line)
+    val t = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(math.abs(t.get("value_adjusted").asDouble -
+      (99999.999 - 9.0)) < 1e-6, s"wrong adjustment: $line")
+    // No convictions ⇒ value_adjusted == value bit-for-bit.
+    val clean = render(Seq("steady_q" -> 2.0), Seq(1.9))
+    val ct = new com.fasterxml.jackson.databind.ObjectMapper().readTree(clean)
+    assert(ct.get("value_adjusted").asDouble == ct.get("value").asDouble,
+      s"unconvicted line must not adjust: $clean")
   }
 }

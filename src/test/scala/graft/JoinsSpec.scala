@@ -146,4 +146,81 @@ class JoinsSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("day-aligned")),
       s"wrong failure: ${messages(e).mkString(" | ")}")
   }
+
+  test("CBO trusts the catalog: stale stats keep the stale join order") {
+    // VERDICT r19 #7 — the operational hazard opt_cbo_reorder's
+    // fresh-stats witness doesn't show: CBO reads what ANALYZE recorded,
+    // not what's on disk. Note Spark protects the CATALOG write path —
+    // an INSERT INTO invalidates the target's stats (verified while
+    // building this test: with stats gone, reorder skips and the written
+    // order survives) — so the hazard is OUT-OF-BAND growth: files
+    // land in an external table's directory from another engine or a
+    // distcp, which is exactly how a 100 TB lakehouse dim grows. Stage a
+    // star join (fact 20k rows; external dim_a ANALYZEd at 5 rows; dim_b
+    // at 500), append 20k rows straight into dim_a's directory, REFRESH
+    // (reads see them; stats don't). The optimizer still bottom-joins
+    // the now-huge dim_a, and one fresh ANALYZE flips the plan to dim_b.
+    // The query is WRITTEN dim_b-first, so the stale outcome (dim_a at
+    // the bottom) also proves reorder FIRED on the stale numbers rather
+    // than keeping the written order.
+    val s = spark
+    val fact = "graft_cbostale_fact"
+    val dimA = "graft_cbostale_dima"
+    val dimB = "graft_cbostale_dimb"
+    val dimADir = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_p${graft.operators.Scans.jvmTag}_cbostale_dima")
+    def bottomJoin(q: String): String = {
+      val joins = s.sql(q).queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      assert(joins.nonEmpty, "no Join in the optimized plan")
+      joins.last.toString
+    }
+    val cboKeys =
+      Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    val prev = cboKeys.map(k => k -> s.conf.getOption(k))
+    try {
+      Seq(fact, dimA, dimB).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      graft.operators.Scans.rmRecursive(dimADir)
+      s.sql(s"""CREATE TABLE $fact USING parquet AS
+        |SELECT id AS f_id, CAST(id % 100 AS BIGINT) AS a_key,
+        |  CAST(id % 500 AS BIGINT) AS b_key FROM range(20000)""".stripMargin)
+      s.range(5).selectExpr("id AS a_key", "concat('a', id) AS a_name")
+        .write.option("path", dimADir.toString).saveAsTable(dimA)
+      s.sql(s"""CREATE TABLE $dimB USING parquet AS
+        |SELECT id AS b_key, concat('b', id) AS b_name
+        |FROM range(500)""".stripMargin)
+      Seq(fact -> "a_key, b_key", dimA -> "a_key", dimB -> "b_key")
+        .foreach { case (t, c) =>
+          s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS $c") }
+      // 4000× growth the catalog never hears about: parquet appended to
+      // the external directory, bypassing every catalog write hook.
+      s.range(20000)
+        .selectExpr("CAST(id % 100 AS BIGINT) AS a_key",
+          "concat('a', id + 5) AS a_name")
+        .write.mode("append").parquet(dimADir.toString)
+      s.sql(s"REFRESH TABLE $dimA")
+      assert(s.table(dimA).count() == 20005L,
+        "out-of-band append not visible — staging broke")
+      val q = s"""SELECT count(*) AS n FROM $fact
+        |JOIN $dimB ON $fact.b_key = $dimB.b_key
+        |JOIN $dimA ON $fact.a_key = $dimA.a_key""".stripMargin
+      cboKeys.foreach(s.conf.set(_, "true"))
+      val stale = bottomJoin(q)
+      assert(stale.contains(dimA) && !stale.contains(dimB),
+        s"expected the STALE plan to bottom-join $dimA (catalog says 5 " +
+          s"rows):\n${stale.take(800)}")
+      s.sql(s"ANALYZE TABLE $dimA COMPUTE STATISTICS FOR COLUMNS a_key")
+      val fresh = bottomJoin(q)
+      assert(fresh.contains(dimB) && !fresh.contains(dimA),
+        s"fresh stats did not flip the bottom join to $dimB:" +
+          s"\n${fresh.take(800)}")
+    } finally {
+      prev.foreach { case (k, v) =>
+        v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+      Seq(fact, dimA, dimB).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      graft.operators.Scans.rmRecursive(dimADir)
+    }
+  }
 }

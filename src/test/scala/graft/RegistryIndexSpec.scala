@@ -167,6 +167,12 @@ class RegistryIndexSpec extends AnyFunSuite {
     assert(text.contains(s"$r registered queries, $r with oracle SQL"),
       s"§2 count line does not carry '$r registered queries, $r with " +
         "oracle SQL'")
+    // VERDICT r19 #3: the status block's "ALL N are DuckDB-oracle-checked"
+    // sentence sat two lines above the pinned counts and went stale at
+    // 322 when round 19 grew the registry to 324 — pin it too.
+    assert(text.contains(s"ALL $r are DuckDB-oracle-checked"),
+      s"§2 status block does not carry 'ALL $r are DuckDB-oracle-checked'" +
+        " — update the sentence with the registry growth")
   }
 
   test("heading operator count matches the table") {

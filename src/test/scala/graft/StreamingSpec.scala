@@ -564,13 +564,18 @@ class StreamingSpec extends StreamingParityBase {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      // staging invariants first: 4 one-file pieces (2 chunks + 2
-      // sentinels), strictly ascending mtimes = admission order
+      // staging invariants first: sjChunks + 2 one-file pieces (the
+      // chunks + 2 watermark sentinels — ADVICE r19: derive from the
+      // constant, so a re-tune of sjChunks can't silently drift the spec),
+      // strictly ascending mtimes = admission order
+      val nPieces = StreamingOps.sjChunks + 2
       val inDir = StreamingOps.sjInput(spark, SF001)
       val mtimes = new java.io.File(inDir).listFiles()
         .filter(_.getName.endsWith(".parquet")).map(_.lastModified).sorted
-      assert(mtimes.length == 4, s"expected 4 staged pieces: ${mtimes.length}")
-      assert(mtimes.distinct.length == 4, "mtimes must be strictly ascending")
+      assert(mtimes.length == nPieces,
+        s"expected $nPieces staged pieces: ${mtimes.length}")
+      assert(mtimes.distinct.length == nPieces,
+        "mtimes must be strictly ascending")
 
       val got = StreamingOps.fileStreamJoin(spark, SF001, "inner")
         .select("click_id", "view_id").collect()
@@ -585,8 +590,9 @@ class StreamingSpec extends StreamingParityBase {
         s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
       Thread.sleep(500) // drain async listener delivery
       val totalCv = ev.filter(col("event_type").isin("click", "view")).count()
-      assert(batches.get >= 4,
-        s"expected >= 4 micro-batches (2 chunks + 2 sentinels): ${batches.get}")
+      assert(batches.get >= nPieces,
+        s"expected >= $nPieces micro-batches (${StreamingOps.sjChunks} " +
+          s"chunks + 2 sentinels): ${batches.get}")
       assert(maxState.get > 0, "no state ever reported — witness is vacuous")
       assert(maxState.get < totalCv,
         s"state high-water ${maxState.get} >= total input $totalCv — " +

@@ -48,7 +48,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SRC = "/root/testdata/sf0.1"
 OUT = os.path.join(REPO, "tools", "scale_probe_out.json")
 SCALES = {"x1": (SRC, 1), "x8": ("/tmp/graft_scale/x8", 8),
-          "x32": ("/tmp/graft_scale/x32", 32)}
+          "x32": ("/tmp/graft_scale/x32", 32),
+          # x64 (round 20): one more doubling for the heaviest shuffle
+          # producers — confirms the 8x->32x slopes hold past the
+          # certified range. Amplified on demand (981 MB on disk).
+          "x64": ("/tmp/graft_scale/x64", 64)}
 
 # The probed-row list is the EXECUTABLE ledger (VERDICT r17 #2):
 # tools/probe_ledger.json assigns every registry row a category —
@@ -105,7 +109,7 @@ def save_out(d):
 
 
 def amplify():
-    for tag in ("x8", "x32"):
+    for tag in ("x8", "x32", "x64"):
         path, factor = SCALES[tag]
         if os.path.isdir(os.path.join(path, "lineitem.parquet")):
             print(f"[probe] {tag} exists, skipping")
@@ -134,12 +138,15 @@ def time_scale(tag, rows, reps=2):
     mem = {}
     for m in re.finditer(
             r"\[timeqm\] (\S+)\s+peak=(\S+) spill=(\S+) "
-            r"srows=(\S+) smem=(\S+)", out):
+            r"srows=(\S+) smem=(\S+)(?: shuf=(\S+))?", out):
         mem[m.group(1)] = {
             "peak": [float(x) for x in m.group(2).split(",")],
             "spill": [float(x) for x in m.group(3).split(",")],
             "srows": [int(x) for x in m.group(4).split(",")],
             "smem": [float(x) for x in m.group(5).split(",")]}
+        if m.group(6):  # Σ shuffle-write MB per rep (round 20)
+            mem[m.group(1)]["shuf"] = [
+                float(x) for x in m.group(6).split(",")]
     missing = [r for r in rows if r not in res]
     if missing:
         print(f"[probe] WARNING: no timings for {missing}; "
@@ -254,6 +261,22 @@ def report():
     for r, t1, t8, t32, s in table:
         f = lambda v: "—" if v is None else f"{v:.2f}"
         print(f"| {r} | {f(t1)} | {f(t8)} | {f(t32)} | {f(s)} |")
+    # x64 doubling column (VERDICT r19 #5/#6): rows with x64 samples get
+    # the extra 32x->64x slope — log2(t64/t32) over one doubling.
+    def steady(tag, r):
+        reps = d["reps"].get(tag, {}).get(r)
+        return min(reps[1:]) if reps and len(reps) > 1 else (
+            reps[0] if reps else None)
+    x64rows = sorted(d["reps"].get("x64", {}))
+    if x64rows:
+        print("\n| query | 32x s | 64x s | slope exp (32x->64x) |")
+        print("|---|---|---|---|")
+        for r in x64rows:
+            t32, t64 = steady("x32", r), steady("x64", r)
+            e = (math.log(t64 / t32) / math.log(2)
+                 if None not in (t32, t64) and t32 > 0 else None)
+            f = lambda v: "—" if v is None else f"{v:.2f}"
+            print(f"| {r} | {f(t32)} | {f(t64)} | {f(e)} |")
     sup = [r for r, *_, s in table
            if s is not None and s > 1.3 and r not in ADJUDICATED]
     adj = [r for r, *_, s in table
