@@ -52,7 +52,10 @@ SCALES = {"x1": (SRC, 1), "x8": ("/tmp/graft_scale/x8", 8),
           # x64 (round 20): one more doubling for the heaviest shuffle
           # producers — confirms the 8x->32x slopes hold past the
           # certified range. Amplified on demand (981 MB on disk).
-          "x64": ("/tmp/graft_scale/x64", 64)}
+          "x64": ("/tmp/graft_scale/x64", 64),
+          # x124 (round 20): the Amplify ceiling (125+ would alias the
+          # affine text salt) — 0.95 of a further doubling past x64.
+          "x124": ("/tmp/graft_scale/x124", 124)}
 
 # The probed-row list is the EXECUTABLE ledger (VERDICT r17 #2):
 # tools/probe_ledger.json assigns every registry row a category —
