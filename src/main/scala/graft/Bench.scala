@@ -122,34 +122,52 @@ object Bench {
     // measure the join, and shrinks the first-sample/retime calibration
     // band the load-adjudication rule reads.
     val matLayout = timed {
-      graft.operators.Joins.materializeLayouts(spark, sfDir): Unit
-      graft.streaming.StreamingOps.twsInput(spark, sfDir): Unit
-      graft.streaming.StreamingOps.twsTimerInput(spark, sfDir): Unit
-      graft.streaming.StreamingOps.updInput(spark, sfDir): Unit
-      // Round 17 (VERDICT r16 #6 — converge billed per-query numbers to
-      // steady cost): the remaining first-touch stagings. sjInput is the
-      // time-chunked events staging for the file-source stream-stream
-      // join rows (~3-5 s of one-time writes at sf0.1 that otherwise
-      // land on whichever of the two rows runs first); the statestore
-      // checkpoint memo (~0.8 s, shared by scan_state_store /
-      // scan_state_metadata) and the embedded Derby engine boot
-      // (scan_jdbc) are per-session JVM/IO costs, not per-query costs —
-      // same policy as the codegen and media-codec warmups.
-      graft.streaming.StreamingOps.sjInput(spark, sfDir): Unit
-      graft.operators.Scans.prepayStateCheckpoint(spark, sfDir)
-      graft.operators.Scans.warmDerby(spark, sfDir)
-      // Round 18 (VERDICT r17 #3 — spike15 ≤ 2): the two first-touch
-      // costs the r17 capture still billed per-query. The socket warm
-      // pays the JVM's socket-provider classload + streaming-engine
-      // boot (source_stream_socket 5.16 s billed vs 0.96 s retime);
-      // the runtime-filter warm pays BloomFilterAggregate/might_contain
-      // classload + codegen (join_bloom 3.30 s vs 0.26 s retime).
-      graft.operators.Scans.warmSocketSource(spark)
-      graft.operators.Joins.warmRuntimeFilter(spark, sfDir)
-      // Round 19 (VERDICT r18 #4): the IVF-PQ trainings + the pay-once
-      // (vec_id, cell, codes) resident layout — build-once/query-many,
-      // so the timed llm_ann_ivfpq line measures scan+ADC+re-rank.
-      graft.operators.LlmVector.materializeIvfPqLayout(spark, sfDir)
+      // Round 21 (optimization; guide §2.6 "overlap independent jobs"):
+      // the staged layouts below are mutually independent — distinct
+      // scratch/checkpoint directories, distinct memo keys, session
+      // CLONES for any per-query conf — so they now run as concurrent
+      // driver-side lanes on a small pool and the scheduler back-fills
+      // the tail of one staging with the next one's tasks. Two items DO
+      // mutate parent-session confs through Joins.withConfs
+      // (cboTables inside materializeLayouts, and warmRuntimeFilter —
+      // both touch spark.sql.autoBroadcastJoinThreshold, and the
+      // save/restore idiom is not concurrency-safe on overlapping
+      // keys), so exactly those two share one sequential lane. The
+      // field still reports the phase's wall time; failure semantics
+      // are unchanged (any lane failure rethrows, timed() reports -1).
+      // Lane results are Try-wrapped so one failure cannot leave the
+      // other lanes un-awaited (a detached staging writing into a dir
+      // a retry later rebuilds).
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val lanes: Seq[() => Unit] = Seq(
+        () => {
+          graft.operators.Joins.materializeLayouts(spark, sfDir): Unit
+          graft.operators.Joins.warmRuntimeFilter(spark, sfDir)
+        },
+        () => graft.streaming.StreamingOps.twsInput(spark, sfDir): Unit,
+        () => graft.streaming.StreamingOps.twsTimerInput(spark, sfDir): Unit,
+        () => graft.streaming.StreamingOps.updInput(spark, sfDir): Unit,
+        () => graft.streaming.StreamingOps.sjInput(spark, sfDir): Unit,
+        () => graft.operators.Scans.prepayStateCheckpoint(spark, sfDir),
+        () => graft.operators.Scans.warmDerby(spark, sfDir),
+        () => graft.operators.Scans.warmSocketSource(spark),
+        () => graft.operators.LlmVector.materializeIvfPqLayout(spark, sfDir))
+      val done = lanes.map(f => Future(scala.util.Try(f())))
+        .map(Await.result(_, Duration.Inf))
+      pool.shutdown()
+      done.collectFirst { case scala.util.Failure(e) => throw e }
+        .foreach(identity)
+      // The lane membership above preserves every prior round's prepay
+      // rationale verbatim: sjInput (VERDICT r16 #6), the statestore
+      // checkpoint memo + embedded Derby boot (VERDICT r16 #6), the
+      // socket + runtime-filter warms (VERDICT r17 #3), the IVF-PQ
+      // trainings + resident layout (VERDICT r18 #4) — only the
+      // SCHEDULING changed (sequential → overlapped), not what is
+      // pre-paid or where its cost is reported.
     }
     // Materialize-phase-end loadavg (VERDICT r13 #7): the pre-paid
     // builds above are inside the headline total but outside the

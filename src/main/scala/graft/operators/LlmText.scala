@@ -194,7 +194,17 @@ object LlmText {
     val words = docsWords(s, d).select(col("words"))
     val toks = words.select(explode(col("words")).as("t"))
     val uni = toks.groupBy(col("t")).agg(count(lit(1)).as("n"))
-    val tot = toks.agg(count(lit(1)).as("total"))
+    // Round 21 (guide §2.3 "aggregate before you shuffle" / §2.4): the
+    // corpus token total is the sum of the per-token counts, so roll it
+    // up from `uni` instead of running a FOURTH full explode+count pass
+    // over documents (plans/r21/llm_cooccur_before.txt nodes 30-37 —
+    // scan+Generate+two HashAggregates just for `total`). The rollup's
+    // subtree canonicalizes to the same exchange as `uni`, so AQE
+    // exchange reuse serves it from the already-built unigram stage.
+    // Σ count(*) per group ≡ count(*) overall (every token is in exactly
+    // one group), and sum(LongType) is LongType — value and schema are
+    // bit-identical.
+    val tot = uni.agg(sum(col("n")).as("total"))
     val np = words.filter(size(col("words")) >= 2)
       .select(explode(expr(
         """flatten(transform(sequence(0, size(words) - 2), i ->

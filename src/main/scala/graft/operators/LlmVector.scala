@@ -1206,7 +1206,23 @@ object LlmVector {
       Tables.documents(s, d).select(col("doc_id"), col("text")), 0.7)
   }
 
-  /** Reusable MinHash pipeline so tests can run it on synthetic corpora. */
+  /** Reusable MinHash pipeline so tests can run it on synthetic corpora.
+    *
+    * Round-21 optimization adjudication (guide §2.4), NO code change:
+    * the static plan shows FOUR scan+explode+aggregate subtrees of
+    * `documents` (band-join sides a/b, verify-join sides a/b), but the
+    * EXECUTED plan collapses them to exactly TWO runtime stages — the
+    * signature shuffle and the collect_set shuffle each run once, with
+    * `ReusedExchange` serving the b-sides (witness:
+    * plans/r21/llm_dedup_near_runtime_reuse.txt). A merged
+    * signatures+set aggregate (one groupBy producing both) was tried
+    * and is a no-op: Catalyst's column pruning correctly splits it back
+    * into the pruned pair, which AQE then reuses pairwise as before.
+    * Collapsing 2 → 1 scan would need a persisted/checkpointed
+    * substrate, rejected by the at-scale memory argument (the cached
+    * sig+set relation is ∝ corpus — ~3 GB at the x124 probe scale —
+    * pinned for the query's lifetime; recompute beats cache here, the
+    * same adjudication as graph_pagerank's loop leaves). */
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = minhashShingles(docs)
     val banded = minhashBanded(sh)

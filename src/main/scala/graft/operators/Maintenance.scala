@@ -491,38 +491,74 @@ object Maintenance {
     val ord = Tables.orders(s, d)
     val probs = Array(0.25, 0.5, 0.75)
     val relErr = 0.01
-    val qs = ord.stat.approxQuantile("o_totalprice", probs, relErr)
-    val freqSet = ord.stat.freqItems(Array("o_orderpriority"), 0.15)
-      .collect()(0).getSeq[String](0).toSet
-    // one distributed pass: n plus the rank interval of each returned
-    // quantile value (count(<v), count(<=v))
-    val rankAgg = ord.agg(
-      count(lit(1)).as("n"),
-      sum(when(col("o_totalprice") < qs(0), 1L).otherwise(0L)),
-      sum(when(col("o_totalprice") <= qs(0), 1L).otherwise(0L)),
-      sum(when(col("o_totalprice") < qs(1), 1L).otherwise(0L)),
-      sum(when(col("o_totalprice") <= qs(1), 1L).otherwise(0L)),
-      sum(when(col("o_totalprice") < qs(2), 1L).otherwise(0L)),
-      sum(when(col("o_totalprice") <= qs(2), 1L).otherwise(0L))).collect()(0)
-    val n = rankAgg.getLong(0)
+    // Round 21 (optimization; guide §2.6 "overlap independent jobs"):
+    // this row is ~7 tiny sequential driver actions, so its wall time
+    // was job-launch latency × 7, not compute. The four independent
+    // chains — (approxQuantile → rank interval → exact-frequency set,
+    // a data dependency chain), (freqItems), (per-stratum totals),
+    // (seeded sampleBy counts) — now run as concurrent driver threads
+    // against the shared scheduler (FIFO back-fill, exactly the guide's
+    // pattern); every action, its arguments, and the assembled result
+    // row are unchanged, so the output is bit-identical.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val fQuantChain = Future {
+      val qs = ord.stat.approxQuantile("o_totalprice", probs, relErr)
+      // one distributed pass: n plus the rank interval of each returned
+      // quantile value (count(<v), count(<=v))
+      val rankAgg = ord.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_totalprice") < qs(0), 1L).otherwise(0L)),
+        sum(when(col("o_totalprice") <= qs(0), 1L).otherwise(0L)),
+        sum(when(col("o_totalprice") < qs(1), 1L).otherwise(0L)),
+        sum(when(col("o_totalprice") <= qs(1), 1L).otherwise(0L)),
+        sum(when(col("o_totalprice") < qs(2), 1L).otherwise(0L)),
+        sum(when(col("o_totalprice") <= qs(2), 1L).otherwise(0L)))
+        .collect()(0)
+      val n = rankAgg.getLong(0)
+      // Integer arithmetic on BOTH engines (ADVICE r15 #3): the
+      // threshold compare is count*100 >= 15*n in exact Long math here
+      // and in the oracle SQL — a group landing exactly on the 15%
+      // boundary would otherwise adjudicate differently between double
+      // (Spark) and DECIMAL (DuckDB) forms and break the hash.
+      val exactFreq = ord.groupBy(col("o_orderpriority")).count()
+        .filter(col("count") * lit(100L) >= lit(15L) * lit(n))
+        .collect().map(_.getString(0)).toSet
+      (rankAgg, n, exactFreq)
+    }
+    val fFreqSet = Future {
+      ord.stat.freqItems(Array("o_orderpriority"), 0.15)
+        .collect()(0).getSeq[String](0).toSet
+    }
+    val fractions: Map[String, Double] =
+      Map("F" -> 0.5, "O" -> 0.5, "P" -> 0.5)
+    val fStrata = Future {
+      ord.groupBy(col("o_orderstatus")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val fSample = Future {
+      ord.stat.sampleBy("o_orderstatus", fractions, 42L)
+        .groupBy(col("o_orderstatus")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val (rankAgg, n, exactFreq) =
+      try Await.result(fQuantChain, Duration.Inf)
+      finally {
+        // await every chain before leaving (even on failure) so no
+        // detached job outlives the query; then release the pool
+        Seq(fFreqSet, fStrata, fSample).foreach(f =>
+          Await.ready(f, Duration.Inf))
+        pool.shutdown()
+      }
+    val freqSet = Await.result(fFreqSet, Duration.Inf)
+    val strataM = Await.result(fStrata, Duration.Inf)
+    val sampleM = Await.result(fSample, Duration.Inf)
     def qOk(i: Int): Boolean = Bands.rankWithin(
       rankAgg.getLong(1 + 2 * i) + 1, rankAgg.getLong(2 + 2 * i),
       probs(i), relErr, n)
-    // Integer arithmetic on BOTH engines (ADVICE r15 #3): the threshold
-    // compare is count*100 >= 15*n in exact Long math here and in the
-    // oracle SQL — a group landing exactly on the 15% boundary would
-    // otherwise adjudicate differently between double (Spark) and
-    // DECIMAL (DuckDB) forms and break the hash.
-    val exactFreq = ord.groupBy(col("o_orderpriority")).count()
-      .filter(col("count") * lit(100L) >= lit(15L) * lit(n))
-      .collect().map(_.getString(0)).toSet
-    val fractions: Map[String, Double] =
-      Map("F" -> 0.5, "O" -> 0.5, "P" -> 0.5)
-    val strataM = ord.groupBy(col("o_orderstatus")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val sampleM = ord.stat.sampleBy("o_orderstatus", fractions, 42L)
-      .groupBy(col("o_orderstatus")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val bandsOk = strataM.forall { case (k, m) =>
       Bands.binomialWithin(sampleM.getOrElse(k, 0L), m, fractions(k), 6.0)
     }
