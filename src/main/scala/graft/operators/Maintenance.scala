@@ -599,22 +599,42 @@ object Maintenance {
       |  CAST(COUNT(*) AS BIGINT) AS cms_total
       |FROM orders""".stripMargin) { (s, d) =>
     val ord = Tables.orders(s, d)
-    val nDistinct = ord.agg(countDistinct(col("o_custkey"))).collect()(0)
-      .getLong(0)
     val fpp = 0.03
-    val bf = ord.stat.bloomFilter("o_custkey", math.max(nDistinct, 1L), fpp)
-    // no-false-negative probe: the custkeys of the first 1000 orders
-    val present = ord.orderBy(col("o_orderkey")).limit(1000)
-      .select(col("o_custkey")).collect().map(_.getLong(0))
+    val eps = 0.0001
+    // Round 21 ([[Overlap.overlapped]], guide §2.6): the four
+    // independent chains — (ndv → bloom build), (present-key probe
+    // collect), (CMS build), (exact counts) — overlap; every action and
+    // every check is unchanged, so the output row is bit-identical.
+    val (bf, present, cms, exact) = Overlap.overlapped(4) { implicit ec =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val fBloom = Future {
+        val nDistinct = ord.agg(countDistinct(col("o_custkey")))
+          .collect()(0).getLong(0)
+        ord.stat.bloomFilter("o_custkey", math.max(nDistinct, 1L), fpp)
+      }
+      // no-false-negative probe: the custkeys of the first 1000 orders
+      val fPresent = Future {
+        ord.orderBy(col("o_orderkey")).limit(1000)
+          .select(col("o_custkey")).collect().map(_.getLong(0))
+      }
+      val fCms = Future {
+        ord.stat.countMinSketch(col("o_orderpriority"), eps, 0.999, 42)
+      }
+      val fExact = Future {
+        ord.groupBy(col("o_orderpriority")).count()
+          .collect().map(r => r.getString(0) -> r.getLong(1))
+      }
+      (Await.result(fBloom, Duration.Inf),
+        Await.result(fPresent, Duration.Inf),
+        Await.result(fCms, Duration.Inf),
+        Await.result(fExact, Duration.Inf))
+    }
     val noFalseNeg = present.forall(bf.mightContain)
     // fp band probe: negative keys are outside the (positive) domain
     val absentProbes = 2000
     val fpCount = (1 to absentProbes).count(i => bf.mightContain(-i.toLong))
     val fpOk = Bands.bloomFpWithin(fpCount.toLong, absentProbes, fpp, 6.0)
-    val eps = 0.0001
-    val cms = ord.stat.countMinSketch(col("o_orderpriority"), eps, 0.999, 42)
-    val exact = ord.groupBy(col("o_orderpriority")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1))
     val total = exact.map(_._2).sum
     val geExact = exact.forall { case (k, n) => cms.estimateCount(k) >= n }
     val withinEps = exact.forall { case (k, n) =>
@@ -694,11 +714,22 @@ object Maintenance {
       |  CAST(MIN(o_custkey) AS VARCHAR), TRUE FROM orders
       |ORDER BY summary""".stripMargin) { (s, d) =>
     val ord = Tables.orders(s, d)
-    val meanStr = ord.select(col("o_totalprice")).summary("mean")
-      .collect()(0).getString(1)
-    val exact = ord.agg(
-      graft.functions.Det.dsum(col("o_totalprice")),
-      count(col("o_totalprice"))).collect()(0)
+    // Round 21 ([[Overlap.overlapped]], guide §2.6): the summary-mean
+    // render and its exact-decimal companion are independent actions.
+    val (meanStr, exact) = Overlap.overlapped(2) { implicit ec =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val fMean = Future {
+        ord.select(col("o_totalprice")).summary("mean")
+          .collect()(0).getString(1)
+      }
+      val fExact = Future {
+        ord.agg(
+          graft.functions.Det.dsum(col("o_totalprice")),
+          count(col("o_totalprice"))).collect()(0)
+      }
+      (Await.result(fMean, Duration.Inf), Await.result(fExact, Duration.Inf))
+    }
     val exactMean = exact.getDouble(0) / exact.getLong(1)
     // Band scales with row count (ADVICE r15 #2, rationale in
     // Bands.meanTol): at sf0.1 (n≈1.5e5) the 1e-9 floor governs; at
@@ -733,11 +764,25 @@ object Maintenance {
     val ord = Tables.orders(s, d).select(col("o_orderkey"))
     val weights = Array(0.6, 0.3, 0.1)
     val splits = ord.randomSplit(weights, 7L)
-    val counts = splits.map(_.count())
-    val n = ord.count()
+    // Round 21 ([[Overlap.overlapped]], guide §2.6): five independent
+    // counts (three split sizes, the source total, the distinct-union
+    // disjointness probe) overlap instead of running back-to-back.
+    // randomSplit membership is seeded per partition and each count is
+    // its own job over the same deterministic draw, so concurrency
+    // cannot change any count.
+    val (counts, n, distinctN) = Overlap.overlapped(5) { implicit ec =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val fCounts = splits.map(sp0 => Future(sp0.count()))
+      val fN = Future(ord.count())
+      val fDistinct = Future(splits.reduce(_ unionAll _)
+        .distinct().count())
+      (fCounts.map(Await.result(_, Duration.Inf)),
+        Await.result(fN, Duration.Inf),
+        Await.result(fDistinct, Duration.Inf))
+    }
     val completeOk = counts.sum == n
-    val disjointOk = splits.reduce(_ unionAll _)
-      .distinct().count() == n
+    val disjointOk = distinctN == n
     val bandsOk = weights.zip(counts).forall { case (w, c) =>
       Bands.binomialWithin(c, n, w, 6.0)
     }
@@ -745,6 +790,28 @@ object Maintenance {
     import sp.implicits._
     Seq((n, completeOk, disjointOk, bandsOk))
       .toDF("n_rows", "complete_ok", "disjoint_ok", "bands_ok")
+  }
+}
+
+/** Round-21 optimization helper (guide §2.6 "overlap independent
+  * jobs"): run `body` with a small dedicated ExecutionContext so a
+  * collect-witness row's INDEPENDENT driver actions can overlap —
+  * Spark's scheduler happily runs several jobs at once inside one
+  * application; rows built from ~5-7 tiny sequential actions were
+  * paying job-launch latency × actions, not compute. The pool is
+  * always drained before return (shutdown + awaitTermination in
+  * finally), so no detached job can outlive its query even on the
+  * exception path. Actions, arguments and assembled results are the
+  * caller's — overlapping changes scheduling only, never output. */
+private[graft] object Overlap {
+  def overlapped[T](nThreads: Int)(
+      body: scala.concurrent.ExecutionContext => T): T = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    try body(scala.concurrent.ExecutionContext.fromExecutor(pool))
+    finally {
+      pool.shutdown()
+      pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES): Unit
+    }
   }
 }
 
