@@ -467,7 +467,14 @@ object LlmText {
     // the postings join share the hash partitioning on `sh` that the
     // self-join below needs anyway (exchange reuse), so the cap costs one
     // co-partitioned aggregate, not an extra shuffle shape.
-    val dfAgg = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // Round 21: the df table itself is persisted for the build's duration
+    // — it is |distinct shingles| rows of (hash, count), a few MB, with
+    // TWO consumers (the ≤maxDf cap filter inside the pairs job and the
+    // >maxDf diagnostic after it); without the persist the diagnostic
+    // re-aggregated the full cached postings (measured 1.12 s of the
+    // materialize_pairs bill at sf0.1), with it the diagnostic is a
+    // cached scan of the already-built table. Released with `sh` below.
+    val dfAgg = sh.groupBy(col("sh")).agg(count(lit(1)).as("df")).persist()
     val capped = sh.join(
       dfAgg.filter(col("df") <= maxDf).select(col("sh")),
       "sh")
@@ -506,13 +513,17 @@ object LlmText {
     // undercount vs an uncapped oracle — say so loudly here instead of
     // letting it surface as an unexplained hash mismatch. The count runs
     // on the still-persisted postings, so it is one cheap cached-scan job.
+    val tDiag = System.nanoTime()
     val dropped = dfAgg.filter(col("df") > maxDf)
       .agg(coalesce(sum(col("df")), lit(0L)).as("postings"),
         count(lit(1)).as("shingles")).first()
+    log.warn(f"ngram df-cap diagnostic pass took " +
+      f"${(System.nanoTime() - tDiag) / 1e9}%.2f s (cached-postings scan)")
     if (dropped.getLong(1) > 0)
       log.warn(s"ngram df-cap fired: dropped ${dropped.getLong(0)} postings " +
         s"of ${dropped.getLong(1)} hot shingles (df > $maxDf); pair jaccard " +
         "may undercount vs an uncapped exact oracle")
+    dfAgg.unpersist()
     sh.unpersist()
     pairs
   }
