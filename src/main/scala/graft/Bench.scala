@@ -127,12 +127,14 @@ object Bench {
       // scratch/checkpoint directories, distinct memo keys, session
       // CLONES for any per-query conf — so they now run as concurrent
       // driver-side lanes on a small pool and the scheduler back-fills
-      // the tail of one staging with the next one's tasks. Two items DO
-      // mutate parent-session confs through Joins.withConfs
-      // (cboTables inside materializeLayouts, and warmRuntimeFilter —
-      // both touch spark.sql.autoBroadcastJoinThreshold, and the
-      // save/restore idiom is not concurrency-safe on overlapping
-      // keys), so exactly those two share one sequential lane. The
+      // the tail of one staging with the next one's tasks. Conf
+      // isolation: NO lane mutates the shared session's SQLConf —
+      // cboTables' CBO confs live in the opt_cbo_reorder row body
+      // (query time, sequential), and warmRuntimeFilter scopes its
+      // bloom/broadcast confs on a throwaway session clone (see its
+      // docstring — a shared-session conf window here was once observed
+      // by a concurrent lane's planner as a +7 MB shuffle_mb wobble).
+      // materializeLayouts + the warm share a lane for load balance. The
       // field still reports the phase's wall time; failure semantics
       // are unchanged (any lane failure rethrows, timed() reports -1).
       // Lane results are Try-wrapped so one failure cannot leave the

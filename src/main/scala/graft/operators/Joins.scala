@@ -335,18 +335,31 @@ object Joins {
     * InjectRuntimeFilter actually fires — leaving the timed row's
     * steady sample to measure the real lineitem-side pruning. */
   private[graft] def warmRuntimeFilter(s: org.apache.spark.sql.SparkSession,
-      d: String): Unit =
-    withConfs(s,
-      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
-      val p = Tables.part(s, d)
-      p.select(col("p_partkey"))
-        .join(p.filter(col("p_brand") === "Brand#19")
-          .select(col("p_partkey").as("k")),
-          col("p_partkey") === col("k"))
-        .count(): Unit
-    }
+      d: String): Unit = {
+    // Round 21: the warm runs on a throwaway session CLONE, not via
+    // withConfs on the shared session. Bench's materialize_layout now
+    // overlaps independent stagings (guide §2.6), and a shared-session
+    // conf window — autoBroadcastJoinThreshold=-1 held for this warm's
+    // duration — could be observed by a CONCURRENT lane planning its
+    // staging query, flipping a staged build's join strategy for that
+    // run (seen once as a +7 MB shuffle_mb wobble in an r21 capture;
+    // shuffle_mb is supposed to be byte-stable). The clone owns its
+    // SQLConf, so nothing is observable outside; the warm's actual
+    // payload — BloomFilterAggregate/might_contain classload + codegen
+    // — is JVM-wide either way.
+    val s2 = graft.operators.Scans.fewPartitionSession(s,
+      s.conf.get("spark.sql.shuffle.partitions").toInt)
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+      "applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p = Tables.part(s2, d)
+    p.select(col("p_partkey"))
+      .join(p.filter(col("p_brand") === "Brand#19")
+        .select(col("p_partkey").as("k")),
+        col("p_partkey") === col("k"))
+      .count(): Unit
+  }
 
   /** Binned range join — the scalable plan for a PURE interval predicate
     * with no equi key to anchor on (the gap join_theta_range deliberately

@@ -467,14 +467,16 @@ object LlmText {
     // the postings join share the hash partitioning on `sh` that the
     // self-join below needs anyway (exchange reuse), so the cap costs one
     // co-partitioned aggregate, not an extra shuffle shape.
-    // Round 21: the df table itself is persisted for the build's duration
-    // — it is |distinct shingles| rows of (hash, count), a few MB, with
-    // TWO consumers (the ≤maxDf cap filter inside the pairs job and the
-    // >maxDf diagnostic after it); without the persist the diagnostic
-    // re-aggregated the full cached postings (measured 1.12 s of the
-    // materialize_pairs bill at sf0.1), with it the diagnostic is a
-    // cached scan of the already-built table. Released with `sh` below.
-    val dfAgg = sh.groupBy(col("sh")).agg(count(lit(1)).as("df")).persist()
+    // Round-21 adjudication: persisting dfAgg (so the >maxDf diagnostic
+    // below could read a cache instead of re-aggregating the postings)
+    // was tried and REVERTED — the cache boundary breaks exactly the
+    // exchange sharing this comment describes, and the cap join then
+    // re-partitions the cached side: bench shuffle_mb rose 124.916 →
+    // 131.889 (byte-stable at the new value, i.e. a deterministic plan
+    // regression, not noise) while the diagnostic saved only ~0.6 s of
+    // cached-scan time. The diagnostic's re-aggregation stays; its cost
+    // is now logged (below) so future rounds can re-adjudicate.
+    val dfAgg = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val capped = sh.join(
       dfAgg.filter(col("df") <= maxDf).select(col("sh")),
       "sh")
