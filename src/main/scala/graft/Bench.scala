@@ -158,8 +158,17 @@ object Bench {
         () => graft.operators.Scans.warmDerby(spark, sfDir),
         () => graft.operators.Scans.warmSocketSource(spark),
         () => graft.operators.LlmVector.materializeIvfPqLayout(spark, sfDir))
-      val done = lanes.map(f => Future(scala.util.Try(f())))
-        .map(Await.result(_, Duration.Inf))
+      val futures = lanes.map(f => Future(scala.util.Try(f())))
+      // Drain EVERY lane before surfacing any failure (ADVICE r21 #1):
+      // the inner Try only catches NonFatal, so a fatal lane error
+      // (LinkageError/OOM in a classload-heavy warm) fails the Future
+      // itself — a sequential Await.result loop would throw mid-map and
+      // leave later lanes un-awaited, exactly the detached-staging
+      // hazard the Try-wrapping was added to close. Await.ready never
+      // throws the lane's error; the flatten folds the Future's own
+      // Try into the lane Try so collectFirst sees both failure kinds.
+      futures.foreach(Await.ready(_, Duration.Inf))
+      val done = futures.map(_.value.get.flatten)
       pool.shutdown()
       done.collectFirst { case scala.util.Failure(e) => throw e }
         .foreach(identity)

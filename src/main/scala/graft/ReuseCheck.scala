@@ -7,7 +7,11 @@ object ReuseCheck {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = SparkEntry.queries(args(0))(spark, "/root/testdata/sf0.1")
+    // Data dir from args(1), falling back to the env var and then the
+    // sf0.1 fixture (ADVICE r21 #3 — match TimeQ/Explain's convention).
+    val sfDir = args.lift(1).getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val df = SparkEntry.queries(args(0))(spark, sfDir)
     df.collect()
     val p = df.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan

@@ -202,8 +202,10 @@ object LlmText {
     // subtree canonicalizes to the same exchange as `uni`, so AQE
     // exchange reuse serves it from the already-built unigram stage.
     // Σ count(*) per group ≡ count(*) overall (every token is in exactly
-    // one group), and sum(LongType) is LongType — value and schema are
-    // bit-identical.
+    // one group), and sum(LongType) is LongType. One nullability nuance
+    // (ADVICE r21 #4): sum() is NULL on an empty corpus where count(*)
+    // was 0 — output is unaffected because `total` is consumed only in
+    // the lift arithmetic after joins that are empty in that case anyway.
     val tot = uni.agg(sum(col("n")).as("total"))
     val np = words.filter(size(col("words")) >= 2)
       .select(explode(expr(
@@ -525,7 +527,6 @@ object LlmText {
       log.warn(s"ngram df-cap fired: dropped ${dropped.getLong(0)} postings " +
         s"of ${dropped.getLong(1)} hot shingles (df > $maxDf); pair jaccard " +
         "may undercount vs an uncapped exact oracle")
-    dfAgg.unpersist()
     sh.unpersist()
     pairs
   }
