@@ -65,6 +65,16 @@ object Bench {
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
     val loadAtStart = load1()
+    // Hypervisor-steal sample bracketing the same window as load1
+    // (VERDICT r21 #2b): load1 cannot distinguish this JVM's own 32-way
+    // self-load from co-tenant pressure, but steal time can — it only
+    // accrues when the hypervisor withholds CPU from this guest. The
+    // round-21 capture (24 "regressed" queries, geomean 0.28, later
+    // adjudicated as co-tenancy from ~586 s of steal jiffies found
+    // out-of-band) becomes self-labeling: steal_pct well above ~1 %
+    // across the window says the wall clocks in this JSON ran against a
+    // contended host. (-1, -1) = /proc/stat unreadable (non-Linux).
+    val stealAtStart = stealSample()
     // Deterministic billing for the SHARED substrates (VERDICT r7
     // #4): the ngram near-dup pairs and the TPC-H ps rollup are each
     // materialized once per session and reused by several queries, and
@@ -266,11 +276,23 @@ object Bench {
     // that is inside the 2.5×-noise-floor's resolution and cannot carry
     // an adjudicable spike), still at least the historical failed+10,
     // capped at 20 to bound both the re-run wall time and the stdout
-    // budget (BenchSpec pins the 20-slot worst case).
-    val slowOk = ok.count(_._2 >= 1.5)
+    // budget (BenchSpec pins the worst case).
+    //
+    // Loaded-window extension (VERDICT r21 #2c): the r21 capture's spike
+    // inflation survived into value_adjusted because the retime pass
+    // sampled only the top-20 rows — mid-pack spikes stayed unadjudicated.
+    // When the start loadavg is already above the clean-window self-load
+    // figure (~2; BASELINE.md band), the window is suspect, so coverage
+    // widens: threshold 1.5 → 0.75 s and cap 20 → 32. The extra re-runs
+    // cost wall time outside the headline only in windows that are
+    // already bad — a clean run's line is byte-identical to before.
+    val loaded = loadAtStart > 2.5
+    val slowThresh = if (loaded) 0.75 else 1.5
+    val retimeCap = if (loaded) 32 else 20
+    val slowOk = ok.count(_._2 >= slowThresh)
     val retimeN = math.min(
       math.max(failed.length + slowOk, math.min(failed.length + 10, 15)),
-      20)
+      retimeCap)
     val retimed = ordered.take(retimeN)
       .map { case (name, first) =>
       if (first < 0) -1.0
@@ -291,6 +313,31 @@ object Bench {
     // untimed warmup and recall diagnostics are outside the bracket on
     // purpose.
     val loadAtEnd = load1()
+    val stealAtEnd = stealSample()
+    val stealPct =
+      if (stealAtStart._2 < 0 || stealAtEnd._2 <= stealAtStart._2) -1.0
+      else 100.0 * (stealAtEnd._1 - stealAtStart._1) /
+        (stealAtEnd._2 - stealAtStart._2)
+    // Cross-round drift flags (VERDICT r21 #2a — the r20 carry-over):
+    // drift[i] adjudicates the i-th retimed entry against the BEST
+    // (minimum) figure that query has ever posted in the saved
+    // BENCH_r*.json captures in the working directory. A retime is the
+    // bench's own clean second sample, so retime ≥ 1.5× the historical
+    // best (and ≥ 0.2 s above it — sub-noise-floor ratios carry no
+    // signal) says the slowness SURVIVED re-running: a real regression
+    // or sustained load (steal_pct/load1 separate those two), never a
+    // transient spike. 0 = within band of the historical best; -1 = no
+    // prior figure (new query, failed retime, or no BENCH files — e.g.
+    // when not run from the repo root).
+    val priorBest = priorBestMap()
+    val drift = retimed.zipWithIndex.map { case (rt, i) =>
+      if (rt < 0) -1
+      else priorBest.get(ordered(i)._1) match {
+        case Some(prev) if prev > 0 =>
+          if (rt >= prev * 1.5 && rt - prev >= 0.2) 1 else 0
+        case _ => -1
+      }
+    }
     // Quantify both ANN variants against the exact brute-force baseline
     // (llm_cosine_topk, materialized once): recall@5 over the probe set.
     // Diagnostic only — computed outside the per-query timings, so it does
@@ -313,9 +360,9 @@ object Bench {
     val ivfRecall = recallOf("llm_ann_ivf")
     val pqRecall = recallOf("llm_ann_ivfpq")
     val line = renderLine(total, ordered,
-      SparkEntry.queries.keys.zipWithIndex.toMap, retimed,
-      (loadAtStart, loadAtEnd), loadAfterMat, matPairs, matPs, matBpe,
-      matFrag, matLayout, gcSec, annRecall, ivfRecall, pqRecall,
+      SparkEntry.queries.keys.zipWithIndex.toMap, retimed, drift,
+      (loadAtStart, loadAtEnd), loadAfterMat, stealPct, matPairs, matPs,
+      matBpe, matFrag, matLayout, gcSec, annRecall, ivfRecall, pqRecall,
       benchShuffleBytes / 1e6, sfDir)
     // Full per-query map to stderr (driver ignores stderr): the stdout
     // line's budget keeps only the slowest ~60, and noise analysis
@@ -337,6 +384,59 @@ object Bench {
   // comma-decimal locale would corrupt the JSON ("value":42,123).
   private[graft] def fmt(d: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+
+  /** (steal jiffies, total jiffies) from /proc/stat's aggregate "cpu "
+    * line, or (-1, -1) where it does not exist/parse. The pair is
+    * sampled twice and differenced, so absolute units never matter. */
+  private[graft] def stealSample(): (Long, Long) =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val cpu = src.getLines().find(_.startsWith("cpu ")).get
+        val f = cpu.trim.split("\\s+").drop(1).map(_.toLong)
+        // fields: user nice system idle iowait irq softirq steal ...
+        (if (f.length > 7) f(7) else 0L, f.sum)
+      } finally src.close()
+    } catch { case _: Throwable => (-1L, -1L) }
+
+  /** Best (minimum positive) per-query seconds across every saved
+    * BENCH_r<n>.json in the working directory — the cross-round drift
+    * reference. Each driver BENCH file wraps the bench stdout tail; the
+    * JSON line is embedded in its "tail" field, so this extracts the
+    * last '{"metric"...' substring and reads its "queries" map. The
+    * MINIMUM across rounds is used precisely because individual rounds
+    * can be load-contaminated (r21's was): a query is only drift-flagged
+    * against the cleanest figure it has ever posted. Every failure mode
+    * (no files, unparseable tail, non-numeric entries) degrades to an
+    * absent entry → drift -1, never an exception into the bench. */
+  private[graft] def priorBestMap(
+      dir: java.io.File = new java.io.File(".")): Map[String, Double] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    files.foreach { f =>
+      try {
+        val tail = mapper.readTree(f).get("tail").asText("")
+        val at = tail.lastIndexOf("{\"metric\"")
+        if (at >= 0) {
+          val qs = mapper.readTree(tail.substring(at)).get("queries")
+          if (qs != null && qs.isObject) {
+            val it = qs.fields()
+            while (it.hasNext) {
+              val e = it.next()
+              if (e.getValue.isNumber) {
+                val v = e.getValue.asDouble
+                if (v > 0 && best.get(e.getKey).forall(v < _))
+                  best(e.getKey) = v
+              }
+            }
+          }
+        }
+      } catch { case _: Throwable => () }
+    }
+    best.toMap
+  }
 
   /** Pure JSON-line renderer, factored out of main (VERDICT r12 #3) so
     * BenchSpec can pin the serialized length against a synthetic
@@ -370,7 +470,8 @@ object Bench {
 
   private[graft] def renderLine(total: Double,
       ordered: Seq[(String, Double)], execIdx: Map[String, Int],
-      retimed: Seq[Double], load1: (Double, Double), load1Mat: Double,
+      retimed: Seq[Double], drift: Seq[Int], load1: (Double, Double),
+      load1Mat: Double, stealPct: Double,
       matPairs: Double, matPs: Double, matBpe: Double, matFrag: Double,
       matLayout: Double, gcSec: Double, annRecall: Double,
       ivfRecall: Double, pqRecall: Double, shuffleMb: Double,
@@ -388,13 +489,15 @@ object Bench {
     val pos15 = ordered.take(15).map { case (k, _) => execIdx(k) }
       .mkString("[", ",", "]")
     // BENCH_r01.json showed the driver keeps exactly the last 2000 chars of
-    // stdout, and sbt's "[success] ..." (~70 chars) trails our line. 1230
-    // chars of query map (1500 until r10, 1420 until r11, 1300 until r19
-    // — shaved for pos15, then retimed + materialize_frag, then
-    // value_adjusted + the 20-slot retime coverage) keeps the whole line
-    // ≤ ~1.7 KB: fully inside the window with margin, while recording
-    // ~45-50 of the slowest per-query timings.
-    val budget = 1230
+    // stdout, and sbt's "[success] ..." (~70 chars) trails our line. 980
+    // chars of query map (1500 until r10, 1420 until r11, 1300 until r19,
+    // 1230 until r21 — shaved for pos15, then retimed + materialize_frag,
+    // then value_adjusted + the 20-slot retime coverage, then round 22's
+    // drift/steal_pct fields + the loaded-window 32-slot retime coverage)
+    // keeps the whole line ≤ ~1.86 KB at the adversarial worst case
+    // (BenchSpec), while recording ~40-45 of the slowest per-query
+    // timings at real name widths.
+    val budget = 980
     // PREFIX truncation, not best-fit (ADVICE r13 #1): stop at the first
     // entry that does not fit. A continue-past-the-misfit loop could drop
     // a long name inside the first 15 while keeping later short ones,
@@ -418,7 +521,14 @@ object Bench {
     // and reported as their own fields (included in "value"): per-query
     // numbers are steady-state, round-over-round compares stop seeing
     // billing drift. -1 ⇒ the materialization failed (stderr has why).
-    val retimedJson = retimed.map(fmt).mkString("[", ",", "]")
+    // Same 2-decimal-under-10s rule as the queries map (10 ms resolution
+    // is already finer than the 2.5× noise floor reads): at the round-22
+    // 32-slot loaded-window cap the shaved decimal keeps the line inside
+    // the driver tail without spending more query-map budget.
+    val retimedJson = retimed.map(v =>
+      if (v > -10 && v < 10)
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      else fmt(v)).mkString("[", ",", "]")
     // Self-adjudicated spike marker (VERDICT r14 #3): spike15[i] = 1
     // iff the i-th queries-entry's first sample sat in a transient load
     // window by the bench's own instrument — the re-time collapsed
@@ -454,7 +564,12 @@ object Bench {
     def fmt2(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     val load1Json = s"[${fmt2(load1._1)},${fmt2(load1._2)}]"
-    s"""{"metric":"total","value":${fmt(total)},"value_adjusted":${fmt(valueAdjusted)},"unit":"sec","queries":$qs,"n_queries":${entries.length},"omitted":$omitted,"pos15":$pos15,"retimed":$retimedJson,"spike15":$spike15,"load1":$load1Json,"load1_mat":${fmt2(load1Mat)},"materialize_pairs":${fmt(matPairs)},"materialize_ps":${fmt(matPs)},"materialize_bpe":${fmt(matBpe)},"materialize_frag":${fmt(matFrag)},"materialize_layout":${fmt(matLayout)},"gc_sec":${fmt(gcSec)},"ann_recall":${fmt(annRecall)},"ivf_recall":${fmt(ivfRecall)},"pq_recall":${fmt(pqRecall)},"shuffle_mb":${fmt(shuffleMb)},"sf":"$sfDir"}"""
+    // drift[i] aligns with retimed[i]/the i-th queries key, like spike15:
+    // 1 = the retime itself sits ≥1.5× above the query's best saved
+    // BENCH_r*.json figure (regression or sustained load — steal_pct and
+    // load1 separate those), 0 = within band, -1 = no prior/failed.
+    val driftJson = drift.mkString("[", ",", "]")
+    s"""{"metric":"total","value":${fmt(total)},"value_adjusted":${fmt(valueAdjusted)},"unit":"sec","queries":$qs,"n_queries":${entries.length},"omitted":$omitted,"pos15":$pos15,"retimed":$retimedJson,"spike15":$spike15,"drift":$driftJson,"load1":$load1Json,"load1_mat":${fmt2(load1Mat)},"steal_pct":${fmt2(stealPct)},"materialize_pairs":${fmt(matPairs)},"materialize_ps":${fmt(matPs)},"materialize_bpe":${fmt(matBpe)},"materialize_frag":${fmt(matFrag)},"materialize_layout":${fmt(matLayout)},"gc_sec":${fmt(gcSec)},"ann_recall":${fmt(annRecall)},"ivf_recall":${fmt(ivfRecall)},"pq_recall":${fmt(pqRecall)},"shuffle_mb":${fmt(shuffleMb)},"sf":"$sfDir"}"""
   }
 
   /** Strict framing check on a rendered line: valid single-object JSON
@@ -472,9 +587,12 @@ object Bench {
         && tree.has("retimed") && tree.get("retimed").isArray
         && tree.has("spike15") && tree.get("spike15").isArray
         && tree.get("spike15").size == tree.get("retimed").size
+        && tree.has("drift") && tree.get("drift").isArray
+        && tree.get("drift").size == tree.get("retimed").size
         && tree.has("load1") && tree.get("load1").isArray
         && tree.get("load1").size == 2
-        && tree.has("load1_mat") && tree.get("load1_mat").isNumber,
+        && tree.has("load1_mat") && tree.get("load1_mat").isNumber
+        && tree.has("steal_pct") && tree.get("steal_pct").isNumber,
       "bench JSON self-check failed")
     require(line.length <= 1900,
       s"bench line ${line.length} chars risks the driver's 2000-char tail")

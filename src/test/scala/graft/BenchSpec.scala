@@ -17,14 +17,15 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchSpec extends AnyFunSuite {
 
   private def render(ordered: Seq[(String, Double)],
-      retimed: Seq[Double]): String = {
+      retimed: Seq[Double], drift: Seq[Int] = Seq.empty): String = {
     val execIdx = ordered.map(_._1).zipWithIndex.toMap
     Bench.renderLine(
       total = 99999.999,
       ordered = ordered,
       execIdx = execIdx,
       retimed = retimed,
-      load1 = (999.99, 999.99), load1Mat = 999.99,
+      drift = if (drift.nonEmpty) drift else retimed.map(_ => -1),
+      load1 = (999.99, 999.99), load1Mat = 999.99, stealPct = 999.99,
       matPairs = -1.0, matPs = 9999.999, matBpe = -1.0, matFrag = 9999.999,
       matLayout = 9999.999, gcSec = 9999.999,
       annRecall = -1.0, ivfRecall = -1.0, pqRecall = -1.0,
@@ -36,25 +37,26 @@ class BenchSpec extends AnyFunSuite {
     // The REAL query names (the actual per-entry width driver runs see),
     // every timing at a 5-digit value, every retime slot filled with the
     // widest marker mix the contract allows (-1 failures first, then -2
-    // succeeded-then-crashed re-runs).
+    // succeeded-then-crashed re-runs) at the LOADED-WINDOW coverage cap
+    // (32 slots, round 22) with every drift slot at its widest (-1).
     val names = SparkEntry.queries.keys.toSeq
     assert(names.size >= 180, s"registry shrank? ${names.size} queries")
     val ordered = names.map(_ -> 99999.999)
-    // 20 retime slots — the round-20 coverage cap (every entry ≥ 1.5 s).
-    val retimed = Seq.fill(5)(-1.0) ++ Seq.fill(15)(-2.0)
-    val line = render(ordered, retimed)
+    val retimed = Seq.fill(5)(-1.0) ++ Seq.fill(27)(-2.0)
+    val line = render(ordered, retimed, Seq.fill(32)(-1))
     Bench.selfCheck(line) // includes the ≤1900 cap
   }
 
   test("synthetic 400-query registry with 60-char names still fits") {
     // Adversarial width: more than double today's registry, names far
     // longer than any real Spec name (longest today is ~30 chars). The
-    // 1300-char query-map budget truncates the map, so total line length
-    // must stay bounded no matter how the registry grows.
+    // query-map budget truncates the map, so total line length must stay
+    // bounded no matter how the registry grows — worst-case retime/drift
+    // coverage (32 loaded-window slots) included.
     val names = (0 until 400).map(i => f"q${i}%03d_" + "x" * 55)
     val ordered = names.map(_ -> 99999.999)
-    val retimed = Seq.fill(20)(-2.0)
-    val line = render(ordered, retimed)
+    val retimed = Seq.fill(32)(-2.0)
+    val line = render(ordered, retimed, Seq.fill(32)(-1))
     Bench.selfCheck(line)
   }
 
@@ -148,6 +150,51 @@ class BenchSpec extends AnyFunSuite {
     assert(s.size == 5, line)
     assert((0 until 5).map(s.get(_).asInt) == Seq(0, 1, 0, 0, 0),
       s"spike adjudication wrong: $line")
+  }
+
+  test("drift array aligns with retimed and round-trips its markers") {
+    // VERDICT r21 #2a: drift[i] ∈ {-1, 0, 1} aligns with retimed[i]
+    // exactly like spike15; selfCheck enforces the size match.
+    val ordered = Seq("a_q" -> 9.0, "b_q" -> 5.0, "c_q" -> 2.0)
+    val line = render(ordered, Seq(8.0, 1.0, -2.0), Seq(1, 0, -1))
+    Bench.selfCheck(line)
+    val t = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert((0 until 3).map(t.get("drift").get(_).asInt) == Seq(1, 0, -1),
+      line)
+    assert(t.get("steal_pct").asDouble == 999.99, line)
+  }
+
+  test("priorBestMap takes the minimum across saved BENCH wrappers") {
+    // The drift reference must be the BEST historical figure — a
+    // contaminated round's inflated numbers must never become the bar.
+    // Wrapper shape mirrors the driver's BENCH_r<n>.json: the bench
+    // stdout line embedded in a "tail" field, possibly with leading
+    // noise before the JSON line.
+    val dir = java.nio.file.Files.createTempDirectory("benchspec_").toFile
+    def write(name: String, tail: String): Unit = {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper
+      val root = m.createObjectNode()
+      root.put("n", 1); root.put("tail", tail)
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath,
+        m.writeValueAsBytes(root))
+    }
+    write("BENCH_r01.json",
+      """noise\n{"metric":"total","queries":{"q_a":2.50,"q_b":0.80}}""")
+    write("BENCH_r02.json",
+      """{"metric":"total","queries":{"q_a":1.25,"q_b":9.00,"q_f":-1.0}}""")
+    write("BENCH_r02_c8.json", // non-canonical name: must be ignored
+      """{"metric":"total","queries":{"q_a":0.01}}""")
+    write("BENCH_r03.json", "no json line here")
+    val best = Bench.priorBestMap(dir)
+    assert(best.get("q_a").contains(1.25), best)
+    assert(best.get("q_b").contains(0.80), best)
+    assert(!best.contains("q_f"), s"failure markers must not enter: $best")
+  }
+
+  test("stealSample degrades to (-1,-1) or returns a plausible pair") {
+    val (steal, total) = Bench.stealSample()
+    assert((steal == -1L && total == -1L) || (steal >= 0L && total > 0L),
+      s"($steal, $total)")
   }
 
   test("value_adjusted subtracts exactly the spike-convicted deltas") {
